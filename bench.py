@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries from the catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect — what a cluster write would do).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from interpro7_dw_spark.plans.spec import all_specs
+from interpro7_dw_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "join_inner_agg",
+    "count_distinct_parts",
+    "window_running_revenue",
+    "topk_per_segment",
+    "sessionize_events",
+    "asof_event_attrib",
+    "overlap_pairs",
+    "part_pair_cooccurrence",
+    "closure_depths",
+    "coverage_length",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-call class loading
+    specs["pricing_summary"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Deduplication operators for large text corpora.
+
+All variants are pure DataFrame compositions (JVM-side, codegen'd) —
+no Python UDFs — so they scale: the expensive parts are shuffles on
+(shingle) / (band signature) keys, which AQE can coalesce/skew-split.
+
+Design notes at 100 TB:
+- exact dedup is a hash groupBy: one shuffle on the content hash;
+- minhash-LSH only ever joins docs sharing a band bucket (candidate
+  generation is linear in corpus size + bucket collisions), never the
+  O(n^2) cross product;
+- n-gram Jaccard joins on the shingle inverted index, so the pair
+  candidates are bounded by shingle co-occurrence, with a min-length
+  guard against degenerate hot shingles (salt or drop top-frequency
+  shingles at real scale);
+- hashes are md5-based so any engine (and the DuckDB oracle) computes
+  identical values — no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts by content hash; keep the lowest id."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (whitespace tokens).
+
+    Documents shorter than ``n`` tokens contribute one whole-text shingle.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + F.lit(1), n)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Near-duplicate pairs by shingle Jaccard similarity, via the
+    inverted-index self-join (only docs sharing >=1 shingle pair up)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def minhash_bands(
+    sh: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """MinHash signature split into LSH bands.
+
+    Hash family: ``md5(seed || ':' || shingle)`` — the per-seed minimum
+    of a keyed md5 is a valid minwise hash and is reproducible in any
+    engine. Returns (doc_id, band, band_sig).
+    """
+    seeded = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")).cast("binary")).alias("h"),
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    return (
+        minh.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s["minh"],
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing at least one LSH band bucket."""
+    a = bands.select(F.col("doc_id").alias("da"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document SimHash over distinct whitespace tokens.
+
+    Token hash = first 4 hex chars of md5 (16 bits), engine-portable.
+    Bit b of the fingerprint is the sign of sum(+-1) of token bit b.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("shiftright(h, b) & 1") * 2 - 1).alias("c"),
+    )
+    return (
+        bit.groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("simhash"))
+    )
+
+
+def simhash_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Note: plain self-join here — fine for modest corpora. At 100 TB use
+    the standard trick: split the fingerprint into (max_hamming+1)
+    segments; equal fingerprints within distance d must share one exact
+    segment, so join on segment buckets first (pigeonhole), then verify.
+    """
+    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", "hamming")
+    )

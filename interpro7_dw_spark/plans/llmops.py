@@ -1,0 +1,280 @@
+"""Training-data pipeline query catalog: dedup, similarity search,
+text analysis, multimodal plumbing — over the `documents` and
+`embeddings` tables (see operators/{dedup,similarity,text}.py for the
+scale rationale of each plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from .spec import QuerySpec, register, t
+
+# DuckDB-side shingle CTE shared by the ngram/minhash oracles.
+# Spark side: operators/dedup.py shingles() — slice semantics match
+# (1-based inclusive, clamped), short docs yield one whole-text shingle.
+_SHINGLE_CTE = """
+  tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS shingle
+    FROM tok, LATERAL unnest(generate_series(0, greatest(len(ts) - 3, 0))) AS g(i)
+  )
+"""
+
+register(QuerySpec(
+    name="dedup_exact",
+    tags=("DD1", "A1", "F3"),
+    description="Exact dedup: content-hash groupBy, keep lowest id.",
+    build=lambda spark, sf: D.exact_dedup(t(spark, sf, "documents")),
+    oracle="""
+        SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """,
+))
+
+register(QuerySpec(
+    name="dedup_ngram_jaccard",
+    tags=("DD2", "J8", "A2"),
+    description="Near-dup pairs by 3-gram shingle Jaccard >= 0.1 via the "
+    "inverted-index self-join (no cross product).",
+    build=lambda spark, sf: D.jaccard_pairs(D.shingles(t(spark, sf, "documents")), 0.1),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db,
+               round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON common.da = sa.doc_id
+        JOIN sizes sb ON common.db = sb.doc_id
+        WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.1
+    """,
+))
+
+register(QuerySpec(
+    name="dedup_minhash_lsh",
+    tags=("DD3", "F3", "A1"),
+    description="MinHash (16 keyed-md5 hashes) + LSH (4 bands x 4 rows) "
+    "candidate pairs — linear-time near-dup discovery.",
+    build=lambda spark, sf: D.lsh_candidate_pairs(
+        D.minhash_bands(D.shingles(t(spark, sf, "documents")))
+    ),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        seeded AS (
+          SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 15)) AS s(seed)
+        ),
+        minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                 md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+          FROM minh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+))
+
+register(QuerySpec(
+    name="dedup_simhash",
+    tags=("DD4", "F3"),
+    description="16-bit SimHash near-dup pairs (hamming <= 3).",
+    build=lambda spark, sf: D.simhash_pairs(D.simhash(t(spark, sf, "documents")), 3),
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(token), 1, 4))::INT AS BIGINT) AS h
+          FROM tok
+        ),
+        bit AS (
+          SELECT doc_id, b.b AS b, sum(((h >> b.b) & 1) * 2 - 1) AS s
+          FROM hashed, LATERAL unnest(generate_series(0, 15)) AS b(b)
+          GROUP BY 1, 2
+        ),
+        simhash AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bit GROUP BY 1
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+))
+
+register(QuerySpec(
+    name="embedding_topk",
+    tags=("NN1", "F9", "O5"),
+    description="Exact brute-force cosine top-5 neighbors for query ids < 5 "
+    "(broadcast queries x partitioned corpus; HOF dot product, no UDF).",
+    build=lambda spark, sf: S.cosine_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5
+    ),
+    oracle="""
+        WITH n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        sims AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        )
+        SELECT qid, rank, vid, sim FROM (
+          SELECT qid, vid, sim,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS INT) AS rank
+          FROM sims
+        ) WHERE rank <= 5
+    """,
+))
+
+register(QuerySpec(
+    name="embedding_lsh_topk",
+    tags=("NN2", "F9"),
+    description="ANN top-5 via random-hyperplane LSH buckets (approximate; "
+    "rows-only check — the bucketing is the point, not SQL parity).",
+    build=lambda spark, sf: S.lsh_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, planes=6
+    ),
+    oracle=None,
+))
+
+register(QuerySpec(
+    name="text_quality",
+    tags=("TX1", "F6", "F9"),
+    description="Quality features: token counts, type-token ratio, length "
+    "buckets — all integer-derived, engine-exact.",
+    build=lambda spark, sf: X.quality_features(t(spark, sf, "documents")),
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               round(len(list_distinct(string_split(text, ' '))) /
+                     len(string_split(text, ' ')), 4) AS ttr,
+               length(text) AS n_chars_actual,
+               round((length(text) - (len(string_split(text, ' ')) - 1)) /
+                     len(string_split(text, ' ')), 4) AS avg_token_len,
+               CASE WHEN len(string_split(text, ' ')) >= 20 THEN 'long'
+                    WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
+                    ELSE 'short' END AS len_bucket
+        FROM documents
+    """,
+))
+
+register(QuerySpec(
+    name="lang_id_confusion",
+    tags=("TX2",),
+    description="Marker-token language-id vs labeled lang: confusion counts.",
+    build=lambda spark, sf: (
+        X.language_scores(t(spark, sf, "documents"))
+        .join(t(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    ),
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['the','and','of','to','a','in','is'])) AS s_en,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['el','la','de','que','y','los','es'])) AS s_es,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['le','la','de','et','les','des','est'])) AS s_fr,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['der','die','und','das','ist','ein','zu'])) AS s_de
+          FROM documents
+        ),
+        pred AS (
+          SELECT lang,
+                 CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                      WHEN s_fr >= s_de THEN 'fr'
+                      ELSE 'de' END AS pred_lang
+          FROM scored
+        )
+        SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+))
+
+register(QuerySpec(
+    name="token_stats",
+    tags=("TX3", "A2"),
+    description="Whitespace + BPE-ish regex token accounting per source.",
+    build=lambda spark, sf: (
+        t(spark, sf, "documents")
+        .select(
+            "source",
+            X.token_count(t(spark, sf, "documents")).alias("ws_tokens"),
+            X.bpe_ish_token_count().alias("bpe_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    ),
+    oracle=r"""
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    """,
+))
+
+register(QuerySpec(
+    name="fingerprint_dups",
+    tags=("TX4", "DD1"),
+    description="Canonical-form fingerprint duplicate groups per source.",
+    build=lambda spark, sf: (
+        X.fingerprint(t(spark, sf, "documents"))
+        .join(t(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    ),
+    oracle=r"""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
+        FROM documents GROUP BY source
+    """,
+))
+
+register(QuerySpec(
+    name="binary_payload_meta",
+    tags=("MM1", "F4"),
+    description="Multimodal plumbing: binary payload column + typed metadata "
+    "(decode kernel is a deterministic stub; see operators/multimodal.py).",
+    build=lambda spark, sf: (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+            F.md5(F.encode(F.col("text"), "utf-8")).alias("payload_md5"),
+        )
+    ),
+    oracle="""
+        SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+        FROM documents
+    """,
+))

@@ -1,0 +1,62 @@
+"""Query catalog infrastructure.
+
+Every capability of the engine is declared as a ``QuerySpec``: a Spark
+DataFrame builder plus (where SQL-expressible) the equivalent ANSI SQL
+string a DuckDB oracle can run on the same parquet tables. The pair is
+the differential-correctness contract (SURVEY.md §5): row-count +
+schema + order-insensitive value-hash must match.
+
+Determinism conventions (so value hashes are stable across engines):
+- money-style double sums go through ``DECIMAL(18,4)`` casts (exact,
+  order-independent) — double summation order differs between engines;
+- every aggregate / computed column is explicitly aliased, identically
+  in the Spark plan and the oracle SQL;
+- window orderings always carry a unique tiebreak column;
+- timestamps leave results as epoch doubles or formatted strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = ()  # SURVEY §2 operator ids this query exercises
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name {spec.name!r}")
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # import side-effect registration of every plan module
+    from . import relational, graphs, llmops, streams  # noqa: F401
+
+    return dict(REGISTRY)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec(c: Column | str) -> Column:
+    """Exact-sum money representation (see module docstring)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")

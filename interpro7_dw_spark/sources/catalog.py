@@ -1,0 +1,52 @@
+"""Table catalog over the driver's synthetic star schema.
+
+Mirrors the reference's dataset catalog idea (``DataFiles``,
+reference cli.py:17-57): one place that knows where every dataset
+lives and how to read it. Here every dataset is a Parquet table under
+an ``sf`` directory (see /root/repo/TESTDATA.md).
+
+Scale notes: parquet scans get predicate pushdown + column pruning
+from Catalyst for free; callers should ``select``/``filter`` early so
+the scan node carries ``PushedFilters``/narrow ``ReadSchema``. Small
+dimension tables (region, nation, supplier) are flagged so join
+builders can ``broadcast()`` them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# name -> is_small_dimension (broadcast candidate at any scale)
+TABLES: dict[str, bool] = {
+    "region": True,
+    "nation": True,
+    "customer": False,
+    "supplier": True,
+    "part": False,
+    "orders": False,
+    "lineitem": False,
+    "events": False,
+    "documents": False,
+    "embeddings": False,
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read `ts` as epoch-nanos LONG instead. Exact integer
+        # time arithmetic also sidesteps tz / float-epoch pitfalls.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register tables as temp views so plans can be written in SQL."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

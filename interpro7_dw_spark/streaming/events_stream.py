@@ -1,0 +1,64 @@
+"""Structured Streaming equivalents of the reference's file-handoff
+producer/consumer stage (interpro/elastic/index.py:179-208: new .dat
+files discovered while being produced, sentinel .done ends the loop).
+
+In Spark that protocol IS the file streaming source: a directory of
+files consumed with trigger(availableNow=True) gives the same
+"process everything that has arrived, then stop" semantics, with
+exactly-once bookkeeping from the checkpoint instead of sentinels.
+
+``windowed_event_counts`` runs a tumbling-window aggregation over the
+events table through a real streaming query (memory sink, complete
+mode) and returns the final result as a DataFrame — so the batch
+oracle can verify it. Watermark-based append mode is the production
+path on an unbounded source; complete mode keeps the finite-source
+result deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    spark: SparkSession, events_path: str, window: str = "6 hours"
+) -> DataFrame:
+    # events.ts arrives as epoch-nanos LONG (see sources/catalog.py);
+    # convert to a proper timestamp for event-time windowing. The file
+    # streaming source wants a directory — point it at the sf dir with
+    # a glob filter selecting just the events table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    directory, _, filename = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", filename)
+        .parquet(directory)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("double").cast("long").alias("ws"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "stream_events_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

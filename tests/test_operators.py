@@ -1,0 +1,140 @@
+"""Unit tests for the composite operators, on hand-built micro data
+(the reference has no tests — SURVEY.md §5 — so these encode the
+domain semantics as goldens)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from interpro7_dw_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_bands,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from interpro7_dw_spark.operators.graph import transitive_closure
+from interpro7_dw_spark.operators.joins import as_of_join, interval_overlap_join
+from interpro7_dw_spark.operators.multimodal import attach_binary_payload, decode_image_stub
+from interpro7_dw_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def test_as_of_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 25), ("u1", 5), ("u2", 10)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 100), ("u1", 20, 200), ("u1", 25, 250), ("u2", 99, 900)],
+        "k string, ts long, val int",
+    )
+    out = as_of_join(left, right, ["k"], "ts", "ts", ["val"], tiebreak="val")
+    got = {(r["k"], r["ts"]): r["val_asof"] for r in out.collect()}
+    assert got == {
+        ("u1", 10): 100,   # latest right ts<=10 is 8
+        ("u1", 25): 250,   # exact match allowed
+        ("u1", 5): None,   # nothing before
+        ("u2", 10): None,  # right row is later
+    }
+
+
+def test_interval_overlap_join_bucketed_equals_naive(spark):
+    rows = [("k", i, i * 7 % 50, i * 7 % 50 + (i % 13)) for i in range(80)]
+    a = spark.createDataFrame(rows, "g string, ida int, sa int, ea int")
+    b = spark.createDataFrame(
+        [("k", i, i * 11 % 60, i * 11 % 60 + (i % 9)) for i in range(80)],
+        "g string, idb int, sb int, eb int",
+    )
+    naive = interval_overlap_join(a, b, ["g"], "sa", "ea", "sb", "eb")
+    bucketed = interval_overlap_join(a, b, ["g"], "sa", "ea", "sb", "eb", bucket_width=16)
+    key = lambda df: sorted((r["ida"], r["idb"]) for r in df.collect())
+    assert key(naive) == key(bucketed)
+    assert len(key(naive)) > 0
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "a")], "child string, parent string"
+    )
+    out = {(r["node"], r["anc"]): r["depth"] for r in transitive_closure(edges).collect()}
+    assert out[("d", "a")] == 3
+    assert out[("d", "c")] == 1
+    assert out[("c", "a")] == 2
+    assert out[("x", "a")] == 1
+    assert out[("a", "a")] == 0
+    # every pair appears exactly once: 5 self + 3+2+1+1 ancestors
+    assert len(out) == 12
+
+
+def test_exact_dedup_and_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")], "doc_id long, text string"
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(shingles(docs))).collect()
+    assert {(r["da"], r["db"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["n_bands"] == 4  # identical docs share all bands
+
+
+def test_jaccard_identical_is_one(spark):
+    base = "a b c d e f g h"
+    docs = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+    rows = jaccard_pairs(shingles(docs), 0.5).collect()
+    assert len(rows) == 1 and float(rows[0]["jaccard"]) == 1.0
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(simhash(docs), max_hamming=0).collect()
+    assert {(r["da"], r["db"], r["hamming"]) for r in pairs} >= {(1, 2, 0)}
+
+
+def test_cosine_topk_prefers_aligned_vector(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # nearly aligned with 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, F.col("vec_id") == 0, k=3)
+    ranked = [r["vid"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1 and ranked[-1] == 3
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_topk(emb, F.col("vec_id") < 3, k=5, planes=4, dim=8).collect()
+    assert all(r["qid"] != r["vid"] for r in out)
+    assert all(r["rank"] <= 5 for r in out)
+
+
+def test_multimodal_decode_stub_shape(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defghi")], "doc_id long, text string")
+    media = attach_binary_payload(docs)
+    out = decode_image_stub(media).collect()
+    assert len(out) == 2
+    r = {x["doc_id"]: x for x in out}
+    assert r[1]["n_bytes"] == 3 and r[2]["n_bytes"] == 6
+    assert 64 <= r[1]["width"] <= 319 and 0.0 <= r[1]["mean_luma"] <= 1.0
+    # deterministic stub: same payload -> same fake decode
+    again = {x["doc_id"]: x for x in decode_image_stub(media).collect()}
+    assert again[1] == r[1]
