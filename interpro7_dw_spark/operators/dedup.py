@@ -54,6 +54,10 @@ def shingles(
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Near-duplicate pairs by shingle Jaccard similarity, via the
     inverted-index self-join (only docs sharing >=1 shingle pair up)."""
+    # the shingle relation feeds three plan branches (sizes + both join
+    # sides); persist so the tokenize/explode/distinct subtree runs once
+    # (at cluster scale: checkpoint to parquet instead)
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")
@@ -110,6 +114,7 @@ def minhash_bands(
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Docs sharing at least one LSH band bucket."""
+    bands = bands.persist()  # self-join: compute the signature pipeline once
     a = bands.select(F.col("doc_id").alias("da"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
     return (
@@ -167,6 +172,7 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     segments; equal fingerprints within distance d must share one exact
     segment, so join on segment buckets first (pigeonhole), then verify.
     """
+    sh = sh.persist()  # self-join: compute fingerprints once
     a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
     return (

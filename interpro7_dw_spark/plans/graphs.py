@@ -68,7 +68,8 @@ register(QuerySpec(
 
 
 def _part_pairs(spark: SparkSession, sf: str):
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # persist: the distinct() feeds both sides of the self-join
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct().persist()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     return (

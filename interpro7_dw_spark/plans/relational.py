@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.intervals import interval_union_length
 from ..operators.joins import as_of_join, interval_overlap_join
 from .spec import QuerySpec, dec, register, t
 
@@ -261,21 +262,22 @@ register(QuerySpec(
 register(QuerySpec(
     name="coverage_length",
     tags=("A14", "F10"),
-    description="Interval-union coverage via position explode + distinct count "
-    "(reference per-(signature,pdb) residue bitmap, interpro/xrefs/utils.py:22-54).",
+    description="Interval-union coverage (reference per-(signature,pdb) residue "
+    "bitmap, interpro/xrefs/utils.py:22-54) as a sorted interval fold — "
+    "O(#intervals) instead of exploding O(span) position rows; the oracle "
+    "proves equivalence to count(DISTINCT pos).",
     build=lambda spark, sf: (
         t(spark, sf, "lineitem")
         .select(
             "l_orderkey",
-            F.explode(
-                F.sequence(
-                    F.floor("l_quantity").cast("int"),
-                    (F.floor("l_quantity") + F.col("l_linenumber") * 5).cast("int"),
-                )
-            ).alias("pos"),
+            F.struct(
+                F.floor("l_quantity").cast("long").alias("s"),
+                (F.floor("l_quantity") + F.col("l_linenumber") * 5).cast("long").alias("e"),
+            ).alias("iv"),
         )
         .groupBy("l_orderkey")
-        .agg(F.countDistinct("pos").alias("coverage"))
+        .agg(F.collect_list("iv").alias("ivs"))
+        .select("l_orderkey", interval_union_length(F.col("ivs")).alias("coverage"))
     ),
     oracle="""
         SELECT l_orderkey, count(DISTINCT pos) AS coverage
