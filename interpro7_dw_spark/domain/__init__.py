@@ -1,0 +1,24 @@
+"""InterPro domain semantics re-expressed Spark-first.
+
+This subpackage carries the reference's hard algorithms (SURVEY.md
+§2.11 X1-X3, §2.9 G5, §2.5 W3) with faithful semantics:
+
+- ``fragments``   fragment-string parsing + location condensation as
+                  pure column expressions (JVM-side, no UDF);
+- ``repr_domains`` representative-domain selection (the exponential
+                  independent-set search) as an Arrow-batched
+                  applyInPandas operator;
+- ``pipeline``    merge_protein_matches — the reference's
+                  merge_uniprot_matches task as one DataFrame job.
+"""
+
+from .fragments import parse_fragments, condense_locations_col
+from .repr_domains import select_repr_domains
+from .pipeline import merge_protein_matches
+
+__all__ = [
+    "parse_fragments",
+    "condense_locations_col",
+    "select_repr_domains",
+    "merge_protein_matches",
+]

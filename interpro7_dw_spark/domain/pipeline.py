@@ -1,0 +1,199 @@
+"""merge_protein_matches — the reference's match-merge task
+(interpro/oracle/matches.py:287-393, the X1 UDF family of SURVEY.md
+§2.11) as one DataFrame job:
+
+  classify -> representative selection (domains, families)
+           -> per-signature location lists (sorted)
+           -> per-entry condensed locations
+
+Spark-first layout: the only Python step is the capped independent-set
+search (repr_domains.py); classification, grouping, sorting and
+condensation are JVM-side column work. Signature/entry dims broadcast
+(the reference ships them to workers as pickles,
+interpro/oracle/matches.py:277-279).
+
+Scale: one shuffle on protein_acc for the grouped-map step, one on
+(protein, signature) and one on (protein, entry) for the groupings —
+all AQE-coalesced; no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .fragments import condense_locations_col, parse_fragments
+from .repr_domains import select_repr_domains
+
+# database priority orders for representative selection
+# (reference interpro/oracle/entries.py:14-19)
+REPR_DOM_DATABASES = ["pfam", "cdd", "profile", "smart", "ncbifam", "cathgene3d", "ssf"]
+REPR_DOM_TYPES = ["domain", "repeat", "conserved_site", "homologous_superfamily"]
+REPR_FAM_DATABASES = ["pfam", "panther", "pirsf", "hamap", "ncbifam", "sfld"]
+REPR_FAM_TYPES = ["family"]
+
+PANTHER_SUBFAMILY = r"PTHR\d+:SF\d+"
+
+
+def _rank_expr(dbs: list[str]):
+    expr = F.lit(None).cast("int")
+    for i, db in reversed(list(enumerate(dbs))):
+        expr = F.when(F.col("db_lc") == db, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def classify_matches(matches: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Join matches to their signature dim; derive class
+    (domain/family/region) + database rank + parsed fragments."""
+    m = (
+        matches.join(F.broadcast(signatures), "signature_acc")
+        .withColumn("db_lc", F.lower("database"))
+        .withColumn("type_lc", F.lower("type"))
+        .withColumn(
+            "frags",
+            parse_fragments(F.col("pos_from"), F.col("pos_to"), F.col("fragments")),
+        )
+        .withColumn(
+            "klass",
+            F.when(
+                F.col("db_lc").isin(REPR_DOM_DATABASES) & F.col("type_lc").isin(REPR_DOM_TYPES),
+                F.lit("domain"),
+            )
+            .when(
+                F.col("db_lc").isin(REPR_FAM_DATABASES) & F.col("type_lc").isin(REPR_FAM_TYPES),
+                F.lit("family"),
+            )
+            .otherwise(F.lit("region")),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("klass") == "domain", _rank_expr(REPR_DOM_DATABASES))
+            .when(F.col("klass") == "family", _rank_expr(REPR_FAM_DATABASES))
+            .otherwise(F.lit(None).cast("int")),
+        )
+        .withColumn(
+            "domain_id",
+            F.row_number().over(
+                Window.partitionBy("protein_acc").orderBy(
+                    "signature_acc", "model_acc", "pos_from", "pos_to"
+                )
+            ).cast("long"),
+        )
+    )
+    return m
+
+
+def _flag_representatives(classified: DataFrame) -> DataFrame:
+    """Run representative selection separately for the domain and
+    family classes (reference runs select_repr_domains twice);
+    regions are never representative."""
+    flagged = None
+    for klass in ("domain", "family"):
+        subset = classified.filter(F.col("klass") == klass)
+        reps = select_repr_domains(
+            subset.select(
+                "protein_acc",
+                "domain_id",
+                "rank",
+                F.expr(
+                    "transform(frags, f -> struct(f.start AS start, f.end AS end))"
+                ).alias("fragments"),
+            )
+        ).select("protein_acc", "domain_id", "representative")
+        part = subset.join(reps, ["protein_acc", "domain_id"], "left")
+        flagged = part if flagged is None else flagged.unionByName(part)
+    regions = classified.filter(F.col("klass") == "region").withColumn(
+        "representative", F.lit(False)
+    )
+    return flagged.unionByName(regions).withColumn(
+        "representative", F.coalesce("representative", F.lit(False))
+    )
+
+
+def merge_protein_matches(
+    matches: DataFrame, signatures: DataFrame, entries: DataFrame
+) -> DataFrame:
+    """Produce the protein2matches mart: one row per
+    (protein, signature) and one per (protein, integrated entry).
+
+    Columns: protein_acc, accession, source_database, type, entry_acc,
+    locations — signature rows carry
+    array<struct<fragments, representative, model, score, subfamily>>;
+    entry rows carry condensed single-fragment locations
+    (representative always false, reference matches.py:377-391).
+    """
+    flagged = _flag_representatives(classify_matches(matches, signatures))
+
+    subfam_names = signatures.select(
+        F.col("signature_acc").alias("model_acc"),
+        F.col("name").alias("subfamily_name"),
+    )
+    with_subfam = flagged.join(F.broadcast(subfam_names), "model_acc", "left").withColumn(
+        "subfamily",
+        F.when(
+            F.col("model_acc").rlike(f"^{PANTHER_SUBFAMILY}$"),
+            F.struct(
+                F.col("model_acc").alias("accession"),
+                F.col("subfamily_name").alias("name"),
+            ),
+        ),
+    )
+
+    sig_rows = (
+        with_subfam.groupBy("protein_acc", "signature_acc")
+        .agg(
+            F.first("database").alias("source_database"),
+            F.first("type").alias("type"),
+            F.first("entry_acc").alias("entry_acc"),
+            # sort locations by the leftmost fragment (start, end) —
+            # reference matches.py:371-374; sort key leads the struct,
+            # then is projected away
+            F.expr(
+                """
+                transform(
+                  array_sort(collect_list(struct(
+                    frags[0].start AS k1, frags[0].end AS k2,
+                    struct(frags AS fragments, representative AS representative,
+                           coalesce(model_acc, signature_acc) AS model,
+                           score AS score, subfamily AS subfamily) AS loc))),
+                  x -> x.loc)
+                """
+            ).alias("locations"),
+        )
+        .select(
+            "protein_acc",
+            F.col("signature_acc").alias("accession"),
+            "source_database",
+            "type",
+            "entry_acc",
+            F.to_json("locations").alias("locations"),
+        )
+    )
+
+    entry_rows = (
+        with_subfam.filter(F.col("entry_acc").isNotNull())
+        .groupBy("protein_acc", "entry_acc")
+        .agg(condense_locations_col(F.collect_list("frags")).alias("condensed"))
+        .join(F.broadcast(entries.select("entry_acc", F.col("type").alias("etype"))), "entry_acc", "left")
+        .select(
+            "protein_acc",
+            F.col("entry_acc").alias("accession"),
+            F.lit("INTERPRO").alias("source_database"),
+            F.col("etype").alias("type"),
+            "entry_acc",
+            F.to_json(
+                F.expr(
+                    """
+                    transform(condensed, c ->
+                      struct(array(struct(c.start AS start, c.end AS end,
+                                          'CONTINUOUS' AS dc_status)) AS fragments,
+                             false AS representative,
+                             CAST(NULL AS string) AS model,
+                             CAST(NULL AS double) AS score))
+                    """
+                )
+            ).alias("locations"),
+        )
+    )
+
+    return sig_rows.unionByName(entry_rows)
