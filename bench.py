@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_topk",
+    "grouping_sets_pyramid",
+    "domorg_fingerprint",
+    "lca_per_nation",
+    "domain_merge_matches",
 ]
 
 

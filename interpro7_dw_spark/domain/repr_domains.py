@@ -15,90 +15,113 @@ Semantics (re-derived, not transcribed):
    max residue coverage, ties broken by more rank-0 (Pfam) members;
 5. flag those domains representative.
 
-Why applyInPandas: the subset search is inherently procedural and
-exponential (capped); everything around it stays in DataFrame land.
-One protein's domains are a few dozen rows — a group fits trivially
-in memory, and Arrow batches thousands of groups per Python call.
+Why a scalar Arrow pandas_udf over collected arrays (not
+applyInPandas): one protein's domains are a handful of rows, and a
+grouped-map pays per-GROUP pandas-DataFrame construction — ~100s of
+microseconds x millions of proteins dominates runtime. Collecting each
+protein's domains into one array row first (a groupBy Spark needs
+anyway) turns the Python step into a plain loop over an Arrow batch:
+thousands of proteins per call, no per-group overhead.
 
-The grouped-map kernel is a closure, not a module-level function, so
-cloudpickle ships it BY VALUE — Python workers need neither this
-package on their path nor a matching working directory.
+The kernel is a closure, not a module-level function, so cloudpickle
+ships it BY VALUE — Python workers need neither this package on their
+path nor a matching working directory.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MAX_DOM_BY_GROUP = 20
 DOM_OVERLAP_THRESHOLD = 0.3
 
-# input/output schema for the grouped-map step; fragments are
-# (start, end) pairs — dc_status does not influence selection
-REPR_SCHEMA = (
-    "protein_acc string, domain_id long, rank int, "
-    "fragments array<struct<start bigint, end bigint>>, representative boolean"
-)
 
-
-def select_repr_domains(domains: DataFrame) -> DataFrame:
-    """Flag representative domains per protein.
-
-    Input columns: protein_acc, domain_id (unique per protein), rank
-    (database priority, 0 = Pfam), fragments array<struct<start,end>>.
-    Output: same + ``representative`` boolean.
-    """
+def _make_repr_udf():
     max_per_group = MAX_DOM_BY_GROUP
     threshold = DOM_OVERLAP_THRESHOLD
 
-    def select_for_protein(pdf):
-        def residues(frags):
-            out = set()
-            for f in frags:
-                out.update(range(int(f["start"]), int(f["end"]) + 1))
-            return frozenset(out)
+    # residue-set algebra as interval lists (identical semantics to the
+    # reference's Python sets of positions, but O(#fragments) not O(span))
+    def residues(frags):
+        """Merged inclusive intervals covering the fragments."""
+        out = []
+        for f in frags:  # frags sorted by (start, end)
+            s, e = int(f["start"]), int(f["end"])
+            if out and s <= out[-1][1] + 1:
+                if e > out[-1][1]:
+                    out[-1] = (out[-1][0], e)
+            else:
+                out.append((s, e))
+        return out
 
-        def best_subset(candidates):
-            n = len(candidates)
-            conflicts = [set() for _ in range(n)]
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a, b = candidates[i]["residues"], candidates[j]["residues"]
-                    inter = len(a & b)
-                    if inter and inter / min(len(a), len(b)) >= threshold:
-                        conflicts[i].add(j)
-                        conflicts[j].add(i)
+    def ilen(ivs):
+        return sum(e - s + 1 for s, e in ivs)
 
-            best = {"cov": -1, "pfams": -1, "ids": []}
+    def ioverlap(a, b):
+        total = i = j = 0
+        while i < len(a) and j < len(b):
+            s = max(a[i][0], b[j][0])
+            e = min(a[i][1], b[j][1])
+            if s <= e:
+                total += e - s + 1
+            if a[i][1] < b[j][1]:
+                i += 1
+            else:
+                j += 1
+        return total
 
-            def dfs(idx, chosen, blocked):
-                if idx == n:
-                    cov_set = set()
-                    pfams = 0
-                    for i in chosen:
-                        cov_set |= candidates[i]["residues"]
-                        if candidates[i]["rank"] == 0:
-                            pfams += 1
-                    cov = len(cov_set)
-                    if cov > best["cov"] or (cov == best["cov"] and pfams > best["pfams"]):
-                        best.update(cov=cov, pfams=pfams, ids=list(chosen))
-                    return
-                if idx not in blocked:  # include-first, like the reference
-                    dfs(idx + 1, chosen + [idx], blocked | conflicts[idx])
-                dfs(idx + 1, chosen, blocked)
+    def iunion(ivsets):
+        flat = sorted(iv for ivs in ivsets for iv in ivs)
+        merged = []
+        for s, e in flat:
+            if merged and s <= merged[-1][1] + 1:
+                if e > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], e)
+            else:
+                merged.append((s, e))
+        return merged
 
-            dfs(0, [], set())
-            return best["ids"]
+    def best_subset(candidates):
+        n = len(candidates)
+        conflicts = [set() for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = candidates[i]["residues"], candidates[j]["residues"]
+                inter = ioverlap(a, b)
+                if inter and inter / min(candidates[i]["size"], candidates[j]["size"]) >= threshold:
+                    conflicts[i].add(j)
+                    conflicts[j].add(i)
 
+        best = {"cov": -1, "pfams": -1, "ids": []}
+
+        def dfs(idx, chosen, blocked):
+            if idx == n:
+                cov = ilen(iunion([candidates[i]["residues"] for i in chosen]))
+                pfams = sum(1 for i in chosen if candidates[i]["rank"] == 0)
+                if cov > best["cov"] or (cov == best["cov"] and pfams > best["pfams"]):
+                    best.update(cov=cov, pfams=pfams, ids=list(chosen))
+                return
+            if idx not in blocked:  # include-first, like the reference
+                dfs(idx + 1, chosen + [idx], blocked | conflicts[idx])
+            dfs(idx + 1, chosen, blocked)
+
+        dfs(0, [], set())
+        return best["ids"]
+
+    def select_one(dom_rows) -> list[int]:
         doms = []
-        for row in pdf.itertuples(index=False):
-            frags = sorted(row.fragments, key=lambda f: (f["start"], f["end"]))
+        for row in dom_rows:
+            frags = sorted(row["fragments"], key=lambda f: (f["start"], f["end"]))
+            ivs = residues(frags)
             doms.append({
-                "domain_id": row.domain_id,
-                "rank": int(row.rank),
-                "fragments": frags,
+                "domain_id": row["domain_id"],
+                "rank": int(row["rank"]),
                 "first_start": int(frags[0]["start"]),
                 "last_end": int(frags[-1]["end"]),
-                "residues": residues(frags),
+                "residues": ivs,
+                "size": ilen(ivs),
             })
         doms.sort(key=lambda d: (d["first_start"], d["last_end"]))
 
@@ -116,20 +139,47 @@ def select_repr_domains(domains: DataFrame) -> DataFrame:
                 stop = d["last_end"]
         groups.append(group)
 
-        rep_ids = set()
+        rep_ids = []
         for g in groups:
-            candidates = sorted(g, key=lambda d: (-len(d["residues"]), d["rank"]))
+            # fast path: a lone domain is always representative
+            if len(g) == 1:
+                rep_ids.append(g[0]["domain_id"])
+                continue
+            candidates = sorted(g, key=lambda d: (-d["size"], d["rank"]))
             candidates = candidates[:max_per_group]
-            for i in best_subset(candidates):
-                rep_ids.add(candidates[i]["domain_id"])
+            rep_ids.extend(candidates[i]["domain_id"] for i in best_subset(candidates))
+        return rep_ids
 
-        out = pdf.copy()
-        out["representative"] = out["domain_id"].isin(rep_ids)
-        return out
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def repr_ids(doms_series):
+        import pandas as pd
 
-    cols = ["protein_acc", "domain_id", "rank", "fragments"]
-    return (
-        domains.select(*cols)
-        .groupBy("protein_acc")
-        .applyInPandas(select_for_protein, REPR_SCHEMA)
+        return pd.Series([select_one(rows) for rows in doms_series])
+
+    return repr_ids
+
+
+def select_repr_domains(domains: DataFrame) -> DataFrame:
+    """Flag representative domains per protein.
+
+    Input columns: protein_acc, domain_id (unique per protein), rank
+    (database priority, 0 = Pfam), fragments array<struct<start,end>>.
+    Output: (protein_acc, domain_id, rank, fragments, representative).
+    """
+    repr_udf = _make_repr_udf()
+    grouped = (
+        domains.groupBy("protein_acc")
+        .agg(F.collect_list(F.struct("domain_id", "rank", "fragments")).alias("doms"))
+        .select("protein_acc", "doms", repr_udf(F.col("doms")).alias("rep_ids"))
+    )
+    return grouped.select(
+        "protein_acc",
+        F.explode("doms").alias("d"),
+        "rep_ids",
+    ).select(
+        "protein_acc",
+        F.col("d.domain_id").alias("domain_id"),
+        F.col("d.rank").alias("rank"),
+        F.col("d.fragments").alias("fragments"),
+        F.array_contains("rep_ids", F.col("d.domain_id")).alias("representative"),
     )

@@ -81,6 +81,86 @@ def _part_pairs(spark: SparkSession, sf: str):
     )
 
 
+def _lca_per_nation(spark: SparkSession, sf: str):
+    # G4 semantics (reference LCA per (entry, domain) via lineage
+    # common prefix, interpro/ftp/xmlfiles.py:149-197), set-based:
+    # the LCA of a node group is its deepest common ancestor — join
+    # the closure, keep ancestors covering every member, take argmax
+    # height. Height of an ancestor = its own distance to root (depth
+    # of node minus depth to that ancestor is per-member, so use the
+    # ancestor's own root-distance: anc with max root distance).
+    closure = transitive_closure(_parent_edges(spark, sf), "child", "parent")
+    anc_height = (
+        closure.groupBy(F.col("node").alias("anc"))
+        .agg(F.max("depth").alias("height"))
+    )
+    members = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_custkey") > 0)
+        .join(F.broadcast(t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("c_custkey").alias("node"))
+    )
+    group_sizes = members.groupBy("n_name").agg(F.countDistinct("node").alias("sz"))
+    common = (
+        members.join(closure, "node")
+        .groupBy("n_name", "anc")
+        .agg(F.countDistinct("node").alias("covered"))
+        .join(group_sizes, "n_name")
+        .filter(F.col("covered") == F.col("sz"))
+    )
+    # deepest common ancestor: max (root distance, anc) — anc id as
+    # deterministic tiebreak (a forest can't tie here, but be safe)
+    return (
+        common.join(anc_height, common["anc"] == anc_height["anc"])
+        .groupBy("n_name")
+        .agg(F.max_by(common["anc"], F.struct(F.col("height"), common["anc"])).alias("lca"))
+    )
+
+
+register(QuerySpec(
+    name="lca_per_nation",
+    tags=("G4", "G1"),
+    description="Lowest common ancestor per node group via closure join "
+    "(reference per-domain LCA common-prefix fold, interpro/ftp/xmlfiles.py:149-197).",
+    build=_lca_per_nation,
+    oracle="""
+        WITH RECURSIVE nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT c_custkey AS node FROM customer WHERE c_custkey > 0
+            UNION ALL
+            SELECT CAST(floor(c_custkey / 2) AS BIGINT) FROM customer WHERE c_custkey > 0
+          )
+        ), anc AS (
+          SELECT node, node AS anc, 0 AS depth FROM nodes
+          UNION ALL
+          SELECT a.node, CAST(floor(a.anc / 2) AS BIGINT), a.depth + 1
+          FROM anc a WHERE a.anc > 0
+        ), heights AS (
+          -- a node's root distance = its deepest ancestor depth
+          SELECT node AS anc, max(depth) AS height FROM anc GROUP BY node
+        ), members AS (
+          SELECT n_name, c_custkey AS node
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_custkey > 0
+        ), sizes AS (
+          SELECT n_name, count(DISTINCT node) AS sz FROM members GROUP BY 1
+        ), common AS (
+          SELECT m.n_name, a.anc, count(DISTINCT m.node) AS covered
+          FROM members m JOIN anc a ON m.node = a.node
+          GROUP BY 1, 2
+        ), full_cover AS (
+          SELECT c.n_name, c.anc, h.height
+          FROM common c
+          JOIN sizes s ON c.n_name = s.n_name AND c.covered = s.sz
+          JOIN heights h ON c.anc = h.anc
+        )
+        SELECT n_name, anc AS lca FROM full_cover
+        QUALIFY row_number() OVER (PARTITION BY n_name
+                                   ORDER BY height DESC, anc DESC) = 1
+    """,
+))
+
+
 register(QuerySpec(
     name="part_pair_cooccurrence",
     tags=("G6", "G7", "J8"),

@@ -1,0 +1,249 @@
+"""Second relational batch: grouping sets, pivot/unpivot, nested-map
+re-rendering, exact percentiles, array/scalar utilities — the rest of
+SURVEY.md §2.4/2.8's aggregate & function surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import register_views
+from .spec import QuerySpec, dec, register, t
+
+
+def _grouping_sets(spark: SparkSession, sf: str):
+    # GROUPING SETS is SQL-only in Spark's DataFrame API — register
+    # views and express the exact set list (the reference computes the
+    # same (tax,db,entry)/(tax,db)/(tax) pyramid by hand,
+    # interpro/mysql/taxa.py:125-178)
+    register_views(spark, sf, ["customer", "nation", "orders"])
+    return spark.sql("""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+    """)
+
+
+register(QuerySpec(
+    name="grouping_sets_pyramid",
+    tags=("A8", "A13"),
+    description="GROUPING SETS pyramid — the reference's hand-built "
+    "per-entity/per-db/total counts (interpro/mysql/taxa.py:125-178).",
+    build=_grouping_sets,
+    oracle="""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+    """,
+))
+
+_STATUSES = ["F", "O", "P"]
+
+register(QuerySpec(
+    name="pivot_status_by_year",
+    tags=("A8", "A2"),
+    description="Pivot long->wide (explicit value list keeps the plan "
+    "single-pass; output columns n_F/n_O/n_P).",
+    build=lambda spark, sf: (
+        t(spark, sf, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+    ),
+    oracle="""
+        SELECT year(o_orderdate) AS yr,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+        FROM orders GROUP BY 1
+    """,
+))
+
+register(QuerySpec(
+    name="unpivot_stack",
+    tags=("A8", "F11"),
+    description="Unpivot wide->long via stack().",
+    build=lambda spark, sf: (
+        t(spark, sf, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+        .selectExpr(
+            "yr",
+            "stack(3, 'F', n_F, 'O', n_O, 'P', n_P) AS (status, n)",
+        )
+        .filter(F.col("n") > 0)
+    ),
+    oracle="""
+        SELECT year(o_orderdate) AS yr, o_orderstatus AS status, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    """,
+))
+
+register(QuerySpec(
+    name="nested_map_render",
+    tags=("A8", "F11", "F13"),
+    description="Nested map-of-counts accumulator rendered canonically "
+    "(reference {db: {count, entries:{...}}} dicts, interpro/xrefs/taxa.py:12-22; "
+    "long-format groupBy + deterministic re-nesting instead of custom dict merges).",
+    build=lambda spark, sf: (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("o_orderpriority", "cnt"))),
+                    lambda s: F.concat_ws(":", s["o_orderpriority"], s["cnt"]),
+                ),
+                ",",
+            ).alias("priority_counts")
+        )
+    ),
+    oracle="""
+        WITH c AS (
+          SELECT n_name, o_orderpriority, count(*) AS cnt
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT n_name,
+               string_agg(o_orderpriority || ':' || cnt, ',' ORDER BY o_orderpriority) AS priority_counts
+        FROM c GROUP BY n_name
+    """,
+))
+
+register(QuerySpec(
+    name="percentile_prices",
+    tags=("A13", "F9"),
+    description="Exact interpolated percentiles per group.",
+    build=lambda spark, sf: (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+    ),
+    oracle="""
+        SELECT c_mktsegment,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+))
+
+register(QuerySpec(
+    name="array_ops",
+    tags=("F11", "O3"),
+    description="Array utilities over tokenized text: indexing, slice, "
+    "distinct size, contains.",
+    build=lambda spark, sf: (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("toks", 1).alias("first_tok"),
+            F.element_at("toks", -1).alias("last_tok"),
+            F.concat_ws(" ", F.slice("toks", 1, 3)).alias("head3"),
+            F.array_contains("toks", "spark").cast("int").alias("has_spark"),
+            F.size(F.array_distinct("toks")).alias("n_uniq"),
+        )
+    ),
+    oracle="""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               toks[1] AS first_tok,
+               toks[-1] AS last_tok,
+               array_to_string(toks[1:3], ' ') AS head3,
+               CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+               len(list_distinct(toks)) AS n_uniq
+        FROM tk
+    """,
+))
+
+
+def _domorg_fingerprint(spark: SparkSession, sf: str):
+    # domain-organisation semantics (interpro/xrefs/domorgs.py:60-90):
+    # canonical key = ordered element list joined by '-', hashed; one
+    # representative per organisation = oldest member (min date, then
+    # min key); here: orders as "proteins", their part sequence as the
+    # "domain organisation"
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    orgs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                "-",
+            ).alias("org_key")
+        )
+        .withColumn("org_hash", F.md5(F.col("org_key").cast("binary")))
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        orgs.join(o, orgs["l_orderkey"] == o["o_orderkey"])
+        .groupBy("org_hash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min_by("l_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("representative"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+register(QuerySpec(
+    name="domorg_fingerprint",
+    tags=("F3", "A6", "DD1"),
+    description="Domain-organisation fingerprint + oldest-member "
+    "representative (interpro/xrefs/domorgs.py:60-90 semantics).",
+    build=_domorg_fingerprint,
+    oracle="""
+        WITH org AS (
+          SELECT l_orderkey,
+                 md5(string_agg(CAST(l_partkey AS VARCHAR), '-' ORDER BY l_linenumber)) AS org_hash
+          FROM lineitem GROUP BY l_orderkey
+        ), ranked AS (
+          SELECT org_hash, o_orderkey,
+                 row_number() OVER (PARTITION BY org_hash
+                                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY org_hash) AS n_members
+          FROM org JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT org_hash, n_members, o_orderkey AS representative
+        FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+))

@@ -47,7 +47,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect registration of every plan module
-    from . import relational, graphs, llmops, streams  # noqa: F401
+    from . import domainq, graphs, llmops, relational, relational2, streams  # noqa: F401
 
     return dict(REGISTRY)
 

@@ -7,7 +7,7 @@ trigger(availableNow) — see streaming/events_stream.py.
 
 from __future__ import annotations
 
-from ..streaming.events_stream import windowed_event_counts
+from ..streaming.events_stream import sliding_event_counts, windowed_event_counts
 from .spec import QuerySpec, register
 
 register(QuerySpec(
@@ -22,5 +22,26 @@ register(QuerySpec(
                event_type, count(*) AS n,
                sum(CAST(value AS DECIMAL(18,4))) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+))
+
+register(QuerySpec(
+    name="stream_sliding_counts",
+    tags=("ST2", "A2"),
+    description="Sliding event-time windows (12h window, 6h slide) through "
+    "Structured Streaming; the batch oracle fans each event into its two "
+    "containing windows.",
+    build=lambda spark, sf: sliding_event_counts(spark, f"{sf}/events.parquet"),
+    oracle="""
+        WITH fan AS (
+          SELECT event_type,
+                 CAST(floor(epoch_ns(ts) / 21600000000000) * 21600 - w.off AS BIGINT) AS ws,
+                 epoch_ns(ts) / 1000000000 AS ts_s
+          FROM events, LATERAL unnest([0, 21600]) AS w(off)
+        )
+        SELECT ws, event_type, count(*) AS n
+        FROM fan
+        WHERE ts_s >= ws AND ts_s < ws + 43200
+        GROUP BY 1, 2
     """,
 ))

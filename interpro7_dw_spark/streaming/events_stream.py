@@ -23,9 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def windowed_event_counts(
-    spark: SparkSession, events_path: str, window: str = "6 hours"
-) -> DataFrame:
+def _event_stream(spark: SparkSession, events_path: str):
     # events.ts arrives as epoch-nanos LONG (see sources/catalog.py);
     # convert to a proper timestamp for event-time windowing. The file
     # streaming source wants a directory — point it at the sf dir with
@@ -33,12 +31,52 @@ def windowed_event_counts(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     directory, _, filename = events_path.rpartition("/")
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", filename)
         .parquet(directory)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+
+
+def _run_to_table(spark: SparkSession, agg) -> DataFrame:
+    name = "stream_events_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sliding_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "12 hours",
+    slide: str = "6 hours",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in
+    window/slide overlapping windows."""
+    stream = _event_stream(spark, events_path)
+    agg = (
+        stream.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("double").cast("long").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_table(spark, agg)
+
+
+def windowed_event_counts(
+    spark: SparkSession, events_path: str, window: str = "6 hours"
+) -> DataFrame:
+    stream = _event_stream(spark, events_path)
     agg = (
         stream.groupBy(F.window("ts", window), "event_type")
         .agg(
@@ -52,13 +90,4 @@ def windowed_event_counts(
             "total_value",
         )
     )
-    name = "stream_events_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_table(spark, agg)

@@ -27,6 +27,10 @@ def main() -> int:
     con = make_duck_con(sf_dir)
 
     specs = all_specs()
+    unknown = only - set(specs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     n_run = 0
     failures = []
     for name, spec in sorted(specs.items()):
