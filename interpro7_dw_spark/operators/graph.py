@@ -1,4 +1,4 @@
-"""Iterative graph operators (no Spark builtin).
+"""Iterative graph + hierarchy operators (no Spark builtin).
 
 ``transitive_closure`` is the Spark-first form of the reference's
 taxonomy lineage walk (reference interpro/oracle/taxa.py:38-53: a
@@ -64,3 +64,94 @@ def transitive_closure(
             return closure
         closure = closure.unionByName(new).localCheckpoint(eager=True)
     raise RuntimeError(f"transitive_closure: no fixpoint after {max_rounds} doubling rounds (cycle?)")
+
+
+def hierarchy_tree_json(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """Nested hierarchy trees as canonical JSON, one row per root
+    (reference entry-hierarchy tree format, interpro/mysql/entries.py:96-154:
+    climb child->parent to the root, emit the nested children tree).
+
+    Hierarchies here are dimension-sized (the reference broadcasts
+    them as pickles), so the tree assembly runs driver-side on the
+    collected edge list — the distributed seam stays at the join that
+    attaches these trees to fact rows (broadcast join on root/entry).
+    Children are ordered by id for determinism (the reference's child
+    order is dict-insertion order — documented canonicalization).
+    """
+    import json
+
+    spark = edges.sparkSession
+    pairs = [(r[0], r[1]) for r in edges.collect()]
+    label_map = {}
+    if labels is not None:
+        label_map = {r[0]: r[1] for r in labels.collect()}
+
+    children: dict = {}
+    has_parent = set()
+    nodes = set()
+    for child, parent in pairs:
+        children.setdefault(parent, []).append(child)
+        has_parent.add(child)
+        nodes.update((child, parent))
+
+    def build(node):
+        out = {"id": node}
+        if node in label_map:
+            out["name"] = label_map[node]
+        kids = sorted(children.get(node, []))
+        if kids:
+            out["children"] = [build(k) for k in kids]
+        return out
+
+    roots = sorted(n for n in nodes if n not in has_parent)
+    rows = [(r, json.dumps(build(r), separators=(",", ":"))) for r in roots]
+    return spark.createDataFrame(rows, "root string, tree string")
+
+
+def hierarchy_flat_dfs(edges: DataFrame, labels: DataFrame | None = None) -> list[str]:
+    """Indented depth-first flat rendering of a hierarchy (reference
+    ParentChildTreeFile.txt, interpro/ftp/flatfiles.py:20-27,70-86).
+    Driver-side on the collected dimension, like the reference."""
+    pairs = [(r[0], r[1]) for r in edges.collect()]
+    label_map = {r[0]: r[1] for r in labels.collect()} if labels is not None else {}
+    children: dict = {}
+    has_parent = set()
+    nodes = set()
+    for child, parent in pairs:
+        children.setdefault(parent, []).append(child)
+        has_parent.add(child)
+        nodes.update((child, parent))
+
+    lines: list[str] = []
+
+    def walk(node, depth):
+        label = f"{node}::{label_map[node]}" if node in label_map else str(node)
+        lines.append("--" * depth + label)
+        for kid in sorted(children.get(node, [])):
+            walk(kid, depth + 1)
+
+    for root in sorted(n for n in nodes if n not in has_parent):
+        walk(root, 0)
+    return lines
+
+
+def lineage_rollup(
+    facts: DataFrame,
+    closure: DataFrame,
+    node_col: str,
+    agg_exprs: list,
+) -> DataFrame:
+    """Hierarchical rollup: aggregate facts to every ancestor of their
+    node, self included (reference taxonomy xref propagation along the
+    lineage, interpro/xrefs/taxa.py:207-229 and the per-entry ancestor
+    counts, interpro/xrefs/entries.py:387-407).
+
+    ``closure`` is transitive_closure() output; the join explodes each
+    fact onto its ancestor set — the lineage-explode ROLLUP. One
+    shuffle on node, one on ancestor; no custom dict merging."""
+    from pyspark.sql import functions as F  # noqa: F401  (callers build agg_exprs)
+
+    joined = facts.join(
+        closure.select(F.col("node").alias(node_col), "anc"), node_col
+    )
+    return joined.groupBy(F.col("anc").alias(node_col)).agg(*agg_exprs)

@@ -1,0 +1,134 @@
+"""Sinks (SURVEY.md §2.1 S9-S17), Spark-first.
+
+The reference's sink zoo (MySQL batch inserts, ES bulk, RocksDB,
+gzipped XML/TSV/JSON files) maps to:
+
+- relational marts  -> Parquet (or ``df.write.jdbc`` where a JDBC URL
+  exists); secondary indexes (S10) become bucketing/sorting at write;
+- ES documents      -> JSONL directories (the bulk indexer consumes
+  them; alias flip = directory swap);
+- RocksDB lookup    -> md5-sorted, prefix-partitioned Parquet — the
+  same point-lookup layout (4096 list partitions,
+  interpro/oracle/lookup.py:347-358) expressed as partition pruning +
+  row-group stats;
+- XML/TSV flat files -> ordered text writes with header/footer framing
+  via mapPartitions serializers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_mart(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
+    """Parquet mart write; sortWithinPartitions gives row-group stats
+    that act as the KVStore footer index (point/range pushdown)."""
+    out = df
+    if sort_cols:
+        out = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_lookup_mart(
+    df: DataFrame, path: str, key_col: str, prefix_len: int = 2
+) -> None:
+    """Match-lookup layout (reference S13/S14): rows hashed by key,
+    directory-partitioned on a short hash prefix, sorted by full hash
+    inside each partition — a point lookup reads one directory and
+    prunes row groups by min/max."""
+    hashed = df.withColumn("__h", F.md5(F.col(key_col).cast("binary"))).withColumn(
+        "__hp", F.substring("__h", 1, prefix_len)
+    )
+    (
+        hashed.repartition("__hp")
+        .sortWithinPartitions("__h")
+        .write.mode("overwrite")
+        .partitionBy("__hp")
+        .parquet(path)
+    )
+
+
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    header_lines: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """TSV flat-file sink (reference entry.list / protein2ipr.dat.gz,
+    interpro/ftp/flatfiles.py:29-123). ``header_lines`` are comment
+    lines prepended ahead of the column header; single ordered file
+    (coalesce(1)) because the reference's flat files are one stream."""
+    cols = df.columns
+    line = F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
+    rows = df.select(line.alias("value"))
+    head = (header_lines or []) + ["\t".join(cols)]
+
+    # inject the header inside the single partition's iterator —
+    # unioning a header DataFrame is NOT order-safe across planners
+    def frame(lines):
+        for h in head:
+            yield (h,)
+        for r in lines:
+            yield (r.value,)
+
+    framed = rows.rdd.coalesce(1).mapPartitions(frame).toDF(["value"])
+    writer = framed.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def write_json_batches(df: DataFrame, path: str, max_records_per_file: int) -> None:
+    """Chunked JSON sink (reference EBISearch ~1M-field chunks,
+    ebisearch.py:320-342) — maxRecordsPerFile is the chunking knob."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_to_xml,  # Callable[[Row], str]
+    root_tag: str,
+    header: str = '<?xml version="1.0" encoding="UTF-8"?>',
+    compression: str | None = None,
+) -> None:
+    """Framed XML sink (reference interpro.xml.gz DOM writers,
+    interpro/ftp/xmlfiles.py:209-452): mapPartitions serializes rows
+    to fragments in parallel; the frame (header/root open/close) is
+    prepended/appended as tiny DataFrames so the final concatenated
+    stream is well-formed. Single file to preserve framing order."""
+    body = df.rdd.mapPartitions(lambda rows: (row_to_xml(r) for r in rows))
+    open_tag, close_tag = f"<{root_tag}>", f"</{root_tag}>"
+
+    # frame inside the single partition's iterator — unioning framing
+    # DataFrames is NOT order-safe across planners/partitionings
+    def frame(lines):
+        yield (header,)
+        yield (open_tag,)
+        for line in lines:
+            yield (line,)
+        yield (close_tag,)
+
+    framed = body.coalesce(1).mapPartitions(frame)
+    writer = framed.toDF(["value"]).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def publish_swap(staging_dir: str, live_dir: str, previous_dir: str) -> None:
+    """The ES staging->live->previous alias flip
+    (interpro/elastic/index.py:313-336) as atomic-ish directory moves."""
+    import os
+    import shutil
+
+    if os.path.exists(previous_dir):
+        shutil.rmtree(previous_dir)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, previous_dir)
+    os.rename(staging_dir, live_dir)
