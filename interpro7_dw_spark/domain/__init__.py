@@ -15,10 +15,16 @@ This subpackage carries the reference's hard algorithms (SURVEY.md
 from .fragments import parse_fragments, condense_locations_col
 from .repr_domains import select_repr_domains
 from .pipeline import merge_protein_matches
+from .xrefs import sim_entries, filter_ec_numbers
+from .taxonomy import main_rank_lineage, taxon_distribution_tree
 
 __all__ = [
     "parse_fragments",
     "condense_locations_col",
     "select_repr_domains",
     "merge_protein_matches",
+    "sim_entries",
+    "filter_ec_numbers",
+    "main_rank_lineage",
+    "taxon_distribution_tree",
 ]

@@ -30,16 +30,24 @@ def as_of_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_cols`` of the latest right row
-    with ``right.right_ts <= left.left_ts`` within the same ``on`` keys
-    (backward as-of, exact matches allowed).
+    """For each left row, attach ``value_cols`` of the matching right
+    row within the same ``on`` keys: with ``direction="backward"`` the
+    latest right row with ``right_ts <= left_ts``; with ``"forward"``
+    the earliest right row with ``right_ts >= left_ts`` (the
+    reference's release-freeze attribution — bisect_left over sorted
+    freeze dates, interpro/oracle/entries.py:275-290; left rows after
+    the last freeze get nulls, callers drop them as the reference
+    does). Exact timestamp matches count in both directions.
 
     Implementation: tag and union both sides, sort each key group by
-    (ts, right-first, tiebreak), then ``last(value, ignorenulls)`` over
-    an unbounded-preceding frame; keep only left rows. One shuffle,
-    linear work, skew-safe under AQE.
+    ts, then last/first(value, ignorenulls) over a one-sided frame;
+    keep only left rows. One shuffle, linear work, skew-safe under AQE.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     val_out = [c + suffix for c in value_cols]
     lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(0))
     for c, out in zip(value_cols, val_out):
@@ -55,18 +63,25 @@ def as_of_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
-    order = [F.col("__ts").asc(), F.col("__side").desc()]
+    # at equal ts the right row must fall inside the left row's frame:
+    # backward frame is (start..current] -> right first; forward frame
+    # is [current..end) -> right after left
+    side_order = F.col("__side").desc() if backward else F.col("__side").asc()
+    order = [F.col("__ts").asc(), side_order]
     if tiebreak:
         # deterministic pick among right rows sharing a timestamp
-        order.append(F.col(tiebreak + suffix if tiebreak in value_cols else tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        tb = F.col(tiebreak + suffix if tiebreak in value_cols else tiebreak)
+        order.append(tb.asc_nulls_first() if backward else tb.desc_nulls_last())
+    w = Window.partitionBy(*on).orderBy(*order)
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)
     filled = unioned.select(
         *[c for c in lhs.columns if c not in val_out],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_out],
+        *[pick(c).over(w).alias(c) for c in val_out],
     )
     return filled.filter(F.col("__side") == 0).drop("__ts", "__side")
 

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises
+from Catalyst must actually appear in the executed plans — predicate
+pushdown into the parquet scan, column pruning, broadcast joins on
+dimensions, and partial aggregation. A plan regression here is a
+scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from interpro7_dw_spark.plans.spec import all_specs
+
+from conftest import SF_SMALL
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].build(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scan_filter_project")
+    # ReadSchema must not include untouched wide columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_partial_aggregation_present(spark):
+    plan = _plan(spark, "pricing_summary")
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # cross_denorm is the one deliberate tiny cross join; everything
+    # else must plan without BroadcastNestedLoopJoin/CartesianProduct
+    offenders = []
+    for name, spec in sorted(SPECS.items()):
+        if name in ("cross_denorm", "dedup_simhash", "embedding_topk", "embedding_lsh_topk"):
+            # simhash/topk use deliberate bounded theta joins
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming plans are inspected differently
+        df = spec.build(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_interval_overlap_join_is_equijoin(spark):
+    # the bucketed overlap join must plan as a hash/sort-merge join on
+    # (keys, cell), not a nested-loop theta join
+    plan = _plan(spark, "overlap_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lookup_point_read_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.sources.sinks import write_lookup_mart
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    out = str(tmp_path / "lk")
+    write_lookup_mart(docs, out, key_col="key", prefix_len=1)
+    import hashlib
+
+    h = hashlib.md5(b"k42").hexdigest()
+    df = spark.read.parquet(out).filter((F.col("__hp") == h[:1]) & (F.col("__h") == h))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "__hp" in seg  # directory pruning
+    assert "PushedFilters: [" in plan and "__h" in plan.split("PushedFilters:")[1][:200]

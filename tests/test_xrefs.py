@@ -1,0 +1,90 @@
+"""Golden tests for the xrefs layer (sim-entries graph, EC coverage
+filter) and the forward as-of join (release-freeze attribution)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from interpro7_dw_spark.domain.xrefs import filter_ec_numbers, sim_entries
+from interpro7_dw_spark.operators.joins import as_of_join
+
+
+def test_as_of_join_forward_release_attribution(spark):
+    audits = spark.createDataFrame(
+        [("E1", 5), ("E1", 12), ("E1", 20), ("E1", 35)], "acc string, ts long"
+    ).withColumn("g", F.lit(1))
+    freezes = spark.createDataFrame(
+        [("91.0", 10), ("92.0", 20), ("93.0", 30)], "version string, frozen_at long"
+    ).withColumn("g", F.lit(1))
+    out = as_of_join(
+        audits, freezes, ["g"], "ts", "frozen_at", ["version"],
+        tiebreak="version", direction="forward",
+    )
+    got = {r["ts"]: r["version_asof"] for r in out.collect()}
+    # first freeze >= ts; ts=20 hits the freeze exactly; ts=35 is after
+    # the last freeze -> null (the reference drops those edits)
+    assert got == {5: "91.0", 12: "92.0", 20: "92.0", 35: None}
+
+
+def _entry_locs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "protein_acc string, entry_acc string, entry_type string, "
+        "locations array<struct<start: bigint, end: bigint>>",
+    )
+
+
+def test_sim_entries_supfam_pair_detected(spark):
+    # E2 (supfam) fully contains E1 (domain) on every shared protein
+    rows = []
+    for p in ("P1", "P2", "P3", "P4"):
+        rows.append((p, "IPR001", "domain", [(10, 100)]))
+        rows.append((p, "IPR002", "homologous_superfamily", [(5, 120)]))
+    out = sim_entries(_entry_locs(spark, rows)).collect()
+    assert {(r["entry_acc"], r["other_acc"]) for r in out} == {("IPR002", "IPR001")}
+
+
+def test_sim_entries_type_rule_blocks_domain_domain(spark):
+    rows = []
+    for p in ("P1", "P2", "P3"):
+        rows.append((p, "IPR001", "domain", [(10, 100)]))
+        rows.append((p, "IPR002", "domain", [(5, 120)]))
+    assert sim_entries(_entry_locs(spark, rows)).count() == 0
+
+
+def test_sim_entries_low_overlap_excluded(spark):
+    # locations overlap by < 50% of both sides on every protein, and
+    # one lone protein breaks containment
+    rows = []
+    for p in ("P1", "P2", "P3"):
+        rows.append((p, "IPR001", "domain", [(1, 100)]))
+        rows.append((p, "IPR002", "homologous_superfamily", [(95, 200)]))
+    out = sim_entries(_entry_locs(spark, rows)).count()
+    assert out == 0
+
+
+def test_filter_ec_numbers_pass_and_stem_fallback(spark):
+    rows = []
+    # entry E with 10 proteins; EC 1.1.1.1 on 7 (70%, >=3) -> passes
+    for i in range(7):
+        rows.append(("E", "1.1.1.1", f"P{i}"))
+    # EC 2.2.2.1 on 4 and 2.2.2.2 on 4 (40% each: count ok, coverage
+    # fails) -> stem 2.2.2 union = 8 proteins (80%) -> stem passes
+    for i in range(4):
+        rows.append(("E", "2.2.2.1", f"P{i}"))
+    for i in range(4, 8):
+        rows.append(("E", "2.2.2.2", f"P{i}"))
+    # EC 3.3.3.1 on 2 proteins (< min count) -> ignored entirely
+    rows += [("E", "3.3.3.1", "P0"), ("E", "3.3.3.1", "P1")]
+    ec = spark.createDataFrame(rows, "entry_acc string, ec string, protein_acc string")
+    totals = spark.createDataFrame([("E", 10)], "entry_acc string, n_proteins long")
+    got = {(r["entry_acc"], r["term"]) for r in filter_ec_numbers(ec, totals).collect()}
+    assert got == {("E", "1.1.1.1"), ("E", "2.2.2")}
+
+
+def test_filter_ec_stem_needs_two_failing_members(spark):
+    # a single failing EC does not create a stem candidate
+    rows = [("E", "4.4.4.1", f"P{i}") for i in range(4)]
+    ec = spark.createDataFrame(rows, "entry_acc string, ec string, protein_acc string")
+    totals = spark.createDataFrame([("E", 10)], "entry_acc string, n_proteins long")
+    assert filter_ec_numbers(ec, totals).count() == 0
