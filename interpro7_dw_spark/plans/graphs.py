@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import transitive_closure
+from ..operators.graph import lineage_rollup, transitive_closure
 from .spec import QuerySpec, register, t
 
 
@@ -173,5 +173,43 @@ register(QuerySpec(
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """,
+))
+
+
+def _rollup_orders_to_ancestors(spark: SparkSession, sf: str):
+    closure = transitive_closure(_parent_edges(spark, sf), "child", "parent")
+    facts = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("node") > 0)
+    )
+    return lineage_rollup(
+        facts, closure, "node", [F.sum("n").cast("long").alias("n_orders_subtree")]
+    ).withColumnRenamed("node", "anc")
+
+
+register(QuerySpec(
+    name="lineage_rollup_orders",
+    tags=("A9", "G1"),
+    description="Hierarchical rollup via lineage explode: order counts "
+    "accumulated to every ancestor (reference taxonomy xref propagation, "
+    "interpro/xrefs/taxa.py:207-229).",
+    build=_rollup_orders_to_ancestors,
+    oracle="""
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+          FROM customer WHERE c_custkey > 0
+          UNION ALL
+          SELECT a.node, CAST(floor(a.anc / 2) AS BIGINT), a.depth + 1
+          FROM anc a WHERE a.anc > 0
+        ), facts AS (
+          SELECT o_custkey AS node, count(*) AS n
+          FROM orders WHERE o_custkey > 0 GROUP BY 1
+        )
+        SELECT a.anc, CAST(sum(f.n) AS BIGINT) AS n_orders_subtree
+        FROM facts f JOIN anc a ON f.node = a.node
+        GROUP BY a.anc
     """,
 ))
