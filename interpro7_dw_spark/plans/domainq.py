@@ -82,3 +82,79 @@ register(QuerySpec(
     ),
     oracle=None,
 ))
+
+
+def _search_documents(spark: SparkSession, sf: str):
+    from ..domain.documents import relationship_documents
+
+    orders = t(spark, sf, "orders")
+    proteins = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("protein_acc"),
+        F.col("c_nationkey").cast("string").alias("tax_id"),
+    )
+    protein_entries = orders.select(
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.col("o_orderpriority").alias("entry_acc"),
+    ).distinct()
+    # "chains" = order years before 1997; later-only customers fall
+    # back to chain-less docs, and 1997+ years become structure leftovers
+    protein_chains = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.year("o_orderdate").cast("string").alias("pdb_chain"),
+    ).distinct()
+    entries = orders.select(F.col("o_orderpriority").alias("entry_acc")).distinct()
+    structures = orders.select(F.year("o_orderdate").cast("string").alias("pdb_chain")).distinct()
+    taxa = t(spark, sf, "nation").select(F.col("n_nationkey").cast("string").alias("tax_id"))
+    return relationship_documents(
+        proteins, protein_entries, protein_chains, entries, structures, taxa
+    )
+
+
+register(QuerySpec(
+    name="search_documents",
+    tags=("J9", "J5", "U1"),
+    description="Search-document fan-out: (protein x entry x chain) cross "
+    "product with fallback docs + anti-join leftovers (reference ES export, "
+    "interpro/elastic/export.py:576-701,129-284).",
+    build=_search_documents,
+    oracle="""
+        WITH pe AS (
+          SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS protein_acc,
+                 o_orderpriority AS entry_acc FROM orders
+        ), pc AS (
+          SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS protein_acc,
+                 CAST(year(o_orderdate) AS VARCHAR) AS pdb_chain
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        ), fan AS (
+          SELECT CAST(c.c_custkey AS VARCHAR) AS protein_acc,
+                 pe.entry_acc, pc.pdb_chain,
+                 CAST(c.c_nationkey AS VARCHAR) AS tax_id,
+                 'relationship' AS doc_type
+          FROM customer c
+          LEFT JOIN pe ON pe.protein_acc = CAST(c.c_custkey AS VARCHAR)
+          LEFT JOIN pc ON pc.protein_acc = CAST(c.c_custkey AS VARCHAR)
+        ), lo_entry AS (
+          SELECT NULL AS protein_acc, e.entry_acc, NULL AS pdb_chain,
+                 NULL AS tax_id, 'entry' AS doc_type
+          FROM (SELECT DISTINCT o_orderpriority AS entry_acc FROM orders) e
+          WHERE e.entry_acc NOT IN (SELECT DISTINCT entry_acc FROM fan WHERE entry_acc IS NOT NULL)
+        ), lo_struct AS (
+          SELECT NULL, NULL, s.pdb_chain, NULL, 'structure'
+          FROM (SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) AS pdb_chain FROM orders) s
+          WHERE s.pdb_chain NOT IN (SELECT DISTINCT pdb_chain FROM fan WHERE pdb_chain IS NOT NULL)
+        ), lo_tax AS (
+          SELECT NULL, NULL, NULL, CAST(n_nationkey AS VARCHAR), 'taxon'
+          FROM nation
+          WHERE CAST(n_nationkey AS VARCHAR) NOT IN (SELECT DISTINCT tax_id FROM fan WHERE tax_id IS NOT NULL)
+        ), docs AS (
+          SELECT * FROM fan
+          UNION ALL SELECT * FROM lo_entry
+          UNION ALL SELECT * FROM lo_struct
+          UNION ALL SELECT * FROM lo_tax
+        )
+        SELECT concat_ws('-', coalesce(protein_acc, ''), coalesce(entry_acc, ''),
+                         coalesce(pdb_chain, ''), coalesce(tax_id, '')) AS doc_id,
+               protein_acc, entry_acc, pdb_chain, tax_id, doc_type
+        FROM docs
+    """,
+))

@@ -1,0 +1,53 @@
+"""Goldens for the search-document fan-out (reference
+interpro/elastic/export.py:576-701 cross product + 129-284 leftovers)."""
+
+from __future__ import annotations
+
+from interpro7_dw_spark.domain.documents import relationship_documents
+
+
+def test_relationship_documents_fanout_and_leftovers(spark):
+    proteins = spark.createDataFrame(
+        [("P1", "9606"), ("P2", "9606"), ("P3", "10090")],
+        "protein_acc string, tax_id string",
+    )
+    protein_entries = spark.createDataFrame(
+        [("P1", "IPR1"), ("P1", "IPR2"), ("P2", "IPR1")],
+        "protein_acc string, entry_acc string",
+    )
+    protein_chains = spark.createDataFrame(
+        [("P1", "1abc_A"), ("P1", "1abc_B")], "protein_acc string, pdb_chain string"
+    )
+    entries = spark.createDataFrame(
+        [("IPR1",), ("IPR2",), ("IPR_ORPHAN",)], "entry_acc string"
+    )
+    structures = spark.createDataFrame(
+        [("1abc_A",), ("1abc_B",), ("9zzz_X",)], "pdb_chain string"
+    )
+    taxa = spark.createDataFrame([("9606",), ("10090",), ("559292",)], "tax_id string")
+
+    docs = relationship_documents(
+        proteins, protein_entries, protein_chains, entries, structures, taxa
+    ).collect()
+    rel = {(r["protein_acc"], r["entry_acc"], r["pdb_chain"]) for r in docs if r["doc_type"] == "relationship"}
+
+    # P1: 2 entries x 2 chains = 4 docs
+    assert {("P1", e, c) for e in ("IPR1", "IPR2") for c in ("1abc_A", "1abc_B")} <= rel
+    # P2: entry but no chain -> (entry, null)
+    assert ("P2", "IPR1", None) in rel
+    # P3: neither -> protein-only doc
+    assert ("P3", None, None) in rel
+    assert len(rel) == 6
+
+    # leftovers: unseen entry / structure / taxon become fallback docs
+    leftovers = {(r["doc_type"], r["entry_acc"], r["pdb_chain"], r["tax_id"])
+                 for r in docs if r["doc_type"] != "relationship"}
+    assert leftovers == {
+        ("entry", "IPR_ORPHAN", None, None),
+        ("structure", None, "9zzz_X", None),
+        ("taxon", None, None, "559292"),
+    }
+
+    # doc ids deterministic and unique
+    ids = [r["doc_id"] for r in docs]
+    assert len(ids) == len(set(ids))

@@ -138,3 +138,30 @@ def test_multimodal_decode_stub_shape(spark):
     # deterministic stub: same payload -> same fake decode
     again = {x["doc_id"]: x for x in decode_image_stub(media).collect()}
     assert again[1] == r[1]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from interpro7_dw_spark.operators.skew import salted_aggregate
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    plain = {r["k"]: (r["total"], r["n"]) for r in df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("*").alias("n")).collect()}
+    salted = {r["k"]: (r["total"], r["n"]) for r in salted_aggregate(
+        df, ["k"],
+        [F.sum("v").alias("s"), F.count("*").alias("c")],
+        [F.sum("s").alias("total"), F.sum("c").cast("long").alias("n")],
+        salt_source="id" if "id" in df.columns else None,
+    ).collect()}
+    assert plain == salted
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from interpro7_dw_spark.operators.skew import salted_broadcast_join
+
+    left = spark.range(5000).select((F.col("id") % 4).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, tag string")
+    plain = sorted((r["v"], r["tag"]) for r in left.join(right, "k").collect())
+    salted = sorted((r["v"], r["tag"]) for r in salted_broadcast_join(left, right, "k").collect())
+    assert plain == salted
