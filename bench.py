@@ -38,6 +38,8 @@ HEADLINE = [
     "grouping_sets_pyramid",
     "domorg_fingerprint",
     "lca_per_nation",
+    "search_documents",
+    "multimodal_decode",
     "domain_merge_matches",
 ]
 

@@ -128,3 +128,45 @@ def condense_locations_col(locations: Column, min_overlap: float = 0.1) -> Colum
         ),
     )
     return state
+
+
+def reassemble_toad_fragments(toad: "DataFrame") -> "DataFrame":
+    """TOAD discontinuous-fragment reassembly (reference
+    _merge_toad_matches, interpro/oracle/matches.py:692-746): rows
+    sharing (protein, signature, group_id) form one location whose
+    sorted fragments get N/C/NC statuses — first fragment is
+    C-terminal-discontinuous, last is N-terminal, middles both; a
+    lone fragment is continuous. Pure groupBy + array transform.
+
+    Input: protein_acc, signature_acc, group_id, pos_from, pos_to,
+    score. Output: one row per location with ``fragments`` matching
+    parse_fragments' shape (ready for the merge pipeline).
+    """
+    from pyspark.sql import functions as F
+
+    sorted_frags = F.array_sort(
+        F.collect_list(F.struct(
+            F.col("pos_from").cast("bigint").alias("start"),
+            F.col("pos_to").cast("bigint").alias("end"),
+        ))
+    )
+    return (
+        toad.groupBy("protein_acc", "signature_acc", "group_id")
+        .agg(sorted_frags.alias("sorted_frags"), F.first("score").alias("score"))
+        .select(
+            "protein_acc",
+            "signature_acc",
+            "group_id",
+            "score",
+            F.expr(
+                """
+                transform(sorted_frags, (f, i) -> struct(
+                  f.start AS start, f.end AS end,
+                  CASE WHEN size(sorted_frags) = 1 THEN 'CONTINUOUS'
+                       WHEN i = 0 THEN 'C_TERMINAL_DISC'
+                       WHEN i = size(sorted_frags) - 1 THEN 'N_TERMINAL_DISC'
+                       ELSE 'NC_TERMINAL_DISC' END AS dc_status))
+                """
+            ).alias("fragments"),
+        )
+    )

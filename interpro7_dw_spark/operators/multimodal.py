@@ -61,11 +61,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_image_stub(media: DataFrame) -> DataFrame:
-    """mapInPandas decode: binary payload -> typed image metadata."""
+    """mapInPandas decode: binary payload -> typed image metadata.
+
+    The package is shipped to Python workers first (util.ensure_pyfiles)
+    so the kernel's by-reference helpers resolve there.
+    """
+    from ..util import ensure_pyfiles
+
+    ensure_pyfiles(media.sparkSession)
+    fake_decode = _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],

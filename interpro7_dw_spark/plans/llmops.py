@@ -278,3 +278,28 @@ register(QuerySpec(
         FROM documents
     """,
 ))
+
+def _multimodal_decode(spark: SparkSession, sf: str):
+    from ..operators.multimodal import attach_binary_payload, decode_image_stub
+
+    media = attach_binary_payload(t(spark, sf, "documents"))
+    return (
+        decode_image_stub(media)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="multimodal_decode",
+    tags=("MM2", "X2"),
+    description="Multimodal decode plumbing at scale: binary payload column "
+    "-> Arrow mapInPandas decode (deterministic stub kernel) -> typed "
+    "metadata aggregation; rows-only (kernel is engine-side Python).",
+    build=_multimodal_decode,
+    oracle=None,
+))

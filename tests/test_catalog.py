@@ -31,4 +31,4 @@ def test_entry_contract(spark):
     assert set(os_) <= set(qs)
     # every oracle-less query is a deliberate exception, listed here
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"embedding_lsh_topk", "domain_merge_matches"}
+    assert rows_only == {"embedding_lsh_topk", "domain_merge_matches", "multimodal_decode"}

@@ -202,3 +202,28 @@ def test_merge_protein_matches_end_to_end(spark):
     # entry condensation for P2: single signature location [10,90]
     p2e = json.loads(rows[("P2", "IPR000001")]["locations"])
     assert (p2e[0]["fragments"][0]["start"], p2e[0]["fragments"][0]["end"]) == (10, 90)
+
+
+def test_toad_reassembly(spark):
+    from interpro7_dw_spark.domain.fragments import reassemble_toad_fragments
+
+    toad = spark.createDataFrame(
+        [
+            ("P1", "S1", 1, 100, 150, 9.0),   # group 1: three fragments
+            ("P1", "S1", 1, 10, 50, 9.0),
+            ("P1", "S1", 1, 200, 250, 9.0),
+            ("P1", "S1", 2, 300, 350, 5.0),   # group 2: single fragment
+        ],
+        "protein_acc string, signature_acc string, group_id int, "
+        "pos_from long, pos_to long, score double",
+    )
+    out = {r["group_id"]: r for r in reassemble_toad_fragments(toad).collect()}
+    g1 = [(f["start"], f["end"], f["dc_status"]) for f in out[1]["fragments"]]
+    assert g1 == [
+        (10, 50, "C_TERMINAL_DISC"),
+        (100, 150, "NC_TERMINAL_DISC"),
+        (200, 250, "N_TERMINAL_DISC"),
+    ]
+    g2 = [(f["start"], f["end"], f["dc_status"]) for f in out[2]["fragments"]]
+    assert g2 == [(300, 350, "CONTINUOUS")]
+    assert out[1]["score"] == 9.0
