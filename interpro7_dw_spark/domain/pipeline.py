@@ -84,24 +84,25 @@ def classify_matches(matches: DataFrame, signatures: DataFrame) -> DataFrame:
 
 
 def _flag_representatives(classified: DataFrame) -> DataFrame:
-    """Run representative selection separately for the domain and
-    family classes (reference runs select_repr_domains twice);
-    regions are never representative."""
-    flagged = None
-    for klass in ("domain", "family"):
-        subset = classified.filter(F.col("klass") == klass)
-        reps = select_repr_domains(
-            subset.select(
-                "protein_acc",
-                "domain_id",
-                "rank",
-                F.expr(
-                    "transform(frags, f -> struct(f.start AS start, f.end AS end))"
-                ).alias("fragments"),
-            )
-        ).select("protein_acc", "domain_id", "representative")
-        part = subset.join(reps, ["protein_acc", "domain_id"], "left")
-        flagged = part if flagged is None else flagged.unionByName(part)
+    """Representative selection for the domain and family classes in
+    ONE grouped pass over (protein, class) — the reference runs its
+    selection twice per protein (matches.py:326-331), but the classes
+    are independent, so a composite group key folds both runs into a
+    single shuffle + Arrow batch. Regions are never representative."""
+    ranked = classified.filter(F.col("klass") != "region")
+    reps = select_repr_domains(
+        ranked.select(
+            "protein_acc",
+            "klass",
+            "domain_id",
+            "rank",
+            F.expr(
+                "transform(frags, f -> struct(f.start AS start, f.end AS end))"
+            ).alias("fragments"),
+        ),
+        group_cols=("protein_acc", "klass"),
+    ).select("protein_acc", "domain_id", "representative")
+    flagged = ranked.join(reps, ["protein_acc", "domain_id"], "left")
     regions = classified.filter(F.col("klass") == "region").withColumn(
         "representative", F.lit(False)
     )

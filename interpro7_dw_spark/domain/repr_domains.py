@@ -159,25 +159,30 @@ def _make_repr_udf():
     return repr_ids
 
 
-def select_repr_domains(domains: DataFrame) -> DataFrame:
-    """Flag representative domains per protein.
+def select_repr_domains(
+    domains: DataFrame, group_cols: tuple[str, ...] = ("protein_acc",)
+) -> DataFrame:
+    """Flag representative domains per group (default: per protein;
+    the merge pipeline groups by (protein, class) so one grouped pass
+    covers the reference's two separate selection runs).
 
-    Input columns: protein_acc, domain_id (unique per protein), rank
-    (database priority, 0 = Pfam), fragments array<struct<start,end>>.
-    Output: (protein_acc, domain_id, rank, fragments, representative).
+    Input columns: ``group_cols``, domain_id (unique within a
+    protein), rank (database priority, 0 = Pfam), fragments
+    array<struct<start,end>>.
+    Output: (*group_cols, domain_id, rank, fragments, representative).
     """
     repr_udf = _make_repr_udf()
     grouped = (
-        domains.groupBy("protein_acc")
+        domains.groupBy(*group_cols)
         .agg(F.collect_list(F.struct("domain_id", "rank", "fragments")).alias("doms"))
-        .select("protein_acc", "doms", repr_udf(F.col("doms")).alias("rep_ids"))
+        .select(*group_cols, "doms", repr_udf(F.col("doms")).alias("rep_ids"))
     )
     return grouped.select(
-        "protein_acc",
+        *group_cols,
         F.explode("doms").alias("d"),
         "rep_ids",
     ).select(
-        "protein_acc",
+        *group_cols,
         F.col("d.domain_id").alias("domain_id"),
         F.col("d.rank").alias("rank"),
         F.col("d.fragments").alias("fragments"),

@@ -84,31 +84,32 @@ def minhash_bands(
     Hash family: ``md5(seed || ':' || shingle)`` — the per-seed minimum
     of a keyed md5 is a valid minwise hash and is reproducible in any
     engine. Returns (doc_id, band, band_sig).
+
+    Plan shape: all ``num_hashes`` minimums are computed as parallel
+    aggregates in ONE groupBy over the shingle relation (no seed
+    explode, no second shuffle); bands then derive column-wise and
+    unpivot with stack() — a single shuffle end to end.
     """
-    seeded = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")).cast("binary")).alias("h"),
-    )
-    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    assert num_hashes % band_size == 0
+    min_cols = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")).cast("binary"))
+        ).alias(f"m{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*min_cols)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"m{b * band_size + i}") for i in range(band_size)])
+            .cast("binary")
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(n_bands))
     return (
-        minh.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"],
-                    ),
-                    ",",
-                ).cast("binary")
-            ).alias("band_sig")
-        )
+        sigs.select("doc_id", *band_cols)
+        .selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_sig)")
     )
 
 
