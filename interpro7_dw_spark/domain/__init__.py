@@ -17,6 +17,9 @@ from .repr_domains import select_repr_domains
 from .pipeline import merge_protein_matches
 from .xrefs import sim_entries, filter_ec_numbers
 from .taxonomy import main_rank_lineage, taxon_distribution_tree
+from .clans import clan_alignment_graph
+from .hmm import parse_hmm_models
+from .documents import relationship_documents
 
 __all__ = [
     "parse_fragments",
@@ -27,4 +30,7 @@ __all__ = [
     "filter_ec_numbers",
     "main_rank_lineage",
     "taxon_distribution_tree",
+    "clan_alignment_graph",
+    "parse_hmm_models",
+    "relationship_documents",
 ]
