@@ -20,6 +20,7 @@ from .taxonomy import main_rank_lineage, taxon_distribution_tree
 from .clans import clan_alignment_graph
 from .hmm import parse_hmm_models
 from .documents import relationship_documents
+from .marts import entry_xrefs_mart
 
 __all__ = [
     "parse_fragments",
@@ -33,4 +34,5 @@ __all__ = [
     "clan_alignment_graph",
     "parse_hmm_models",
     "relationship_documents",
+    "entry_xrefs_mart",
 ]

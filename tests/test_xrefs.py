@@ -88,3 +88,28 @@ def test_filter_ec_stem_needs_two_failing_members(spark):
     ec = spark.createDataFrame(rows, "entry_acc string, ec string, protein_acc string")
     totals = spark.createDataFrame([("E", 10)], "entry_acc string, n_proteins long")
     assert filter_ec_numbers(ec, totals).count() == 0
+
+
+def test_entry_xrefs_mart(spark):
+    from interpro7_dw_spark.domain.marts import entry_xrefs_mart
+
+    pe = spark.createDataFrame(
+        [("P1", "E1"), ("P2", "E1"), ("P3", "E1"), ("P1", "E2")],
+        "protein_acc string, entry_acc string",
+    )
+    pt = spark.createDataFrame(
+        [("P1", "9606"), ("P2", "9606"), ("P3", "10090")],
+        "protein_acc string, tax_id string",
+    )
+    pp = spark.createDataFrame([("P1", "UP1")], "protein_acc string, proteome_id string")
+    ps = spark.createDataFrame([("P9", "1abc")], "protein_acc string, pdb_id string")
+
+    rows = {r["entry_acc"]: r for r in entry_xrefs_mart(pe, pt, pp, ps).collect()}
+    e1 = rows["E1"]
+    assert (e1["n_proteins"], e1["n_taxa"], e1["n_proteomes"], e1["n_structures"]) == (3, 2, 1, 0)
+    import json
+    assert json.loads(e1["taxa_json"]) == {"9606": 2, "10090": 1}
+    e2 = rows["E2"]
+    assert (e2["n_proteins"], e2["n_structures"]) == (1, 0)
+    # empty map -> NULL per the jsonify rule would apply if no taxa; E2 has one
+    assert json.loads(e2["taxa_json"]) == {"9606": 1}
