@@ -7,11 +7,17 @@ where every operator family from SURVEY.md §2 is declared as a
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from interpro7_dw_spark.plans.spec import all_specs
+# the engine package lives next to this file; make the import robust
+# to drivers that load this module from another working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from interpro7_dw_spark.plans.spec import all_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
