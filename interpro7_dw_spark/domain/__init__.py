@@ -21,6 +21,7 @@ from .clans import clan_alignment_graph
 from .hmm import parse_hmm_models
 from .documents import relationship_documents
 from .marts import entry_xrefs_mart
+from .uniparc import merge_uniparc_matches
 
 __all__ = [
     "parse_fragments",
@@ -35,4 +36,5 @@ __all__ = [
     "parse_hmm_models",
     "relationship_documents",
     "entry_xrefs_mart",
+    "merge_uniparc_matches",
 ]
