@@ -22,6 +22,7 @@ from .hmm import parse_hmm_models
 from .documents import relationship_documents
 from .marts import entry_xrefs_mart
 from .uniparc import merge_uniparc_matches
+from .stats import sequence_database_stats
 
 __all__ = [
     "parse_fragments",
@@ -37,4 +38,5 @@ __all__ = [
     "relationship_documents",
     "entry_xrefs_mart",
     "merge_uniparc_matches",
+    "sequence_database_stats",
 ]

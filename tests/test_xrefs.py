@@ -113,3 +113,28 @@ def test_entry_xrefs_mart(spark):
     assert (e2["n_proteins"], e2["n_structures"]) == (1, 0)
     # empty map -> NULL per the jsonify rule would apply if no taxa; E2 has one
     assert json.loads(e2["taxa_json"]) == {"9606": 1}
+
+
+def test_sequence_database_stats_antifam_rule(spark):
+    from interpro7_dw_spark.domain.stats import sequence_database_stats
+
+    proteins = spark.createDataFrame(
+        [("P1", True), ("P2", True), ("P3", False), ("P4", False), ("P5", False)],
+        "protein_acc string, reviewed boolean",
+    )
+    matches = spark.createDataFrame(
+        [
+            ("P1", "pfam", None), ("P1", "interpro", "IPR1"),  # reviewed, integrated
+            ("P2", "antifam", None),                           # AntiFam-only: not a hit
+            ("P3", "cdd", None),                               # hit, not integrated
+            # P4: no matches at all; P5: no matches
+        ],
+        "protein_acc string, match_db string, entry_acc string",
+    )
+    got = {r["database"]: (r["count"], r["hit"], r["integrated"])
+           for r in sequence_database_stats(proteins, matches).collect()}
+    assert got == {
+        "reviewed": (2, 1, 1),
+        "unreviewed": (3, 1, 0),
+        "uniprot": (5, 2, 1),
+    }
