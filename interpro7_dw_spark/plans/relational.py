@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.intervals import interval_union_length
 from ..operators.joins import as_of_join, interval_overlap_join
-from .spec import QuerySpec, dec, register, t
+from .spec import QuerySpec, dbl, dec, register, t
 
 # --------------------------------------------------------------------------
 # Scans / filters / projections
@@ -33,12 +33,12 @@ register(QuerySpec(
             "l_orderkey",
             "l_partkey",
             "l_linenumber",
-            dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         )
     ),
     oracle="""
         SELECT l_orderkey, l_partkey, l_linenumber,
-               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price
+               l_extendedprice * (1 - l_discount) AS net_price
         FROM lineitem
         WHERE l_returnflag = 'R' AND l_quantity >= 30
     """,
@@ -81,21 +81,21 @@ register(QuerySpec(
         .filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dbl(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            dbl(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("sum_disc_price"),
+            (dbl(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            (dbl(F.sum(dec("l_discount"))) / F.count(F.lit(1))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     ),
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -165,7 +165,7 @@ register(QuerySpec(
         .agg(
             F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("best_order"),
             F.min_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("first_order"),
-            F.max(dec("o_totalprice")).alias("best_price"),
+            F.max("o_totalprice").alias("best_price"),
         )
     ),
     oracle="""
@@ -180,7 +180,7 @@ register(QuerySpec(
         SELECT o_custkey,
                max(CASE WHEN rbest = 1 THEN o_orderkey END) AS best_order,
                max(CASE WHEN rfirst = 1 THEN o_orderkey END) AS first_order,
-               max(CAST(o_totalprice AS DECIMAL(18,4))) AS best_price
+               max(o_totalprice) AS best_price
         FROM ranked GROUP BY o_custkey
     """,
 ))
@@ -243,7 +243,7 @@ register(QuerySpec(
             F.count("*").alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),
             F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
-            F.sum(dec("l_quantity")).alias("total_qty"),
+            dbl(F.sum(dec("l_quantity"))).alias("total_qty"),
             F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
             F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         )
@@ -252,7 +252,7 @@ register(QuerySpec(
         SELECT count(*) AS n_rows,
                count(DISTINCT l_orderkey) AS n_orders,
                count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
-               sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
                strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
                strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
         FROM lineitem
@@ -302,13 +302,13 @@ register(QuerySpec(
         .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            dbl(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     ),
     oracle="""
         SELECT o_orderstatus,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus
@@ -325,13 +325,13 @@ register(QuerySpec(
         .join(F.broadcast(t(spark, sf, "part")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            dbl(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     ),
     oracle="""
         SELECT p_type,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
@@ -355,11 +355,11 @@ register(QuerySpec(
         .join(F.broadcast(t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t(spark, sf, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dbl(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue"))
     ),
     oracle="""
         SELECT r_name, n_name,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -381,13 +381,13 @@ register(QuerySpec(
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(28,4)")).alias("spend"),
+            F.coalesce(dbl(F.sum(dec("o_totalprice"))), F.lit(0.0)).alias("spend"),
         )
     ),
     oracle="""
         SELECT c_custkey,
                count(o_orderkey) AS n_orders,
-               coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS spend
+               coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
@@ -440,7 +440,7 @@ def _join_composite_key(spark: SparkSession, sf: str):
             (F.col("m_orderkey") == F.col("l_orderkey"))
             & (F.col("last_line") == F.col("l_linenumber")),
         )
-        .select("l_orderkey", "l_linenumber", "l_partkey", dec("l_extendedprice").alias("price"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", F.col("l_extendedprice").alias("price"))
     )
 
 
@@ -452,7 +452,7 @@ register(QuerySpec(
     build=_join_composite_key,
     oracle="""
         SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
-               CAST(l.l_extendedprice AS DECIMAL(18,4)) AS price
+               l.l_extendedprice AS price
         FROM (SELECT l_orderkey, max(l_linenumber) AS last_line
               FROM lineitem GROUP BY l_orderkey) m
         JOIN lineitem l ON m.l_orderkey = l.l_orderkey AND m.last_line = l.l_linenumber
@@ -636,12 +636,12 @@ register(QuerySpec(
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("last_orderkey"),
-            dec("o_totalprice").alias("last_price"),
+            F.col("o_totalprice").alias("last_price"),
         )
     ),
     oracle="""
         SELECT o_custkey, o_orderkey AS last_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,4)) AS last_price
+               o_totalprice AS last_price
         FROM orders
         WHERE o_orderdate < TIMESTAMP '1998-01-01'
         QUALIFY row_number() OVER (PARTITION BY o_custkey
@@ -659,14 +659,15 @@ register(QuerySpec(
             "o_orderkey",
             F.sum(dec("o_totalprice"))
             .over(_first_order_w().rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
             .alias("running_spend"),
         )
     ),
     oracle="""
         SELECT o_custkey, o_orderkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         FROM orders
     """,
 ))
@@ -709,10 +710,10 @@ register(QuerySpec(
             ),
         )
         .filter(F.col("rk") <= 3)
-        .select("c_mktsegment", "rk", "o_orderkey", dec("o_totalprice").alias("price"))
+        .select("c_mktsegment", "rk", "o_orderkey", F.col("o_totalprice").alias("price"))
     ),
     oracle="""
-        SELECT c_mktsegment, rk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        SELECT c_mktsegment, rk, o_orderkey, o_totalprice AS price
         FROM (
           SELECT c_mktsegment, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY c_mktsegment
@@ -768,8 +769,8 @@ register(QuerySpec(
           FROM events
         ), s AS (
           SELECT user_id, event_id, ts_us,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
           FROM e
         )
         SELECT user_id, sess_id, count(*) AS n_events,
@@ -791,10 +792,10 @@ register(QuerySpec(
         t(spark, sf, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_custkey", dec("o_totalprice").alias("price"))
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
     ),
     oracle="""
-        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        SELECT o_orderkey, o_custkey, o_totalprice AS price
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
 ))
@@ -841,7 +842,7 @@ register(QuerySpec(
             .select(F.lit("low").alias("bucket"), "o_orderkey", dec("o_totalprice").alias("price"))
         )
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.sum("price").alias("total"))
+        .agg(F.count("*").alias("n"), dbl(F.sum("price")).alias("total"))
     ),
     oracle="""
         WITH u AS (
@@ -851,7 +852,7 @@ register(QuerySpec(
           SELECT 'low' AS bucket, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
           FROM orders WHERE o_totalprice < 50000
         )
-        SELECT bucket, count(*) AS n, sum(price) AS total FROM u GROUP BY bucket
+        SELECT bucket, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total FROM u GROUP BY bucket
     """,
 ))
 

@@ -22,7 +22,7 @@ def _grouping_sets(spark: SparkSession, sf: str):
         SELECT coalesce(n_name, 'ALL') AS nation,
                coalesce(c_mktsegment, 'ALL') AS segment,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -40,7 +40,7 @@ register(QuerySpec(
         SELECT coalesce(n_name, 'ALL') AS nation,
                coalesce(c_mktsegment, 'ALL') AS segment,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey

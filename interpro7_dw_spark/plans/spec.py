@@ -12,7 +12,26 @@ Determinism conventions (so value hashes are stable across engines):
 - every aggregate / computed column is explicitly aliased, identically
   in the Spark plan and the oracle SQL;
 - window orderings always carry a unique tiebreak column;
-- timestamps leave results as epoch doubles or formatted strings.
+- timestamps leave results as epoch integers or formatted strings.
+
+Pandas-stability conventions (the driver's correctness gate hashes
+*stringified pandas cells*: Spark ``toPandas()`` vs DuckDB ``.df()``,
+and DuckDB coerces every DECIMAL and HUGEINT to float64 while Spark
+keeps ``Decimal``/int64 — ``'1234.5000'`` vs ``'1234.5'``, ``'42'`` vs
+``'42.0'``). Final projections may therefore contain ONLY string, int,
+double, and boolean columns:
+- decimal intermediates (exact sums) are cast to DOUBLE in the final
+  select on BOTH sides (same exact value -> same nearest double ->
+  same string) — use ``dbl(...)`` / ``CAST(... AS DOUBLE)``;
+- row-level money values stay raw doubles (identical IEEE expression
+  on both engines), no decimal cast needed;
+- averages divide the exact decimal sum cast to double by the count
+  (identical double division on both sides), never ``avg()`` over
+  doubles (summation order is partition-dependent);
+- DuckDB ``sum(<integer>)`` returns HUGEINT: wrap the oracle side in
+  ``CAST(... AS BIGINT)``;
+- no raw DATE/TIMESTAMP output columns (pandas renders them
+  differently: '2020-01-02' vs '2020-01-02 00:00:00').
 """
 
 from __future__ import annotations
@@ -60,3 +79,9 @@ def dec(c: Column | str) -> Column:
     """Exact-sum money representation (see module docstring)."""
     col = F.col(c) if isinstance(c, str) else c
     return col.cast("decimal(18,4)")
+
+
+def dbl(c: Column | str) -> Column:
+    """Pandas-stable final projection of a decimal intermediate."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("double")

@@ -20,7 +20,7 @@ register(QuerySpec(
     oracle="""
         SELECT CAST(floor(epoch_ns(ts) / 21600000000000) * 21600 AS BIGINT) AS ws,
                event_type, count(*) AS n,
-               sum(CAST(value AS DECIMAL(18,4))) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
 ))

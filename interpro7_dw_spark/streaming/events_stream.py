@@ -87,7 +87,7 @@ def windowed_event_counts(
             F.col("window.start").cast("double").cast("long").alias("ws"),
             "event_type",
             "n",
-            "total_value",
+            F.col("total_value").cast("double").alias("total_value"),
         )
     )
     return _run_to_table(spark, agg)

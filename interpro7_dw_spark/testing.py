@@ -3,6 +3,15 @@
 Comparison contract mirrors the driver's correctness gate: row count,
 column-name set, and order-insensitive value comparison with columns
 sorted by name.
+
+The driver's value-hash stringifies *pandas* cells (Spark
+``toPandas()`` vs DuckDB ``.df()``), which coerces dtypes: DuckDB
+renders every DECIMAL and HUGEINT as float64 (``'1234.5'``,
+``'42.0'``) while Spark keeps ``Decimal('1234.5000')`` / int64
+(``'42'``). ``compare_spec`` therefore checks BOTH the raw-row
+normalization and the pandas-string normalization; query specs must
+emit only pandas-stable types (string / int / double / bool) in the
+final projection — see plans/spec.py conventions.
 """
 
 from __future__ import annotations
@@ -28,6 +37,13 @@ def rows_key(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def pandas_rows_key(pdf) -> list[tuple[str, ...]]:
+    """The driver-gate normalization: stringified pandas cells, columns
+    sorted by name, rows sorted."""
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(tuple(str(v) for v in row) for row in pdf.itertuples(index=False))
+
+
 def compare_spec(spec, spark, duck_con, sf_dir: str) -> list[str]:
     """Run one QuerySpec on Spark and DuckDB; return a list of problems
     (empty = match). For oracle-less specs only checks the build runs."""
@@ -50,6 +66,13 @@ def compare_spec(spec, spark, duck_con, sf_dir: str) -> list[str]:
         if sk != ok:
             diff = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
             problems.append(f"values differ; first diffs: {diff}")
+    if not problems:
+        # replicate the driver's pandas-stringify hash exactly
+        spk = pandas_rows_key(sdf.toPandas())
+        opk = pandas_rows_key(duck_con.execute(spec.oracle).df())
+        if spk != opk:
+            diff = [(a, b) for a, b in zip(spk, opk) if a != b][:3]
+            problems.append(f"pandas-normalized values differ; first diffs: {diff}")
     return problems
 
 
