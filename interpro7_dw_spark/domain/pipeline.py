@@ -46,7 +46,21 @@ def classify_matches(matches: DataFrame, signatures: DataFrame) -> DataFrame:
     """Join matches to their signature dim; derive class
     (domain/family/region) + database rank + parsed fragments."""
     m = (
-        matches.join(F.broadcast(signatures), "signature_acc")
+        # LEFT join + row-level guard: the reference indexes the dim dict
+        # and raises KeyError on unknown signatures (matches.py:292) —
+        # dim/fact drift must surface, not silently drop matches. The
+        # guard rides the `database` column (used downstream, so never
+        # pruned) and raises JVM-side with zero extra passes.
+        matches.join(F.broadcast(signatures), "signature_acc", "left")
+        .withColumn(
+            "database",
+            F.when(
+                F.col("database").isNull(),
+                F.raise_error(
+                    F.concat(F.lit("unknown signature: "), F.col("signature_acc"))
+                ),
+            ).otherwise(F.col("database")),
+        )
         .withColumn("db_lc", F.lower("database"))
         .withColumn("type_lc", F.lower("type"))
         .withColumn(
@@ -167,7 +181,45 @@ def merge_protein_matches(
             "source_database",
             "type",
             "entry_acc",
-            F.to_json("locations").alias("locations"),
+            # Byte-fidelity JSON (reference matches.py:350-365): keys
+            # fragments/representative/model/score always present (nulls
+            # emitted), fragment status key is hyphenated `dc-status`,
+            # and `subfamily` appears ONLY on PANTHER subfamily rows —
+            # so the array is assembled from per-location to_json calls
+            # (ignoreNullFields=false) rather than one array-level
+            # to_json, which couldn't drop the key conditionally.
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        """
+                        transform(locations, loc ->
+                          CASE WHEN loc.subfamily IS NULL THEN
+                            to_json(struct(
+                              transform(loc.fragments, f -> struct(
+                                f.start AS start, f.end AS end,
+                                f.dc_status AS `dc-status`)) AS fragments,
+                              loc.representative AS representative,
+                              loc.model AS model,
+                              loc.score AS score),
+                              map('ignoreNullFields', 'false'))
+                          ELSE
+                            to_json(struct(
+                              transform(loc.fragments, f -> struct(
+                                f.start AS start, f.end AS end,
+                                f.dc_status AS `dc-status`)) AS fragments,
+                              loc.representative AS representative,
+                              loc.model AS model,
+                              loc.score AS score,
+                              loc.subfamily AS subfamily),
+                              map('ignoreNullFields', 'false'))
+                          END)
+                        """
+                    ),
+                ),
+                F.lit("]"),
+            ).alias("locations"),
         )
     )
 
@@ -182,17 +234,21 @@ def merge_protein_matches(
             F.lit("INTERPRO").alias("source_database"),
             F.col("etype").alias("type"),
             "entry_acc",
+            # null model/score keys are always present in the reference
+            # output (matches.py:377-391) -> ignoreNullFields=false; the
+            # status key is hyphenated `dc-status`.
             F.to_json(
                 F.expr(
                     """
                     transform(condensed, c ->
                       struct(array(struct(c.start AS start, c.end AS end,
-                                          'CONTINUOUS' AS dc_status)) AS fragments,
+                                          'CONTINUOUS' AS `dc-status`)) AS fragments,
                              false AS representative,
                              CAST(NULL AS string) AS model,
                              CAST(NULL AS double) AS score))
                     """
-                )
+                ),
+                {"ignoreNullFields": "false"},
             ).alias("locations"),
         )
     )

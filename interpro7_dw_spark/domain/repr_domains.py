@@ -123,7 +123,10 @@ def _make_repr_udf():
                 "residues": ivs,
                 "size": ilen(ivs),
             })
-        doms.sort(key=lambda d: (d["first_start"], d["last_end"]))
+        # domain_id tiebreak: collect_list order is nondeterministic,
+        # so exact (start, end) ties must not fall back to input order
+        # or the representative flag could flip between runs
+        doms.sort(key=lambda d: (d["first_start"], d["last_end"], d["domain_id"]))
 
         # chain-group overlapping domains
         groups = []
@@ -145,7 +148,7 @@ def _make_repr_udf():
             if len(g) == 1:
                 rep_ids.append(g[0]["domain_id"])
                 continue
-            candidates = sorted(g, key=lambda d: (-d["size"], d["rank"]))
+            candidates = sorted(g, key=lambda d: (-d["size"], d["rank"], d["domain_id"]))
             candidates = candidates[:max_per_group]
             rep_ids.extend(candidates[i]["domain_id"] for i in best_subset(candidates))
         return rep_ids

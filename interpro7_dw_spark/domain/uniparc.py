@@ -90,12 +90,23 @@ def merge_uniparc_matches(
         )
     )
 
+    # The reference POPs the sites dict (uniparc.py:364-378): only the
+    # FIRST match with a given signature — and within it the first
+    # location with a given (start, end) — receives the sites; later
+    # duplicates get []. Replicate by ranking candidate rows per
+    # (upi, signature, start, end) and attaching sites to rank 1 only.
+    pop_w = Window.partitionBy("upi", "signature_acc", "seq_start", "seq_end").orderBy(
+        "analysis_id", "match_key", "hmm_start", "hmm_end"
+    )
+    m = m.withColumn("__site_rank", F.row_number().over(pop_w))
+
     located = m.join(
         site_groups,
         (m["upi"] == site_groups["upi"])
         & (m["signature_acc"] == site_groups["signature_acc"])
         & (m["seq_start"] == site_groups["loc_start"])
-        & (m["seq_end"] == site_groups["loc_end"]),
+        & (m["seq_end"] == site_groups["loc_end"])
+        & (m["__site_rank"] == F.lit(1)),
         "left",
     ).select(
         m["*"],

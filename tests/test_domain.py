@@ -176,23 +176,35 @@ def test_merge_protein_matches_end_to_end(spark):
     cd1 = json.loads(rows[("P1", "CD00001")]["locations"])
     assert cd1[0]["representative"] is False
 
+    # reference byte fidelity: subfamily key ABSENT off PANTHER rows,
+    # null score key PRESENT (matches.py:350-365)
+    assert "subfamily" not in pf1[0]
+    assert set(pf1[0]) == {"fragments", "representative", "model", "score"}
+
     # PANTHER subfamily attached from the model accession
     pthr = json.loads(rows[("P1", "PTHR10000")]["locations"])
     assert pthr[0]["subfamily"] == {"accession": "PTHR10000:SF5", "name": "Sub Y"}
     assert pthr[0]["model"] == "PTHR10000:SF5"
+    assert "score" in pthr[0] and pthr[0]["score"] is None
 
     # entry row for P1: [1,120] and [200,300] don't overlap -> 2 spans
     ipr = rows[("P1", "IPR000001")]
     assert ipr["source_database"] == "INTERPRO"
+    ipr_locs = json.loads(ipr["locations"])
     spans = [
         (loc["fragments"][0]["start"], loc["fragments"][0]["end"])
-        for loc in json.loads(ipr["locations"])
+        for loc in ipr_locs
     ]
     assert spans == [(1, 120), (200, 300)]
+    # entry rows always emit the explicit null model/score keys and the
+    # hyphenated dc-status (matches.py:377-391)
+    assert ipr_locs[0]["model"] is None and ipr_locs[0]["score"] is None
+    assert set(ipr_locs[0]) == {"fragments", "representative", "model", "score"}
+    assert ipr_locs[0]["fragments"][0]["dc-status"] == "CONTINUOUS"
 
     # P2: fragment string parsed and sorted; region never representative
     p2 = json.loads(rows[("P2", "PF00001")]["locations"])
-    assert [(f["start"], f["end"], f["dc_status"]) for f in p2[0]["fragments"]] == [
+    assert [(f["start"], f["end"], f["dc-status"]) for f in p2[0]["fragments"]] == [
         (10, 40, "CONTINUOUS"),
         (60, 90, "C_TERMINAL_DISC"),
     ]
@@ -202,6 +214,29 @@ def test_merge_protein_matches_end_to_end(spark):
     # entry condensation for P2: single signature location [10,90]
     p2e = json.loads(rows[("P2", "IPR000001")]["locations"])
     assert (p2e[0]["fragments"][0]["start"], p2e[0]["fragments"][0]["end"]) == (10, 90)
+
+
+def test_classify_unknown_signature_raises(spark):
+    # reference raises KeyError on dim/fact drift (matches.py:292);
+    # a silent inner-join drop would hide it
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    matches, signatures, _ = _fixture(spark)
+    extra = spark.createDataFrame(
+        [("P9", "PFXXXXX", None, 1, 10, None, 1.0)], matches.schema
+    )
+    with pytest.raises(Exception) as exc:
+        classify_matches(matches.unionByName(extra), signatures).collect()
+    assert "unknown signature" in str(exc.value)
+
+
+def test_repr_exact_tie_is_deterministic(spark):
+    # two identical conflicting domains, same rank: include-first DFS
+    # after the domain_id tiebreak must always pick the lower id
+    for _ in range(3):
+        got = _repr(spark, [("P1", 2, 0, [(1, 100)]), ("P1", 1, 0, [(1, 100)])])
+        assert got == {1: True, 2: False}
 
 
 def test_toad_reassembly(spark):

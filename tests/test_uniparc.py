@@ -94,6 +94,22 @@ def test_sites_attach_on_composite_key(spark):
     assert loc2["sites"] == []
 
 
+def test_sites_pop_only_first_duplicate_location(spark):
+    # reference pops the sites dict (uniparc.py:364-378): two matches
+    # sharing (upi, signature, start, end) -> only the first (by
+    # analysis_id, match_key order) carries the sites, the other gets []
+    got = _run(
+        spark,
+        [_m(4, "UPI1", "PF1", 10, 90, seq_score=1.0, seq_evalue=1e-3),
+         _m(5, "UPI1", "PF1", 10, 90, seq_score=1.0, seq_evalue=1e-3)],
+        site_rows=[("UPI1", "PF1", 10, 90, "C", 42, 42, "catalytic site")],
+    )
+    first = got[("UPI1", 4, "PF1")]["locations"][0]
+    second = got[("UPI1", 5, "PF1")]["locations"][0]
+    assert first["sites"][0]["numLocations"] == 1
+    assert second["sites"] == []
+
+
 def test_hmm_bounds_and_fragments(spark):
     got = _run(spark, [
         _m(4, "UPI1", "PF2", 5, 80, seq_score=1.0, seq_evalue=1e-3,
