@@ -51,9 +51,40 @@ def shingles(
     ).distinct()
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def drop_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Stop-shingle guard: drop shingles appearing in more than
+    ``max_doc_freq`` documents.
+
+    The inverted-index join's candidate count is sum over shingles of
+    df^2 — one universal shingle makes it quadratic in corpus size. A
+    document-frequency cap bounds each shingle's contribution to
+    ``max_doc_freq^2``, keeping candidates near-linear. Dropped
+    shingles leave BOTH the index and the size denominators, so the
+    result is exact Jaccard over the non-stop shingle sets (the
+    standard stop-shingle semantics; at 100 TB a cap like 10_000 is
+    mandatory, and the df relation is a cheap broadcast-sized filter).
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs by shingle Jaccard similarity, via the
-    inverted-index self-join (only docs sharing >=1 shingle pair up)."""
+    inverted-index self-join (only docs sharing >=1 shingle pair up).
+
+    ``max_doc_freq`` enables the stop-shingle guard (see
+    :func:`drop_hot_shingles`); None keeps exact full-set Jaccard —
+    fine at test scale, required off-state for the DuckDB oracle.
+    """
+    if max_doc_freq is not None:
+        sh = drop_hot_shingles(sh, max_doc_freq)
     # the shingle relation feeds three plan branches (sizes + both join
     # sides); persist so the tokenize/explode/distinct subtree runs once
     # (at cluster scale: checkpoint to parquet instead)
@@ -77,7 +108,10 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_bands(
-    sh: DataFrame, num_hashes: int = 16, band_size: int = 4
+    sh: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash signature split into LSH bands.
 
@@ -91,6 +125,8 @@ def minhash_bands(
     unpivot with stack() — a single shuffle end to end.
     """
     assert num_hashes % band_size == 0
+    if max_doc_freq is not None:
+        sh = drop_hot_shingles(sh, max_doc_freq)
     min_cols = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")).cast("binary"))
@@ -165,20 +201,50 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     )
 
 
-def simhash_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance.
+def simhash_pairs(sh: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, via the
+    pigeonhole segment join (never an all-pairs cross product).
 
-    Note: plain self-join here — fine for modest corpora. At 100 TB use
-    the standard trick: split the fingerprint into (max_hamming+1)
-    segments; equal fingerprints within distance d must share one exact
-    segment, so join on segment buckets first (pigeonhole), then verify.
+    Split the ``bits``-wide fingerprint into ``max_hamming + 1``
+    segments: two fingerprints within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` bits, so at least one segment is
+    bit-identical (pigeonhole). Candidate generation is therefore an
+    equi-join on (segment index, segment value); ``bit_count`` verifies
+    the exact distance afterwards. A (da, db) pair agreeing on several
+    segments appears once per agreeing segment — deduped by distinct.
+
+    Bucket cardinality scales with 2^segment_width: at the default
+    16-bit/4-segment shape that is 16 values per segment — fine for
+    test corpora, but at 100 TB use a 64-bit fingerprint so each of
+    the 4 segments carries 16 bits (65k buckets, AQE-splittable).
     """
+    n_seg = max_hamming + 1
+    seg_w = bits // n_seg
+    assert seg_w > 0, "fingerprint too narrow for max_hamming"
     sh = sh.persist()  # self-join: compute fingerprints once
-    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    # last segment absorbs the remainder bits; mask derives per row
+    # from the seg index so one explode covers uneven splits too
+    segs = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "seg",
+        F.expr(
+            f"shiftright(simhash, seg * {seg_w}) & "
+            f"CASE WHEN seg < {n_seg - 1} THEN {(1 << seg_w) - 1} "
+            f"ELSE {(1 << (bits - seg_w * (n_seg - 1))) - 1} END"
+        ).alias("seg_val"),
+    )
+    a = segs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "seg", "seg_val")
+    b = segs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "seg", "seg_val")
     return (
-        a.join(b, F.col("da") < F.col("db"))
+        a.join(b, ["seg", "seg_val"])
+        .filter(F.col("da") < F.col("db"))
         .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("da", "db", "hamming")
+        .distinct()
     )

@@ -102,6 +102,67 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert {(r["da"], r["db"], r["hamming"]) for r in pairs} >= {(1, 2, 0)}
 
 
+def test_simhash_pigeonhole_no_cartesian(spark):
+    # pigeonhole segment equi-join: the plan must never fall back to a
+    # cross product, and max_hamming > 0 must still find near pairs
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs_df = simhash_pairs(simhash(docs), max_hamming=3)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["da"], r["db"]) for r in pairs_df.collect()}
+    assert (0, 2) in got  # identical docs always within any distance
+
+
+def test_simhash_pigeonhole_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(8))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    fp = simhash(docs).persist()
+    got = {
+        (r["da"], r["db"], r["hamming"])
+        for r in simhash_pairs(fp, max_hamming=4).collect()
+    }
+    a = fp.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["da"], r["db"], r["hamming"])
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_hot_shingle_guard_bounds_candidates(spark):
+    from interpro7_dw_spark.operators.dedup import drop_hot_shingles
+
+    # every doc shares the universal shingle "the the the"; without the
+    # guard the inverted index pairs all O(n^2) docs, with it only the
+    # genuine near-dup pair survives
+    n = 40
+    texts = [(i, f"the the the u{i}a u{i}b u{i}c") for i in range(n)]
+    texts[1] = (1, texts[0][1])  # one true duplicate pair
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(docs)
+    capped = drop_hot_shingles(sh, max_doc_freq=5)
+    # the universal shingle is gone; per-doc unique shingles remain
+    assert capped.filter("shingle = 'the the the'").count() == 0
+    pairs = jaccard_pairs(sh, 0.9, max_doc_freq=5).collect()
+    assert {(r["da"], r["db"]) for r in pairs} == {(0, 1)}
+    # candidate generation stayed near-linear: every surviving shingle
+    # has df <= cap, so worst-case candidates <= cap * n_shingles
+    from pyspark.sql import functions as F
+    assert capped.groupBy("shingle").count().agg(F.max("count")).first()[0] <= 5
+
+
 def test_cosine_topk_prefers_aligned_vector(spark):
     emb = spark.createDataFrame(
         [
