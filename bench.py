@@ -24,12 +24,12 @@ HEADLINE = [
     "revenue_by_nation",
     "join_inner_agg",
     "count_distinct_parts",
-    "window_running_revenue",
+    "window_suite",
     "topk_per_segment",
     "sessionize_events",
     "asof_event_attrib",
     "overlap_pairs",
-    "part_pair_cooccurrence",
+    "z_part_pair_cooccurrence",
     "closure_depths",
     "coverage_length",
     "dedup_minhash_lsh",
@@ -39,8 +39,8 @@ HEADLINE = [
     "domorg_fingerprint",
     "lca_per_nation",
     "search_documents",
-    "multimodal_decode",
-    "domain_merge_matches",
+    "z_multimodal_decode",
+    "z_domain_merge_matches",
 ]
 
 

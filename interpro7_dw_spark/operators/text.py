@@ -25,9 +25,15 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Length/diversity quality signals; all integer-derived so the
-    values are engine-exact."""
+    values are engine-exact. ``extra_cols`` append extra column
+    expressions to the same single scan."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -39,6 +45,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.length(text_col).alias("n_chars_actual"),
         F.round((F.length(text_col) - (n_tokens - 1)) / n_tokens, 4).alias("avg_token_len"),
         F.when(n_tokens >= 20, "long").when(n_tokens >= 10, "medium").otherwise("short").alias("len_bucket"),
+        *extra_cols,
     )
 
 

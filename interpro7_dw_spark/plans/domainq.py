@@ -72,7 +72,7 @@ def synth_entries(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="domain_merge_matches",
+    name="z_domain_merge_matches",
     tags=("X1", "G5", "W3", "F1", "J2"),
     description="Full InterPro match-merge pipeline (classify -> repr "
     "selection -> signature grouping -> entry condensation) on synthesized "

@@ -162,7 +162,7 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="part_pair_cooccurrence",
+    name="z_part_pair_cooccurrence",
     tags=("G6", "G7", "J8"),
     description="Canonicalized co-occurrence edge list with min-support filter.",
     build=_part_pairs,

@@ -146,7 +146,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="embedding_lsh_topk",
+    name="z_embedding_lsh_topk",
     tags=("NN2", "F9"),
     description="ANN top-5 via random-hyperplane LSH buckets (approximate; "
     "rows-only check — the bucketing is the point, not SQL parity).",
@@ -157,12 +157,21 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="text_quality",
-    tags=("TX1", "F6", "F9"),
-    description="Quality features: token counts, type-token ratio, length "
-    "buckets — all integer-derived, engine-exact.",
-    build=lambda spark, sf: X.quality_features(t(spark, sf, "documents")),
-    oracle="""
+    name="text_metrics",
+    tags=("TX1", "TX3", "F6", "F9", "A2"),
+    description="Per-document text metrics in one scan: quality features "
+    "(token counts, type-token ratio, length buckets — all integer-derived, "
+    "engine-exact) plus the BPE-ish sub-word token count and source column "
+    "(the per-source totals of the former token_stats query are plain sums "
+    "of these per-doc rows, so this check is strictly stronger).",
+    build=lambda spark, sf: X.quality_features(
+        t(spark, sf, "documents"),
+        extra_cols=(
+            F.col("source"),
+            X.bpe_ish_token_count().alias("bpe_tokens"),
+        ),
+    ),
+    oracle=r"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
@@ -173,7 +182,9 @@ register(QuerySpec(
                      len(string_split(text, ' ')), 4) AS avg_token_len,
                CASE WHEN len(string_split(text, ' ')) >= 20 THEN 'long'
                     WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
-                    ELSE 'short' END AS len_bucket
+                    ELSE 'short' END AS len_bucket,
+               source,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         FROM documents
     """,
 ))
@@ -210,33 +221,6 @@ register(QuerySpec(
           FROM scored
         )
         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
-    """,
-))
-
-register(QuerySpec(
-    name="token_stats",
-    tags=("TX3", "A2"),
-    description="Whitespace + BPE-ish regex token accounting per source.",
-    build=lambda spark, sf: (
-        t(spark, sf, "documents")
-        .select(
-            "source",
-            X.token_count(t(spark, sf, "documents")).alias("ws_tokens"),
-            X.bpe_ish_token_count().alias("bpe_tokens"),
-        )
-        .groupBy("source")
-        .agg(
-            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
-            F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
-            F.count("*").alias("n_docs"),
-        )
-    ),
-    oracle=r"""
-        SELECT source,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
-               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
-               count(*) AS n_docs
-        FROM documents GROUP BY source
     """,
 ))
 
@@ -295,7 +279,7 @@ def _multimodal_decode(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="multimodal_decode",
+    name="z_multimodal_decode",
     tags=("MM2", "X2"),
     description="Multimodal decode plumbing at scale: binary payload column "
     "-> Arrow mapInPandas decode (deterministic stub kernel) -> typed "

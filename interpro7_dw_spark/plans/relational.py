@@ -23,47 +23,31 @@ from .spec import QuerySpec, dbl, dec, register, t
 
 register(QuerySpec(
     name="scan_filter_project",
-    tags=("S1", "P1", "P2"),
-    description="Pushed-down predicate + column-pruned scan with a row-level "
-    "computed column (reference Oracle select lists, interpro/oracle/proteins.py:14-22).",
-    build=lambda spark, sf: (
-        t(spark, sf, "lineitem")
-        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30))
-        .select(
-            "l_orderkey",
-            "l_partkey",
-            "l_linenumber",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        )
-    ),
-    oracle="""
-        SELECT l_orderkey, l_partkey, l_linenumber,
-               l_extendedprice * (1 - l_discount) AS net_price
-        FROM lineitem
-        WHERE l_returnflag = 'R' AND l_quantity >= 30
-    """,
-))
-
-register(QuerySpec(
-    name="regex_filter_extract",
-    tags=("P3", "F7"),
-    description="Regex predicate + extraction/replacement (reference EC-number "
-    "and PANTHER-subfamily regexes, uniprot/proteins.py:253, interpro/oracle/matches.py:321).",
+    tags=("S1", "P1", "P2", "P3", "F7"),
+    description="Pushed-down plain predicate + regex predicate + column-pruned "
+    "scan with computed, regex-extracted and regex-replaced columns (reference "
+    "Oracle select lists, interpro/oracle/proteins.py:14-22; EC-number and "
+    "PANTHER-subfamily regexes, uniprot/proteins.py:253, "
+    "interpro/oracle/matches.py:321). The equality predicate reaches the "
+    "parquet scan as a pushed filter; the regex evaluates post-scan.",
     build=lambda spark, sf: (
         t(spark, sf, "part")
-        .filter(F.col("p_name").rlike("widget$"))
+        .filter((F.col("p_size") >= 10) & F.col("p_name").rlike("widget$"))
         .select(
             "p_partkey",
+            "p_size",
             F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("adjective"),
             F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("slug"),
+            (F.col("p_retailprice") * 1.1).alias("marked_up"),
         )
     ),
     oracle=r"""
-        SELECT p_partkey,
+        SELECT p_partkey, p_size,
                regexp_extract(p_name, '^(\w+)', 1) AS adjective,
-               regexp_replace(p_name, '\s+', '_', 'g') AS slug
+               regexp_replace(p_name, '\s+', '_', 'g') AS slug,
+               p_retailprice * 1.1 AS marked_up
         FROM part
-        WHERE regexp_matches(p_name, 'widget$')
+        WHERE p_size >= 10 AND regexp_matches(p_name, 'widget$')
     """,
 ))
 
@@ -234,7 +218,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="global_stats",
+    name="z_global_stats",
     tags=("A13",),
     description="Release-note-style global statistics in one pass "
     "(reference interpro/mysql/databases.py:126-312).",
@@ -316,7 +300,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="join_broadcast_dim",
+    name="z_join_broadcast_dim",
     tags=("J2", "A1"),
     description="Broadcast hash join against a small dimension (reference "
     "per-worker pickle dims, interpro/xrefs/clans.py:102-114).",
@@ -394,36 +378,36 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="join_semi",
-    tags=("J4", "P5"),
-    description="Left-semi existence filter (reference 'if acc not in entries: "
-    "continue', interpro/oracle/entries.py:197-199).",
+    name="join_semi_anti",
+    tags=("J4", "J5", "P5"),
+    description="Left-semi existence filter and left-anti negative lookup, "
+    "tagged and unioned (reference 'if acc not in entries: continue', "
+    "interpro/oracle/entries.py:197-199; retired-entries NOT IN, "
+    "interpro/oracle/entries.py:516-520).",
     build=lambda spark, sf: (
-        t(spark, sf, "customer").join(
+        t(spark, sf, "customer")
+        .join(
             t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_semi",
-        ).select("c_custkey", "c_name")
+        )
+        .select(F.lit("has_big_order").alias("tag"), "c_custkey", "c_name")
+        .unionByName(
+            t(spark, sf, "customer")
+            .join(
+                t(spark, sf, "orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .select(F.lit("no_orders").alias("tag"), "c_custkey", "c_name")
+        )
     ),
     oracle="""
-        SELECT c_custkey, c_name FROM customer
+        SELECT 'has_big_order' AS tag, c_custkey, c_name FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-    """,
-))
-
-register(QuerySpec(
-    name="join_anti",
-    tags=("J5",),
-    description="Left-anti negative lookup (reference retired-entries NOT IN, "
-    "interpro/oracle/entries.py:516-520).",
-    build=lambda spark, sf: (
-        t(spark, sf, "customer").join(
-            t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-        ).select("c_custkey", "c_name", "c_mktsegment")
-    ),
-    oracle="""
-        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'no_orders' AS tag, c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 ))
@@ -596,102 +580,56 @@ register(QuerySpec(
 _first_order_w = lambda: W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
 
 register(QuerySpec(
-    name="window_first_order",
-    tags=("W1", "A12"),
-    description="row_number()=1 first-version pick (reference first audit row "
-    "per entry, interpro/oracle/entries.py:96-110).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(_first_order_w()))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("first_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"),
-        )
-    ),
-    oracle="""
-        SELECT o_custkey, o_orderkey AS first_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS first_date
-        FROM orders
-        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
-    """,
-))
-
-register(QuerySpec(
-    name="window_last_before",
-    tags=("W2",),
-    description="Latest row per group before a cutoff (reference latest name "
-    "<= freeze date per (entry, release), interpro/oracle/entries.py:326-347).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .filter(F.col("o_orderdate") < "1998-01-01")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_totalprice").alias("last_price"),
-        )
-    ),
-    oracle="""
-        SELECT o_custkey, o_orderkey AS last_orderkey,
-               o_totalprice AS last_price
-        FROM orders
-        WHERE o_orderdate < TIMESTAMP '1998-01-01'
-        QUALIFY row_number() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
-    """,
-))
-
-register(QuerySpec(
-    name="window_running_revenue",
-    tags=("W1",),
-    description="Running total per key (frame-spec window; decimal-exact).",
+    name="window_suite",
+    tags=("W1", "W2", "W4", "A12"),
+    description="The full §2.5 window family in ONE ordered pass over orders: "
+    "row_number first-version pick (reference first audit row per entry, "
+    "interpro/oracle/entries.py:96-110), first_value, lag delta, running "
+    "decimal-exact sum (W4 recurrence), and last-row-before-cutoff per key "
+    "(reference latest name <= freeze date, interpro/oracle/entries.py:326-347) "
+    "as a conditional partition max over a chronologically-sortable key. One "
+    "shuffle on o_custkey serves every column — the point of the suite.",
     build=lambda spark, sf: (
         t(spark, sf, "orders").select(
             "o_custkey",
             "o_orderkey",
+            F.row_number().over(_first_order_w()).alias("rn"),
+            F.first("o_orderkey").over(_first_order_w()).alias("first_orderkey"),
             F.sum(dec("o_totalprice"))
             .over(_first_order_w().rowsBetween(W.unboundedPreceding, W.currentRow))
             .cast("double")
             .alias("running_spend"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(_first_order_w()), 4
+            ).alias("price_delta"),
+            F.max(
+                F.when(
+                    F.col("o_orderdate") < "1998-01-01",
+                    F.concat_ws(
+                        ":",
+                        F.date_format("o_orderdate", "yyyy-MM-dd"),
+                        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                    ),
+                )
+            )
+            .over(W.partitionBy("o_custkey"))
+            .alias("last_before_key"),
         )
     ),
     oracle="""
         SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               first_value(o_orderkey) OVER w AS first_orderkey,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               round(o_totalprice - lag(o_totalprice) OVER w, 4) AS price_delta,
+               max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN strftime(o_orderdate, '%Y-%m-%d') || ':' ||
+                             lpad(CAST(o_orderkey AS VARCHAR), 12, '0') END)
+                 OVER (PARTITION BY o_custkey) AS last_before_key
         FROM orders
-    """,
-))
-
-register(QuerySpec(
-    name="window_lag_delta",
-    tags=("W3",),
-    description="lag()-based per-key delta (building block of the reference's "
-    "interval condensation, interpro/oracle/matches.py:60-103).",
-    build=lambda spark, sf: (
-        t(spark, sf, "events").select(
-            "event_id",
-            "user_id",
-            F.round(
-                F.col("value")
-                - F.lag("value").over(W.partitionBy("user_id").orderBy("ts", "event_id")),
-                4,
-            ).alias("delta"),
-        )
-    ),
-    oracle="""
-        SELECT event_id, user_id,
-               round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
-        FROM events
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 ))
 
@@ -784,7 +722,7 @@ register(QuerySpec(
 # --------------------------------------------------------------------------
 
 register(QuerySpec(
-    name="order_limit_top10",
+    name="z_order_limit_top10",
     tags=("O4", "O1"),
     description="Global top-N with deterministic tiebreak (reference LIMIT 1 "
     "latest release note, interpro/ftp/relnotes.py:18-26).",
@@ -827,76 +765,42 @@ register(QuerySpec(
 # Set operations
 # --------------------------------------------------------------------------
 
-register(QuerySpec(
-    name="union_tagged",
-    tags=("U1",),
-    description="UNION ALL of heterogeneous subsets with provenance tag "
-    "(reference matches UNION ALL feature-matches, interpro/oracle/matches.py:249-257).",
-    build=lambda spark, sf: (
+def _custkeys_of_year(spark, sf, year: int):
+    return (
         t(spark, sf, "orders")
-        .filter(F.col("o_totalprice") >= 150000)
-        .select(F.lit("high").alias("bucket"), "o_orderkey", dec("o_totalprice").alias("price"))
+        .filter(F.year("o_orderdate") == year)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+register(QuerySpec(
+    name="except_intersect_customers",
+    tags=("U2", "U3", "J5"),
+    description="Distinct set difference AND intersection, provenance-tagged in "
+    "one result (reference ES leftover anti-sets, interpro/elastic/export.py:"
+    "225-284; overlap = a & b set math, interpro/oracle/matches.py:165-167).",
+    build=lambda spark, sf: (
+        _custkeys_of_year(spark, sf, 1995)
+        .subtract(_custkeys_of_year(spark, sf, 1996))
+        .withColumn("tag", F.lit("only_1995"))
         .unionByName(
-            t(spark, sf, "orders")
-            .filter(F.col("o_totalprice") < 50000)
-            .select(F.lit("low").alias("bucket"), "o_orderkey", dec("o_totalprice").alias("price"))
-        )
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"), dbl(F.sum("price")).alias("total"))
-    ),
-    oracle="""
-        WITH u AS (
-          SELECT 'high' AS bucket, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
-          FROM orders WHERE o_totalprice >= 150000
-          UNION ALL
-          SELECT 'low' AS bucket, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
-          FROM orders WHERE o_totalprice < 50000
-        )
-        SELECT bucket, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total FROM u GROUP BY bucket
-    """,
-))
-
-register(QuerySpec(
-    name="except_customers",
-    tags=("U2", "J5"),
-    description="Distinct set difference (reference ES leftover anti-sets, "
-    "interpro/elastic/export.py:225-284).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .select(F.col("o_custkey").alias("custkey"))
-        .subtract(
-            t(spark, sf, "orders")
-            .filter(F.year("o_orderdate") == 1996)
-            .select(F.col("o_custkey").alias("custkey"))
+            _custkeys_of_year(spark, sf, 1995)
+            .intersect(_custkeys_of_year(spark, sf, 1996))
+            .withColumn("tag", F.lit("both_years"))
         )
     ),
     oracle="""
-        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
-        EXCEPT
-        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
-    """,
-))
-
-register(QuerySpec(
-    name="intersect_customers",
-    tags=("U3",),
-    description="Distinct set intersection (reference overlap = a & b set math, "
-    "interpro/oracle/matches.py:165-167).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .select(F.col("o_custkey").alias("custkey"))
-        .intersect(
-            t(spark, sf, "orders")
-            .filter(F.year("o_orderdate") == 1996)
-            .select(F.col("o_custkey").alias("custkey"))
+        SELECT custkey, 'only_1995' AS tag FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+          EXCEPT
+          SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
         )
-    ),
-    oracle="""
-        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
-        INTERSECT
-        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        UNION ALL
+        SELECT custkey, 'both_years' AS tag FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        )
     """,
 ))
 
@@ -905,48 +809,47 @@ register(QuerySpec(
 # --------------------------------------------------------------------------
 
 register(QuerySpec(
-    name="string_funcs",
-    tags=("F5", "F6", "F13"),
-    description="lower/trim/substring/concat_ws projection (reference "
-    "LOWER(DBSHORT)/TRIM(NAME), interpro/oracle/entries.py:65-67,307-313).",
+    name="scalar_funcs",
+    tags=("F5", "F6", "F9", "F13", "A2"),
+    description="String, datetime and CASE scalar functions in one per-order "
+    "projection over a broadcast customer join: lower/trim/substring/concat_ws "
+    "(reference LOWER(DBSHORT)/TRIM(NAME), interpro/oracle/entries.py:65-67,"
+    "307-313), date formatting/extraction (reference TO_CHAR(ts,'YYYY-MM-DD'), "
+    "interpro/oracle/proteins.py:18), and CASE bucketing (reference per-library "
+    "dispatch shape, interpro/lookup.py:151-202).",
     build=lambda spark, sf: (
-        t(spark, sf, "customer").select(
-            "c_custkey",
+        t(spark, sf, "orders")
+        .join(
+            F.broadcast(t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
             F.lower("c_name").alias("name_lc"),
             F.substring("c_name", 1, 8).alias("name_prefix"),
             F.concat_ws("|", F.trim(F.col("c_name")), F.col("c_mktsegment")).alias("tagline"),
             F.length("c_name").alias("name_len"),
-        )
-    ),
-    oracle="""
-        SELECT c_custkey,
-               lower(c_name) AS name_lc,
-               substring(c_name, 1, 8) AS name_prefix,
-               concat_ws('|', trim(c_name), c_mktsegment) AS tagline,
-               length(c_name) AS name_len
-        FROM customer
-    """,
-))
-
-register(QuerySpec(
-    name="datetime_funcs",
-    tags=("F5",),
-    description="Date formatting/extraction (reference TO_CHAR(ts,'YYYY-MM-DD'), "
-    "interpro/oracle/proteins.py:18).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .select(
             F.year("o_orderdate").alias("yr"),
             F.quarter("o_orderdate").alias("qtr"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.when(F.col("o_totalprice") < 50000, "small")
+            .when(F.col("o_totalprice") < 150000, "medium")
+            .otherwise("large")
+            .alias("bucket"),
         )
-        .groupBy("yr", "qtr", "ym")
-        .agg(F.count("*").alias("n_orders"))
     ),
     oracle="""
-        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-               strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders
-        FROM orders GROUP BY 1, 2, 3
+        SELECT o_orderkey,
+               lower(c_name) AS name_lc,
+               substring(c_name, 1, 8) AS name_prefix,
+               concat_ws('|', trim(c_name), c_mktsegment) AS tagline,
+               length(c_name) AS name_len,
+               year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket
+        FROM orders JOIN customer ON o_custkey = c_custkey
     """,
 ))
 
@@ -978,7 +881,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="hash_partition_key",
+    name="z_hash_partition_key",
     tags=("F3",),
     description="Deterministic hash + prefix partition key (reference md5 "
     "3-hex-char lookup partitioning, interpro/oracle/lookup.py:194,347-358).",
@@ -994,27 +897,3 @@ register(QuerySpec(
     """,
 ))
 
-register(QuerySpec(
-    name="case_bucket",
-    tags=("F9", "A2"),
-    description="CASE-based bucketing (reference per-library match formatting "
-    "17-way dispatch, interpro/lookup.py:151-202).",
-    build=lambda spark, sf: (
-        t(spark, sf, "orders")
-        .select(
-            F.when(F.col("o_totalprice") < 50000, "small")
-            .when(F.col("o_totalprice") < 150000, "medium")
-            .otherwise("large")
-            .alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-    ),
-    oracle="""
-        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                    WHEN o_totalprice < 150000 THEN 'medium'
-                    ELSE 'large' END AS bucket,
-               count(*) AS n
-        FROM orders GROUP BY 1
-    """,
-))

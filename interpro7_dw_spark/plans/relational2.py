@@ -75,9 +75,11 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="unpivot_stack",
-    tags=("A8", "F11"),
-    description="Unpivot wide->long via stack().",
+    name="union_unpivot",
+    tags=("U1", "A8", "F11"),
+    description="Unpivot wide->long via stack(), then UNION ALL with a second "
+    "source under a provenance tag (reference matches UNION ALL "
+    "feature-matches, interpro/oracle/matches.py:249-257).",
     build=lambda spark, sf: (
         t(spark, sf, "orders")
         .groupBy(F.year("o_orderdate").alias("yr"))
@@ -89,18 +91,33 @@ register(QuerySpec(
         )
         .selectExpr(
             "yr",
-            "stack(3, 'F', n_F, 'O', n_O, 'P', n_P) AS (status, n)",
+            "stack(3, 'F', n_F, 'O', n_O, 'P', n_P) AS (key, n)",
         )
         .filter(F.col("n") > 0)
+        .select(F.lit("order_status").alias("src"), "yr", "key", "n")
+        .unionByName(
+            t(spark, sf, "lineitem")
+            .groupBy(
+                F.year("l_shipdate").alias("yr"),
+                F.col("l_returnflag").alias("key"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("return_flag").alias("src"), "yr", "key", "n")
+        )
     ),
     oracle="""
-        SELECT year(o_orderdate) AS yr, o_orderstatus AS status, count(*) AS n
-        FROM orders GROUP BY 1, 2
+        SELECT 'order_status' AS src, year(o_orderdate) AS yr,
+               o_orderstatus AS key, count(*) AS n
+        FROM orders GROUP BY 2, 3
+        UNION ALL
+        SELECT 'return_flag' AS src, year(l_shipdate) AS yr,
+               l_returnflag AS key, count(*) AS n
+        FROM lineitem GROUP BY 2, 3
     """,
 ))
 
 register(QuerySpec(
-    name="nested_map_render",
+    name="z_nested_map_render",
     tags=("A8", "F11", "F13"),
     description="Nested map-of-counts accumulator rendered canonically "
     "(reference {db: {count, entries:{...}}} dicts, interpro/xrefs/taxa.py:12-22; "

@@ -51,8 +51,9 @@ def test_no_cartesian_products_anywhere(spark):
     # else must plan without BroadcastNestedLoopJoin/CartesianProduct
     offenders = []
     for name, spec in sorted(SPECS.items()):
-        if name in ("cross_denorm", "dedup_simhash", "embedding_topk", "embedding_lsh_topk"):
-            # simhash/topk use deliberate bounded theta joins
+        if name in ("cross_denorm", "embedding_topk", "z_embedding_lsh_topk"):
+            # topk variants use deliberate bounded theta joins; simhash
+            # is now a pigeonhole equi-join and must pass this check
             continue
         if name.startswith("stream_"):
             continue  # streaming plans are inspected differently
