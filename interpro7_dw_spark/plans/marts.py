@@ -1,0 +1,469 @@
+"""Xrefs-mart catalog entries: the four per-entity cross-reference
+marts (reference interpro/xrefs/{taxa,proteomes,structures,clans}.py)
+plus the entry mart, run over bio-shaped relations synthesized
+deterministically from the star schema — same pattern as domainq.py —
+so the REAL mart compositions in domain/marts.py are exercised under
+the hard differential gate.
+
+Shared synthesis (modular arithmetic on keys, identical in the DuckDB
+CTEs):
+  protein  = customer   (protein_acc = c_custkey, taxon N<c_nationkey>)
+  taxonomy = nation     (lineage: N<key> -> R<regionkey> -> ROOT)
+  match    = orders     (signature SIG<o_orderkey%50>, its database
+                         DB<sig%4> — a signature belongs to one db)
+  proteome = c_mktsegment for customers with non-negative balance
+  structure= PDB<o_orderkey%30> chains reached through orders
+  clans    = every third signature -> CL<sig%5>
+  domorgs  = DOM<o_custkey%20> with even signatures as members
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..domain.marts import (
+    clan_xrefs_mart,
+    entry_xrefs_mart,
+    proteome_xrefs_mart,
+    structure_xrefs_mart,
+    taxon_xrefs_mart,
+)
+from .spec import QuerySpec, register, t
+
+
+def _proteins(spark, sf):
+    return t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("N"), F.col("c_nationkey")).alias("tax_id"),
+    )
+
+
+def _taxon_ancestors(spark, sf):
+    n = t(spark, sf, "nation").select(
+        F.concat_ws("", F.lit("N"), F.col("n_nationkey")).alias("tax_id"),
+        F.concat_ws("", F.lit("R"), F.col("n_regionkey")).alias("region_node"),
+    )
+    return n.select(
+        "tax_id",
+        F.explode(F.array(F.col("tax_id"), F.col("region_node"), F.lit("ROOT"))).alias(
+            "ancestor"
+        ),
+    )
+
+
+def _matches(spark, sf):
+    sig_id = F.col("o_orderkey") % 50
+    return t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("SIG"), sig_id).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_id % 4).alias("database"),
+    )
+
+
+def _protein_proteomes(spark, sf):
+    return (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(
+            F.col("c_custkey").cast("string").alias("protein_acc"),
+            F.col("c_mktsegment").alias("proteome_id"),
+        )
+    )
+
+
+def _protein_structures(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").cast("string").alias("protein_acc"),
+            F.concat_ws("", F.lit("PDB"), F.col("o_orderkey") % 30).alias("pdb_id"),
+        )
+        .distinct()
+    )
+
+
+def _pdb_matches(spark, sf):
+    sig_id = F.col("o_orderkey") % 50
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.concat_ws("", F.lit("PDB"), F.col("o_orderkey") % 30).alias("pdb_id"),
+            F.concat_ws("", F.lit("SIG"), sig_id).alias("signature_acc"),
+            F.concat_ws("", F.lit("DB"), sig_id % 4).alias("database"),
+        )
+        .distinct()
+    )
+
+
+def _signature_clans(spark, sf):
+    return (
+        spark.range(50)
+        .filter(F.col("id") % 3 == 0)
+        .select(
+            F.concat_ws("", F.lit("SIG"), F.col("id")).alias("signature_acc"),
+            F.concat_ws("", F.lit("CL"), F.col("id") % 5).alias("clan_acc"),
+        )
+    )
+
+
+def _domorg_members(spark, sf):
+    sig_id = F.col("o_orderkey") % 50
+    return (
+        t(spark, sf, "orders")
+        .filter(sig_id % 2 == 0)
+        .select(
+            F.col("o_custkey").cast("string").alias("protein_acc"),
+            F.concat_ws("", F.lit("SIG"), sig_id).alias("signature_acc"),
+            F.concat_ws("", F.lit("DOM"), F.col("o_custkey") % 20).alias("dom_id"),
+        )
+        .distinct()
+    )
+
+
+# DuckDB-side synthesis CTEs shared by every mart oracle.
+_SYN_CTE = """
+  proteins AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS protein_acc,
+           'N' || c_nationkey AS tax_id
+    FROM customer
+  ),
+  taxon_ancestors AS (
+    SELECT 'N' || n_nationkey AS tax_id, anc.ancestor
+    FROM nation, LATERAL unnest([
+      'N' || n_nationkey, 'R' || n_regionkey, 'ROOT']) AS anc(ancestor)
+  ),
+  matches AS (
+    SELECT CAST(o_custkey AS VARCHAR) AS protein_acc,
+           'SIG' || (o_orderkey % 50) AS signature_acc,
+           'DB' || ((o_orderkey % 50) % 4) AS db
+    FROM orders
+  ),
+  protein_proteomes AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS protein_acc,
+           c_mktsegment AS proteome_id
+    FROM customer WHERE c_acctbal >= 0
+  ),
+  protein_structures AS (
+    SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS protein_acc,
+           'PDB' || (o_orderkey % 30) AS pdb_id
+    FROM orders
+  ),
+  pdb_matches AS (
+    SELECT DISTINCT 'PDB' || (o_orderkey % 30) AS pdb_id,
+           'SIG' || (o_orderkey % 50) AS signature_acc,
+           'DB' || ((o_orderkey % 50) % 4) AS db
+    FROM orders
+  ),
+  signature_clans AS (
+    SELECT 'SIG' || i AS signature_acc, 'CL' || (i % 5) AS clan_acc
+    FROM unnest(generate_series(0, 49)) AS s(i) WHERE i % 3 = 0
+  ),
+  domorg_members AS (
+    SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS protein_acc,
+           'SIG' || (o_orderkey % 50) AS signature_acc,
+           'DOM' || (o_custkey % 20) AS dom_id
+    FROM orders WHERE (o_orderkey % 50) % 2 = 0
+  )
+"""
+
+# {db: {count, entries:{acc: n}}} accumulator rendered canonically,
+# parameterized by the spine relation/key (see _db_nested_counts).
+_DB_JSON_CTE = """
+  acc_counts AS (
+    SELECT {key}, db, signature_acc, count(*) AS n_matches
+    FROM matched GROUP BY 1, 2, 3
+  ),
+  acc_lists AS (
+    SELECT {key}, db,
+           string_agg(signature_acc || '=' || n_matches, ',' ORDER BY signature_acc) AS accs
+    FROM acc_counts GROUP BY 1, 2
+  ),
+  db_protein_counts AS (
+    SELECT {key}, db, count(DISTINCT protein_acc) AS n_prot_db
+    FROM matched GROUP BY 1, 2
+  ),
+  db_json AS (
+    SELECT a.{key},
+           string_agg(a.db || ':' || d.n_prot_db || '[' || a.accs || ']',
+                      ';' ORDER BY a.db) AS db_json
+    FROM acc_lists a
+    JOIN db_protein_counts d ON a.{key} = d.{key} AND a.db = d.db
+    GROUP BY 1
+  )
+"""
+
+
+register(QuerySpec(
+    name="mart_taxon2xrefs",
+    tags=("X5", "A8", "A9", "A13", "G1"),
+    description="taxon2xrefs mart with lineage propagation (reference "
+    "interpro/xrefs/taxa.py:40-229): ancestor-exploded rollup of protein/"
+    "proteome/structure counts plus the per-database nested entry-count map "
+    "rendered canonically.",
+    build=lambda spark, sf: taxon_xrefs_mart(
+        _proteins(spark, sf),
+        _matches(spark, sf),
+        _protein_proteomes(spark, sf),
+        _protein_structures(spark, sf),
+        _taxon_ancestors(spark, sf),
+    ),
+    oracle=f"""
+        WITH {_SYN_CTE},
+        spine AS (
+          SELECT ta.ancestor AS tax_id, p.protein_acc
+          FROM proteins p JOIN taxon_ancestors ta ON p.tax_id = ta.tax_id
+        ),
+        matched AS (
+          SELECT s.tax_id, s.protein_acc, m.signature_acc, m.db
+          FROM spine s JOIN matches m ON s.protein_acc = m.protein_acc
+        ),
+        {_DB_JSON_CTE.format(key="tax_id")},
+        prot AS (SELECT tax_id, count(*) AS n_proteins FROM spine GROUP BY 1),
+        prots_prot AS (
+          SELECT s.tax_id, count(DISTINCT pp.proteome_id) AS n_proteomes
+          FROM spine s JOIN protein_proteomes pp ON s.protein_acc = pp.protein_acc
+          GROUP BY 1
+        ),
+        structs AS (
+          SELECT s.tax_id, count(DISTINCT ps.pdb_id) AS n_structures
+          FROM spine s JOIN protein_structures ps ON s.protein_acc = ps.protein_acc
+          GROUP BY 1
+        )
+        SELECT p.tax_id, p.n_proteins,
+               coalesce(pp.n_proteomes, 0) AS n_proteomes,
+               coalesce(st.n_structures, 0) AS n_structures,
+               coalesce(dj.db_json, '') AS db_json
+        FROM prot p
+        LEFT JOIN prots_prot pp ON p.tax_id = pp.tax_id
+        LEFT JOIN structs st ON p.tax_id = st.tax_id
+        LEFT JOIN db_json dj ON p.tax_id = dj.tax_id
+    """,
+))
+
+
+register(QuerySpec(
+    name="mart_proteome2xrefs",
+    tags=("X5", "A8", "A13"),
+    description="proteome2xrefs mart (reference interpro/xrefs/"
+    "proteomes.py:39-90): per-proteome protein/structure counts and the "
+    "per-database nested entry-count map.",
+    build=lambda spark, sf: proteome_xrefs_mart(
+        _protein_proteomes(spark, sf),
+        _matches(spark, sf),
+        _protein_structures(spark, sf),
+    ),
+    oracle=f"""
+        WITH {_SYN_CTE},
+        spine AS (SELECT proteome_id, protein_acc FROM protein_proteomes),
+        matched AS (
+          SELECT s.proteome_id, s.protein_acc, m.signature_acc, m.db
+          FROM spine s JOIN matches m ON s.protein_acc = m.protein_acc
+        ),
+        {_DB_JSON_CTE.format(key="proteome_id")},
+        prot AS (SELECT proteome_id, count(*) AS n_proteins FROM spine GROUP BY 1),
+        structs AS (
+          SELECT s.proteome_id, count(DISTINCT ps.pdb_id) AS n_structures
+          FROM spine s JOIN protein_structures ps ON s.protein_acc = ps.protein_acc
+          GROUP BY 1
+        )
+        SELECT p.proteome_id, p.n_proteins,
+               coalesce(st.n_structures, 0) AS n_structures,
+               coalesce(dj.db_json, '') AS db_json
+        FROM prot p
+        LEFT JOIN structs st ON p.proteome_id = st.proteome_id
+        LEFT JOIN db_json dj ON p.proteome_id = dj.proteome_id
+    """,
+))
+
+
+register(QuerySpec(
+    name="mart_structure2xrefs",
+    tags=("X5", "A8", "A13", "J2"),
+    description="structure2xrefs mart (reference interpro/xrefs/"
+    "structures.py:40-122): per-PDB entry sets per database, clan ('sets') "
+    "counts through the broadcast member->clan dim, and protein-side "
+    "taxa/proteome/domain-organisation rollups.",
+    build=lambda spark, sf: structure_xrefs_mart(
+        _pdb_matches(spark, sf),
+        _signature_clans(spark, sf),
+        _protein_structures(spark, sf),
+        _proteins(spark, sf),
+        _protein_proteomes(spark, sf),
+        _domorg_members(spark, sf).select("protein_acc", "dom_id").distinct(),
+    ),
+    oracle=f"""
+        WITH {_SYN_CTE},
+        entries AS (
+          SELECT pdb_id, db, count(DISTINCT signature_acc) AS n_accs
+          FROM pdb_matches GROUP BY 1, 2
+        ),
+        entries_j AS (
+          SELECT pdb_id, CAST(sum(n_accs) AS BIGINT) AS n_entries,
+                 string_agg(db || ':' || n_accs, ';' ORDER BY db) AS entries_json
+          FROM entries GROUP BY 1
+        ),
+        clans AS (
+          SELECT pm.pdb_id, count(DISTINCT sc.clan_acc) AS n_sets
+          FROM pdb_matches pm JOIN signature_clans sc USING (signature_acc)
+          GROUP BY 1
+        ),
+        pdm AS (
+          SELECT DISTINCT protein_acc, dom_id FROM domorg_members
+        ),
+        prot_side AS (
+          SELECT ps.pdb_id,
+                 count(DISTINCT ps.protein_acc) AS n_proteins,
+                 count(DISTINCT p.tax_id) AS n_taxa,
+                 count(DISTINCT pp.proteome_id) AS n_proteomes,
+                 count(DISTINCT d.dom_id) AS n_dom_orgs
+          FROM protein_structures ps
+          JOIN proteins p ON ps.protein_acc = p.protein_acc
+          LEFT JOIN protein_proteomes pp ON ps.protein_acc = pp.protein_acc
+          LEFT JOIN pdm d ON ps.protein_acc = d.protein_acc
+          GROUP BY 1
+        )
+        SELECT e.pdb_id, e.n_entries, e.entries_json,
+               coalesce(c.n_sets, 0) AS n_sets,
+               coalesce(s.n_proteins, 0) AS n_proteins,
+               coalesce(s.n_taxa, 0) AS n_taxa,
+               coalesce(s.n_proteomes, 0) AS n_proteomes,
+               coalesce(s.n_dom_orgs, 0) AS n_dom_orgs
+        FROM entries_j e
+        LEFT JOIN clans c ON e.pdb_id = c.pdb_id
+        LEFT JOIN prot_side s ON e.pdb_id = s.pdb_id
+    """,
+))
+
+
+register(QuerySpec(
+    name="mart_clan2xrefs",
+    tags=("X5", "A8", "A13", "J2", "J10"),
+    description="clan2xrefs mart (reference interpro/xrefs/clans.py:41-137): "
+    "matches routed through the broadcast member->clan dim roll up to "
+    "distinct entries/proteins/proteomes/taxa, match-row protein lists, "
+    "composite-key domain-organisation membership, and the pop-once "
+    "(set-union) structure counts.",
+    build=lambda spark, sf: clan_xrefs_mart(
+        _matches(spark, sf),
+        _signature_clans(spark, sf),
+        _proteins(spark, sf),
+        _protein_proteomes(spark, sf),
+        _domorg_members(spark, sf),
+        _pdb_matches(spark, sf).select("signature_acc", "pdb_id").distinct(),
+    ),
+    oracle=f"""
+        WITH {_SYN_CTE},
+        cm AS (
+          SELECT m.protein_acc, m.signature_acc, sc.clan_acc
+          FROM matches m JOIN signature_clans sc USING (signature_acc)
+        ),
+        base AS (
+          SELECT cm.clan_acc,
+                 count(DISTINCT cm.signature_acc) AS n_entries,
+                 count(*) AS n_protein_matches,
+                 count(DISTINCT cm.protein_acc) AS n_proteins,
+                 count(DISTINCT pp.proteome_id) AS n_proteomes,
+                 count(DISTINCT p.tax_id) AS n_taxa
+          FROM cm
+          JOIN proteins p ON cm.protein_acc = p.protein_acc
+          LEFT JOIN protein_proteomes pp ON cm.protein_acc = pp.protein_acc
+          GROUP BY 1
+        ),
+        doms AS (
+          SELECT cm.clan_acc, count(DISTINCT dm.dom_id) AS n_dom_orgs
+          FROM cm JOIN domorg_members dm
+            ON cm.protein_acc = dm.protein_acc
+           AND cm.signature_acc = dm.signature_acc
+          GROUP BY 1
+        ),
+        structs AS (
+          SELECT cs.clan_acc, count(DISTINCT es.pdb_id) AS n_structures
+          FROM (SELECT DISTINCT clan_acc, signature_acc FROM cm) cs
+          JOIN (SELECT DISTINCT signature_acc, pdb_id FROM pdb_matches) es
+            USING (signature_acc)
+          GROUP BY 1
+        )
+        SELECT b.clan_acc, b.n_entries, b.n_protein_matches, b.n_proteins,
+               b.n_proteomes, b.n_taxa,
+               coalesce(d.n_dom_orgs, 0) AS n_dom_orgs,
+               coalesce(s.n_structures, 0) AS n_structures
+        FROM base b
+        LEFT JOIN doms d ON b.clan_acc = d.clan_acc
+        LEFT JOIN structs s ON b.clan_acc = s.clan_acc
+    """,
+))
+
+
+def _entry_mart(spark, sf):
+    sig_id = F.col("o_orderkey") % 50
+    protein_entries = (
+        t(spark, sf, "orders")
+        .filter(sig_id % 3 == 0)
+        .select(
+            F.col("o_custkey").cast("string").alias("protein_acc"),
+            F.concat_ws("", F.lit("IPR"), sig_id % 10).alias("entry_acc"),
+        )
+    )
+    protein_taxa = _proteins(spark, sf).select(
+        "protein_acc", F.col("tax_id")
+    )
+    return entry_xrefs_mart(
+        protein_entries,
+        protein_taxa,
+        _protein_proteomes(spark, sf),
+        _protein_structures(spark, sf),
+    )
+
+
+register(QuerySpec(
+    name="mart_entry2xrefs",
+    tags=("X5", "A3", "A8", "A13", "F8"),
+    description="entry2xrefs mart (reference interpro/xrefs/entries.py:"
+    "258-505): per-entry distinct protein/taxon/proteome/structure counts "
+    "plus the canonical per-taxon protein-count JSON map with the jsonify "
+    "empty->NULL rule.",
+    build=_entry_mart,
+    oracle=f"""
+        WITH {_SYN_CTE},
+        pe AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS protein_acc,
+                 'IPR' || ((o_orderkey % 50) % 10) AS entry_acc
+          FROM orders WHERE (o_orderkey % 50) % 3 = 0
+        ),
+        prot AS (
+          SELECT entry_acc, count(DISTINCT protein_acc) AS n_proteins
+          FROM pe GROUP BY 1
+        ),
+        taxa_counts AS (
+          SELECT pe.entry_acc, p.tax_id, count(DISTINCT pe.protein_acc) AS n
+          FROM pe JOIN proteins p USING (protein_acc)
+          GROUP BY 1, 2
+        ),
+        taxa_nested AS (
+          SELECT entry_acc, count(DISTINCT tax_id) AS n_taxa,
+                 '{{' || string_agg('"' || tax_id || '":' || n, ',' ORDER BY tax_id) || '}}'
+                   AS taxa_json
+          FROM taxa_counts GROUP BY 1
+        ),
+        proteomes AS (
+          SELECT pe.entry_acc, count(DISTINCT pp.proteome_id) AS n_proteomes
+          FROM pe JOIN protein_proteomes pp USING (protein_acc)
+          GROUP BY 1
+        ),
+        structs AS (
+          SELECT pe.entry_acc, count(DISTINCT ps.pdb_id) AS n_structures
+          FROM pe JOIN protein_structures ps USING (protein_acc)
+          GROUP BY 1
+        )
+        SELECT p.entry_acc, p.n_proteins,
+               coalesce(tn.n_taxa, 0) AS n_taxa,
+               coalesce(pr.n_proteomes, 0) AS n_proteomes,
+               coalesce(st.n_structures, 0) AS n_structures,
+               tn.taxa_json
+        FROM prot p
+        LEFT JOIN taxa_nested tn ON p.entry_acc = tn.entry_acc
+        LEFT JOIN proteomes pr ON p.entry_acc = pr.entry_acc
+        LEFT JOIN structs st ON p.entry_acc = st.entry_acc
+    """,
+))

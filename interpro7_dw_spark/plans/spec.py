@@ -66,7 +66,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect registration of every plan module
-    from . import domainq, graphs, llmops, relational, relational2, streams  # noqa: F401
+    from . import domainq, graphs, llmops, marts, relational, relational2, streams  # noqa: F401
 
     return dict(REGISTRY)
 

@@ -138,3 +138,127 @@ def test_sequence_database_stats_antifam_rule(spark):
         "unreviewed": (3, 1, 0),
         "uniprot": (5, 2, 1),
     }
+
+
+def _mart_fixture(spark):
+    proteins = spark.createDataFrame(
+        [("P1", "T1"), ("P2", "T1"), ("P3", "T2")],
+        "protein_acc string, tax_id string",
+    )
+    # T1 and T2 are siblings under ROOT; lineage includes self
+    ancestors = spark.createDataFrame(
+        [("T1", "T1"), ("T1", "ROOT"), ("T2", "T2"), ("T2", "ROOT")],
+        "tax_id string, ancestor string",
+    )
+    matches = spark.createDataFrame(
+        [
+            ("P1", "S1", "pfam"),
+            ("P1", "S1", "pfam"),   # second match row: entries count += 1, protein once
+            ("P1", "S2", "cdd"),
+            ("P2", "S1", "pfam"),
+            ("P3", "S3", "pfam"),
+        ],
+        "protein_acc string, signature_acc string, database string",
+    )
+    proteomes = spark.createDataFrame(
+        [("P1", "UP1"), ("P3", "UP2")], "protein_acc string, proteome_id string"
+    )
+    structures = spark.createDataFrame(
+        [("P1", "1abc"), ("P2", "1abc"), ("P3", "2xyz")],
+        "protein_acc string, pdb_id string",
+    )
+    return proteins, ancestors, matches, proteomes, structures
+
+
+def test_taxon_mart_lineage_propagation_and_db_nesting(spark):
+    from interpro7_dw_spark.domain.marts import taxon_xrefs_mart
+
+    proteins, ancestors, matches, proteomes, structures = _mart_fixture(spark)
+    rows = {
+        r["tax_id"]: r
+        for r in taxon_xrefs_mart(
+            proteins, matches, proteomes, structures, ancestors
+        ).collect()
+    }
+    # ROOT aggregates both taxa: 3 proteins, 2 proteomes, 2 structures
+    assert (rows["ROOT"]["n_proteins"], rows["ROOT"]["n_proteomes"],
+            rows["ROOT"]["n_structures"]) == (3, 2, 2)
+    # per-db nesting at T1: pfam counted P1 once despite 2 match rows;
+    # entries carry match-row counts (reference taxa.py:65-73)
+    assert rows["T1"]["db_json"] == "cdd:1[S2=1];pfam:2[S1=3]"
+    assert rows["ROOT"]["db_json"] == "cdd:1[S2=1];pfam:3[S1=3,S3=1]"
+    assert rows["T2"]["db_json"] == "pfam:1[S3=1]"
+
+
+def test_clan_mart_counts_match_rows_and_set_union_structures(spark):
+    from interpro7_dw_spark.domain.marts import clan_xrefs_mart
+
+    proteins, _, matches, proteomes, _ = _mart_fixture(spark)
+    sig_clans = spark.createDataFrame(
+        [("S1", "CL1"), ("S3", "CL1")], "signature_acc string, clan_acc string"
+    )
+    domorg_members = spark.createDataFrame(
+        [("P1", "S1", "D1"), ("P3", "S3", "D2")],
+        "protein_acc string, signature_acc string, dom_id string",
+    )
+    entry_structures = spark.createDataFrame(
+        [("S1", "1abc"), ("S1", "9zzz"), ("S3", "1abc")],
+        "signature_acc string, pdb_id string",
+    )
+    rows = {
+        r["clan_acc"]: r
+        for r in clan_xrefs_mart(
+            matches, sig_clans, proteins, proteomes, domorg_members, entry_structures
+        ).collect()
+    }
+    cl = rows["CL1"]
+    # S2/cdd not in the clan: excluded. 4 match rows (P1 S1 twice, P2 S1, P3 S3)
+    assert cl["n_protein_matches"] == 4          # reference appends per match row
+    assert cl["n_entries"] == 2                  # S1, S3
+    assert cl["n_proteins"] == 3
+    assert cl["n_taxa"] == 2
+    assert cl["n_dom_orgs"] == 2                 # membership on (protein, signature)
+    assert cl["n_structures"] == 2               # union{1abc,9zzz,1abc} pop-once semantics
+
+
+def test_structure_mart_rollups(spark):
+    from interpro7_dw_spark.domain.marts import structure_xrefs_mart
+
+    proteins, _, _, proteomes, structures = _mart_fixture(spark)
+    pdb_matches = spark.createDataFrame(
+        [("1abc", "S1", "pfam"), ("1abc", "S2", "cdd"), ("2xyz", "S3", "pfam")],
+        "pdb_id string, signature_acc string, database string",
+    )
+    sig_clans = spark.createDataFrame(
+        [("S1", "CL1"), ("S3", "CL1")], "signature_acc string, clan_acc string"
+    )
+    domorgs = spark.createDataFrame(
+        [("P1", "D1"), ("P2", "D1")], "protein_acc string, dom_id string"
+    )
+    rows = {
+        r["pdb_id"]: r
+        for r in structure_xrefs_mart(
+            pdb_matches, sig_clans, structures, proteins, proteomes, domorgs
+        ).collect()
+    }
+    one = rows["1abc"]
+    assert one["n_entries"] == 2 and one["entries_json"] == "cdd:1;pfam:1"
+    assert one["n_sets"] == 1
+    # P1 and P2 map to 1abc: 2 proteins, 1 taxon (both T1), 1 proteome, 1 domorg
+    assert (one["n_proteins"], one["n_taxa"], one["n_proteomes"], one["n_dom_orgs"]) == (2, 1, 1, 1)
+    two = rows["2xyz"]
+    assert (two["n_proteins"], two["n_taxa"], two["n_proteomes"]) == (1, 1, 1)
+    assert two["n_dom_orgs"] == 0
+
+
+def test_proteome_mart(spark):
+    from interpro7_dw_spark.domain.marts import proteome_xrefs_mart
+
+    _, _, matches, proteomes, structures = _mart_fixture(spark)
+    rows = {
+        r["proteome_id"]: r
+        for r in proteome_xrefs_mart(proteomes, matches, structures).collect()
+    }
+    assert rows["UP1"]["n_proteins"] == 1 and rows["UP1"]["n_structures"] == 1
+    assert rows["UP1"]["db_json"] == "cdd:1[S2=1];pfam:1[S1=2]"
+    assert rows["UP2"]["db_json"] == "pfam:1[S3=1]"
