@@ -84,6 +84,183 @@ register(QuerySpec(
 ))
 
 
+def _flat_protein2ipr(spark: SparkSession, sf: str):
+    from ..domain.flatfiles import protein2ipr_rows
+    from ..domain.pipeline import classify_matches
+
+    classified = classify_matches(synth_matches(spark, sf), synth_signatures(spark, sf))
+    return protein2ipr_rows(classified, synth_entries(spark, sf))
+
+
+register(QuerySpec(
+    name="flat_protein2ipr",
+    tags=("X1", "S16", "O1", "J2", "F1"),
+    description="protein2ipr.dat rows (reference interpro/ftp/flatfiles.py:"
+    "90-118): classify matches, keep integrated ones, emit one line per "
+    "location with the entry name broadcast-joined and span = (first "
+    "fragment start, max fragment end). SURVEY Phase-1 acceptance.",
+    build=_flat_protein2ipr,
+    oracle="""
+        SELECT 'P' || l_orderkey AS protein_acc,
+               'IPR' || ((l_partkey % 200) % 40) AS entry_acc,
+               'Entry ' || ((l_partkey % 200) % 40) AS entry_name,
+               'SIG' || (l_partkey % 200) AS signature_acc,
+               ((l_partkey * 13 + l_linenumber * 7) % 400 + 1) AS pos_start,
+               ((l_partkey * 13 + l_linenumber * 7) % 400 + 1)
+                 + CAST(l_quantity * 3 AS BIGINT) + 10 AS pos_end
+        FROM lineitem
+        WHERE (l_partkey % 200) % 3 = 0
+    """,
+))
+
+
+_LOOKUP_LIBS = [
+    "AntiFam", "CATH-Gene3D", "CDD", "COILS", "FunFam", "HAMAP",
+    "MobiDB Lite", "NCBIFAM", "PANTHER", "Pfam", "Phobius", "PIRSF",
+    "PIRSR", "PRINTS", "PROSITE patterns", "PROSITE profiles", "SFLD",
+    "SMART", "SUPERFAMILY", "SignalP_Euk", "SignalP_Gram_positive",
+    "SignalP_Gram_negative", "TMHMM",
+]
+
+_SITES_T = (
+    "array<struct<description string, numLocations int, siteLocations "
+    "array<struct<res_start bigint, res_end bigint, residue string>>>>"
+)
+
+
+def synth_lookup_matches(spark: SparkSession, sf: str):
+    """orders -> merge_uniparc_matches-shaped rows covering all 23
+    analysis libraries (including the four the formatter must drop)."""
+    start = (F.col("o_orderkey") % 300 + 1).cast("long")
+    end = start + 50
+    lib = F.element_at(
+        F.array(*[F.lit(x) for x in _LOOKUP_LIBS]),
+        (F.col("o_orderkey") % len(_LOOKUP_LIBS) + 1).cast("int"),
+    )
+    loc = F.struct(
+        start.alias("start"),
+        end.alias("end"),
+        F.lit(1).cast("long").alias("hmmStart"),
+        F.lit(50).cast("long").alias("hmmEnd"),
+        F.lit(50).cast("long").alias("hmmLength"),
+        F.lit("COMPLETE").alias("hmmBounds"),
+        start.alias("envelopeStart"),
+        end.alias("envelopeEnd"),
+        F.lit(1e-5).alias("evalue"),
+        F.col("o_totalprice").alias("score"),
+        F.array(
+            F.struct(
+                start.alias("start"), end.alias("end"),
+                F.lit("CONTINUOUS").alias("dc_status"),
+            )
+        ).alias("location_fragments"),
+        F.concat_ws("", F.lit("SF"), F.col("o_orderkey") % 7).alias("sequence_feature"),
+        F.expr(f"CAST(array() AS {_SITES_T})").alias("sites"),
+    )
+    sig = F.concat_ws("", F.lit("SIG"), F.col("o_orderkey") % 50)
+    return t(spark, sf, "orders").select(
+        F.concat_ws("", F.lit("UPI"), F.col("o_custkey")).alias("upi"),
+        sig.alias("signature_acc"),
+        sig.alias("model_acc"),
+        lib.alias("library"),
+        F.lit("v1").alias("version"),
+        F.col("o_totalprice").alias("score"),
+        F.lit(1e-5).alias("evalue"),
+        F.array(loc).alias("locations"),
+    )
+
+
+def _lookup_match_json(spark: SparkSession, sf: str):
+    from ..domain.lookup_format import format_lookup_matches
+
+    formatted = format_lookup_matches(synth_lookup_matches(spark, sf))
+    return (
+        formatted.select(
+            "library",
+            F.array_join(
+                F.array_sort(F.json_object_keys("match_json")), ","
+            ).alias("match_keys"),
+            F.array_join(
+                F.array_sort(
+                    F.json_object_keys(F.get_json_object("match_json", "$.locations[0]"))
+                ),
+                ",",
+            ).alias("loc_keys"),
+        )
+        .groupBy("library", "match_keys", "loc_keys")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+register(QuerySpec(
+    name="lookup_match_json",
+    tags=("X4", "F8", "F9"),
+    description="X4 per-library lookup formatting (reference interpro/"
+    "lookup.py:151-418): the 17-way when-chain dispatch, library "
+    "canonicalization (FunFam->CATH-FunFam, MobiDB Lite->MobiDB-lite), "
+    "SignalP*/TMHMM drops, and per-library JSON shapes — verified by "
+    "extracting the exact key set each branch emits at match and location "
+    "level (byte-level JSON goldens in tests/test_lookup_format.py).",
+    build=_lookup_match_json,
+    oracle="""
+        WITH raw AS (
+          SELECT (['AntiFam','CATH-Gene3D','CDD','COILS','FunFam','HAMAP',
+                   'MobiDB Lite','NCBIFAM','PANTHER','Pfam','Phobius','PIRSF',
+                   'PIRSR','PRINTS','PROSITE patterns','PROSITE profiles','SFLD',
+                   'SMART','SUPERFAMILY','SignalP_Euk','SignalP_Gram_positive',
+                   'SignalP_Gram_negative','TMHMM'])[(o_orderkey % 23) + 1] AS lib
+          FROM orders
+        ), canon AS (
+          SELECT CASE lib WHEN 'FunFam' THEN 'CATH-FunFam'
+                          WHEN 'MobiDB Lite' THEN 'MobiDB-lite'
+                          ELSE lib END AS library
+          FROM raw
+          WHERE lib NOT IN ('SignalP_Euk', 'SignalP_Gram_positive',
+                            'SignalP_Gram_negative', 'TMHMM')
+        )
+        SELECT library,
+               CASE
+                 WHEN library IN ('AntiFam','CATH-FunFam','CATH-Gene3D','NCBIFAM',
+                                  'Pfam','PIRSF','PIRSR','SFLD','SMART')
+                   THEN 'evalue,locations,model-ac,score,signature'
+                 WHEN library = 'PANTHER'
+                   THEN 'ancestralNode,evalue,locations,model-ac,score,signature'
+                 WHEN library = 'PRINTS'
+                   THEN 'evalue,graphscan,locations,model-ac,signature'
+                 ELSE 'locations,model-ac,signature'
+               END AS match_keys,
+               CASE
+                 WHEN library IN ('AntiFam','CATH-FunFam','CATH-Gene3D','NCBIFAM',
+                                  'Pfam','PIRSF')
+                   THEN 'end,envelopeEnd,envelopeStart,evalue,hmmBounds,hmmEnd,hmmLength,hmmStart,location-fragments,score,start'
+                 WHEN library IN ('PIRSR','SFLD')
+                   THEN 'end,envelopeEnd,envelopeStart,evalue,hmmEnd,hmmLength,hmmStart,location-fragments,score,sites,start'
+                 WHEN library = 'SMART'
+                   THEN 'end,evalue,hmmBounds,hmmEnd,hmmLength,hmmStart,location-fragments,score,start'
+                 WHEN library = 'CDD'
+                   THEN 'end,evalue,location-fragments,score,sites,start'
+                 WHEN library IN ('COILS','Phobius')
+                   THEN 'end,location-fragments,start'
+                 WHEN library = 'MobiDB-lite'
+                   THEN 'end,location-fragments,sequence-feature,start'
+                 WHEN library = 'PANTHER'
+                   THEN 'end,envelopeEnd,envelopeStart,hmmBounds,hmmEnd,hmmLength,hmmStart,location-fragments,start'
+                 WHEN library = 'PRINTS'
+                   THEN 'end,location-fragments,motifNumber,pvalue,score,start'
+                 WHEN library IN ('HAMAP','PROSITE profiles')
+                   THEN 'cigarAlignment,end,location-fragments,score,start'
+                 WHEN library = 'PROSITE patterns'
+                   THEN 'cigarAlignment,end,location-fragments,start'
+                 WHEN library = 'SUPERFAMILY'
+                   THEN 'end,evalue,hmmLength,location-fragments,start'
+               END AS loc_keys,
+               count(*) AS n
+        FROM canon
+        GROUP BY 1, 2, 3
+    """,
+))
+
+
 def _search_documents(spark: SparkSession, sf: str):
     from ..domain.documents import relationship_documents
 

@@ -54,15 +54,18 @@ def write_tsv(
     path: str,
     header_lines: list[str] | None = None,
     compression: str | None = None,
+    include_header: bool = True,
 ) -> None:
     """TSV flat-file sink (reference entry.list / protein2ipr.dat.gz,
     interpro/ftp/flatfiles.py:29-123). ``header_lines`` are comment
     lines prepended ahead of the column header; single ordered file
-    (coalesce(1)) because the reference's flat files are one stream."""
+    (coalesce(1)) because the reference's flat files are one stream.
+    ``include_header=False`` for headerless files like protein2ipr.dat
+    (flatfiles.py:90-118 writes data lines only)."""
     cols = df.columns
     line = F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
     rows = df.select(line.alias("value"))
-    head = (header_lines or []) + ["\t".join(cols)]
+    head = (header_lines or []) + (["\t".join(cols)] if include_header else [])
 
     # inject the header inside the single partition's iterator —
     # unioning a header DataFrame is NOT order-safe across planners
