@@ -43,10 +43,21 @@ def entry_xrefs_mart(
     protein_taxa: DataFrame,       # protein_acc, tax_id
     protein_proteomes: DataFrame,  # protein_acc, proteome_id (nullable rows absent)
     protein_structures: DataFrame, # protein_acc, pdb_id
+    protein_ecs: DataFrame | None = None,  # protein_acc, ec
+    entry_go: DataFrame | None = None,     # entry_acc, go_id
 ) -> DataFrame:
     """One row per entry with exact counts and a canonical JSON map of
     per-taxon protein counts (the reference's entry["taxa"] dict,
-    interpro/xrefs/entries.py:204-207)."""
+    interpro/xrefs/entries.py:204-207).
+
+    Optional wirings toward the full webfront entry row:
+    - ``protein_ecs`` routes member-protein EC numbers through the
+      coverage filter + 3-digit stem fallback (domain/xrefs.py
+      filter_ec_numbers; reference uniprot/proteins.py enzyme rules)
+      into a sorted ``ec_json`` term list;
+    - ``entry_go`` renders the entry's GO terms as a sorted id list
+      (reference interpro/ftp/flatfiles.py interpro2go source).
+    """
     base = protein_entries.select("protein_acc", "entry_acc")
 
     proteins = base.groupBy("entry_acc").agg(
@@ -73,7 +84,7 @@ def entry_xrefs_mart(
         .groupBy("entry_acc")
         .agg(F.countDistinct("pdb_id").alias("n_structures"))
     )
-    return (
+    out = (
         proteins.join(taxa_nested, "entry_acc", "left")
         .join(proteomes, "entry_acc", "left")
         .join(structures, "entry_acc", "left")
@@ -86,6 +97,29 @@ def entry_xrefs_mart(
             jsonify(F.col("taxa_map")).alias("taxa_json"),
         )
     )
+    if protein_ecs is not None:
+        from .xrefs import filter_ec_numbers
+
+        eep = (
+            base.join(protein_ecs, "protein_acc")
+            .select("entry_acc", "ec", "protein_acc")
+            .distinct()
+        )
+        ec_terms = filter_ec_numbers(eep, proteins)
+        ec_json = ec_terms.groupBy("entry_acc").agg(
+            _sorted_join(F.collect_set("term"), ",").alias("ec_json")
+        )
+        out = out.join(ec_json, "entry_acc", "left").withColumn(
+            "ec_json", F.coalesce("ec_json", F.lit(""))
+        )
+    if entry_go is not None:
+        go_json = entry_go.groupBy("entry_acc").agg(
+            _sorted_join(F.collect_set("go_id"), ",").alias("go_json")
+        )
+        out = out.join(go_json, "entry_acc", "left").withColumn(
+            "go_json", F.coalesce("go_json", F.lit(""))
+        )
+    return out
 
 
 def _db_nested_counts(matched: DataFrame, key: str) -> DataFrame:

