@@ -544,3 +544,169 @@ register(QuerySpec(
         LEFT JOIN go_json gj ON p.entry_acc = gj.entry_acc
     """,
 ))
+
+
+# --- isoforms (reference interpro/oracle/matches.py:585-640) ---------
+
+def _variants(spark, sf):
+    return t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("protein_acc"),
+        (F.lit(1) + F.col("c_custkey") % 3).alias("variant"),
+        (F.lit(100) + F.col("c_custkey") % 50).alias("length"),
+        # %120 vs an 80-row uniparc dim: a third of the checksums have
+        # no sequence row, exercising the INNER JOIN drop
+        F.concat_ws("", F.lit("CRC"), F.col("c_custkey") % 120).alias("crc64"),
+    )
+
+
+def _uniparc_seqs(spark, sf):
+    return spark.range(80).select(
+        F.concat_ws("", F.lit("CRC"), F.col("id")).alias("crc64"),
+        # seq_short only on even ids, exercising the coalesce fallback
+        F.when(
+            F.col("id") % 2 == 0, F.concat_ws("", F.lit("S"), F.col("id"))
+        ).alias("seq_short"),
+        F.concat_ws("", F.lit("L"), F.col("id")).alias("seq_long"),
+    )
+
+
+def _variant_matches(spark, sf):
+    # variant component ranges 1-4 while masters only carry 1-3 (and a
+    # third of masters dropped by crc64) -> plenty of orphan matches
+    # for the KeyError-continue semantics
+    return t(spark, sf, "orders").select(
+        F.concat_ws(
+            "-",
+            F.col("o_custkey").cast("string"),
+            (F.lit(1) + F.col("o_orderkey") % 4).cast("string"),
+        ).alias("accession"),
+        F.concat_ws("", F.lit("SIG"), F.col("o_orderkey") % 50).alias(
+            "signature_acc"
+        ),
+    )
+
+
+def _isoforms_mart(spark, sf):
+    from ..domain.isoforms import attach_isoform_matches, isoform_master
+
+    master = isoform_master(_variants(spark, sf), _uniparc_seqs(spark, sf))
+    kept = attach_isoform_matches(master, _variant_matches(spark, sf))
+    counts = kept.groupBy("accession").agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("signature_acc").alias("n_signatures"),
+    )
+    return (
+        master.join(counts, "accession", "left")
+        .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)))
+        .withColumn("n_signatures", F.coalesce("n_signatures", F.lit(0)))
+    )
+
+
+register(QuerySpec(
+    name="mart_isoforms",
+    tags=("X1", "J1", "P4", "A5"),
+    description="Isoform master + match attach (reference export_isoforms, "
+    "interpro/oracle/matches.py:585-640): VARSPLIC master INNER JOIN uniparc "
+    "on crc64, coalesce(seq_short, seq_long), variant-accession key build, "
+    "and the KeyError-continue orphan-match drop as a left-semi join. The "
+    "downstream merge composition (merge_isoform_matches) reuses the X1 "
+    "pipeline and is golden-tested in tests/test_pfam_isoforms.py.",
+    build=_isoforms_mart,
+    oracle="""
+        WITH variants AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS protein_acc,
+                 1 + c_custkey % 3 AS variant,
+                 100 + c_custkey % 50 AS length,
+                 'CRC' || (c_custkey % 120) AS crc64
+          FROM customer
+        ),
+        uniparc AS (
+          SELECT 'CRC' || i AS crc64,
+                 CASE WHEN i % 2 = 0 THEN 'S' || i END AS seq_short,
+                 'L' || i AS seq_long
+          FROM unnest(generate_series(0, 79)) AS s(i)
+        ),
+        master AS (
+          SELECT v.protein_acc || '-' || v.variant AS accession,
+                 v.protein_acc AS protein, v.length, v.crc64,
+                 coalesce(u.seq_short, u.seq_long) AS sequence
+          FROM variants v JOIN uniparc u USING (crc64)
+        ),
+        vmatches AS (
+          SELECT CAST(o_custkey AS VARCHAR) || '-' || (1 + o_orderkey % 4)
+                   AS accession,
+                 'SIG' || (o_orderkey % 50) AS signature_acc
+          FROM orders
+        ),
+        counts AS (
+          SELECT accession, count(*) AS n_matches,
+                 count(DISTINCT signature_acc) AS n_signatures
+          FROM vmatches
+          WHERE accession IN (SELECT accession FROM master)
+          GROUP BY 1
+        )
+        SELECT m.accession, m.protein, m.length, m.crc64, m.sequence,
+               coalesce(c.n_matches, 0) AS n_matches,
+               coalesce(c.n_signatures, 0) AS n_signatures
+        FROM master m LEFT JOIN counts c USING (accession)
+    """,
+))
+
+
+# --- Pfam alignments (reference interpro/oracle/pfam.py:140-166) -----
+
+def _pfam_a(spark, sf):
+    return t(spark, sf, "part").select(
+        F.concat_ws("", F.lit("PF"), F.col("p_partkey")).alias("accession"),
+        F.encode(F.col("p_name"), "utf-8").alias("seed_aln"),
+        F.col("p_size").alias("seed_num"),
+        F.encode(
+            F.concat_ws("|", F.col("p_name"), F.col("p_brand")), "utf-8"
+        ).alias("full_aln"),
+        (F.col("p_size") * 3).alias("full_num"),
+    )
+
+
+def _pfam_alignments_mart(spark, sf):
+    from ..domain.pfam import pfam_alignments
+
+    return pfam_alignments(_pfam_a(spark, sf)).select(
+        "accession",
+        "aln_type",
+        # the binary payload itself is checked by content hash + size
+        # (raw bytes don't survive the driver's pandas stringify)
+        F.md5("alignment").alias("aln_md5"),
+        F.length("alignment").alias("n_bytes"),
+        "n_sequences",
+    )
+
+
+register(QuerySpec(
+    name="mart_pfam_alignments",
+    tags=("X5", "U1", "F3", "F4"),
+    description="Pfam seed/full alignment fan-out (reference "
+    "export_alignments, interpro/oracle/pfam.py:140-166): 2-way stack "
+    "unpivot over opaque binary alignment payloads, verified by md5 + "
+    "octet length. Family details JSON (pfam.py:13-67) golden-tested in "
+    "tests/test_pfam_isoforms.py.",
+    build=_pfam_alignments_mart,
+    oracle="""
+        WITH pfam_a AS (
+          SELECT 'PF' || p_partkey AS accession,
+                 p_name AS seed_aln, p_size AS seed_num,
+                 p_name || '|' || p_brand AS full_aln, p_size * 3 AS full_num
+          FROM part
+        ),
+        un AS (
+          SELECT accession, 'alignment:seed' AS aln_type,
+                 seed_aln AS alignment, seed_num AS n_sequences
+          FROM pfam_a
+          UNION ALL
+          SELECT accession, 'alignment:full', full_aln, full_num
+          FROM pfam_a
+        )
+        SELECT accession, aln_type, md5(alignment) AS aln_md5,
+               octet_length(CAST(alignment AS BLOB)) AS n_bytes, n_sequences
+        FROM un
+    """,
+))

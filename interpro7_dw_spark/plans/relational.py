@@ -139,10 +139,12 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="argmax_order",
+    name="z_argmax_order",
     tags=("A6", "A7"),
     description="max_by/min_by with deterministic tiebreak (reference "
-    "representative-structure pick, interpro/mysql/entries.py:321-335).",
+    "representative-structure pick, interpro/mysql/entries.py:321-335). "
+    "z_: A6/A7 redundantly covered in-window by domorg_fingerprint, "
+    "topk_per_segment and join_composite_key.",
     build=lambda spark, sf: (
         t(spark, sf, "orders")
         .groupBy("o_custkey")
@@ -198,10 +200,12 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="having_popular_parts",
+    name="z_having_popular_parts",
     tags=("A11", "A5"),
     description="Two-stage aggregate with HAVING-style coverage filter "
-    "(reference EC-number >=3-protein/60%-coverage rule, interpro/xrefs/entries.py:520-551).",
+    "(reference EC-number >=3-protein/60%-coverage rule, interpro/xrefs/entries.py:520-551). "
+    "z_: A5 covered in-window by count_distinct_parts; the HAVING/coverage "
+    "shape by mart_entry2xrefs' EC stem fallback.",
     build=lambda spark, sf: (
         t(spark, sf, "lineitem")
         .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
