@@ -264,16 +264,42 @@ register(QuerySpec(
 ))
 
 def _multimodal_decode(spark: SparkSession, sf: str):
-    from ..operators.multimodal import attach_binary_payload, decode_image_stub
+    from ..operators.multimodal import (
+        decode_image,
+        frame_sample,
+        make_raster_payload,
+        make_video_payload,
+        resize_image,
+    )
 
-    media = attach_binary_payload(t(spark, sf, "documents"))
+    docs = t(spark, sf, "documents")
+    imgs = decode_image(make_raster_payload(docs))
+    small = resize_image(make_raster_payload(docs), 16, 16)
+    frames = frame_sample(make_video_payload(docs), every_k=2)
     return (
-        decode_image_stub(media)
-        .groupBy("media_type")
+        imgs.groupBy("media_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .unionByName(
+            small.select(F.lit("image/fri0-16x16").alias("media_type"), "mean_luma", F.lit(264).alias("n_bytes"))
+            .groupBy("media_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+                F.sum("n_bytes").cast("long").alias("total_bytes"),
+            )
+        )
+        .unionByName(
+            frames.select(F.lit("video/fvi0-frames").alias("media_type"), "mean_luma", F.lit(0).alias("n_bytes"))
+            .groupBy("media_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+                F.sum("n_bytes").cast("long").alias("total_bytes"),
+            )
         )
     )
 
@@ -281,9 +307,10 @@ def _multimodal_decode(spark: SparkSession, sf: str):
 register(QuerySpec(
     name="z_multimodal_decode",
     tags=("MM2", "X2"),
-    description="Multimodal decode plumbing at scale: binary payload column "
-    "-> Arrow mapInPandas decode (deterministic stub kernel) -> typed "
-    "metadata aggregation; rows-only (kernel is engine-side Python).",
+    description="Multimodal kernel stack at scale: synthesized FRI0/FVI0 "
+    "binary payloads -> Arrow mapInPandas decode, numpy bilinear resize, "
+    "frame sampling -> typed metadata aggregation; rows-only (kernels are "
+    "engine-side Python by design).",
     build=_multimodal_decode,
     oracle=None,
 ))

@@ -4,6 +4,7 @@ domain semantics as goldens)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from interpro7_dw_spark.operators.dedup import (
@@ -17,7 +18,15 @@ from interpro7_dw_spark.operators.dedup import (
 )
 from interpro7_dw_spark.operators.graph import transitive_closure
 from interpro7_dw_spark.operators.joins import as_of_join, interval_overlap_join
-from interpro7_dw_spark.operators.multimodal import attach_binary_payload, decode_image_stub
+from interpro7_dw_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    encode_raster,
+    encode_video,
+    frame_sample,
+    make_raster_payload,
+    resize_image,
+)
 from interpro7_dw_spark.operators.similarity import cosine_topk, lsh_topk
 
 
@@ -188,17 +197,67 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(r["rank"] <= 5 for r in out)
 
 
-def test_multimodal_decode_stub_shape(spark):
-    docs = spark.createDataFrame([(1, "abc"), (2, "defghi")], "doc_id long, text string")
-    media = attach_binary_payload(docs)
-    out = decode_image_stub(media).collect()
-    assert len(out) == 2
-    r = {x["doc_id"]: x for x in out}
-    assert r[1]["n_bytes"] == 3 and r[2]["n_bytes"] == 6
-    assert 64 <= r[1]["width"] <= 319 and 0.0 <= r[1]["mean_luma"] <= 1.0
-    # deterministic stub: same payload -> same fake decode
-    again = {x["doc_id"]: x for x in decode_image_stub(media).collect()}
-    assert again[1] == r[1]
+def test_multimodal_decode_exact(spark):
+    import numpy as np
+
+    # handcrafted 3x2 raster (w=3, h=2): exact header parse + pixel mean
+    px = np.array([[0, 100, 200], [50, 150, 255]], dtype=np.uint8)
+    docs = spark.createDataFrame(
+        [(1, bytearray(encode_raster(px)), "image/fri0", len(encode_raster(px)))],
+        "doc_id long, payload binary, media_type string, n_bytes int",
+    )
+    r = decode_image(docs).collect()[0]
+    assert (r["width"], r["height"]) == (3, 2)
+    assert r["mean_luma"] == pytest.approx(px.mean())
+
+    # synthesized payloads: deterministic across runs, decodable
+    docs2 = spark.createDataFrame([(1, "abc"), (2, "defghi")], "doc_id long, text string")
+    media = make_raster_payload(docs2)
+    out = {x["doc_id"]: x for x in decode_image(media).collect()}
+    assert len(out) == 2 and all(8 <= out[i]["width"] <= 32 for i in (1, 2))
+    again = {x["doc_id"]: x for x in decode_image(make_raster_payload(docs2)).collect()}
+    assert again == out
+    # binary column plumbing on the JVM path still round-trips byte counts
+    jvm = {x["doc_id"]: x for x in attach_binary_payload(docs2).collect()}
+    assert jvm[1]["n_bytes"] == 3 and jvm[2]["n_bytes"] == 6
+
+
+def test_multimodal_resize_bilinear(spark):
+    import numpy as np
+
+    # 2x2 checker resized to 4x4: identity at corners, blended centers
+    px = np.array([[0, 200], [100, 255]], dtype=np.uint8)
+    docs = spark.createDataFrame(
+        [(7, bytearray(encode_raster(px)), "image/fri0", 12)],
+        "doc_id long, payload binary, media_type string, n_bytes int",
+    )
+    r = resize_image(docs, 4, 4).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    from interpro7_dw_spark.operators.multimodal import _bilinear_resize, _parse_raster
+
+    expect = _bilinear_resize(px, 4, 4)
+    assert (_parse_raster(bytes(r["payload"])) == expect).all()
+    # center-sample convention: outer ring clamps to the source pixels
+    assert expect[0, 0] == 0 and expect[0, 3] == 200
+    assert expect[3, 0] == 100 and expect[3, 3] == 255
+    # same-size resize is the identity (pixel centers align exactly)
+    same = _bilinear_resize(px, 2, 2)
+    assert (same == px).all()
+    assert r["mean_luma"] == pytest.approx(expect.mean())
+
+
+def test_multimodal_frame_sample(spark):
+    import numpy as np
+
+    frames = np.stack([np.full((2, 2), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)])
+    docs = spark.createDataFrame(
+        [(3, bytearray(encode_video(frames)), "video/fvi0", len(encode_video(frames)))],
+        "doc_id long, payload binary, media_type string, n_bytes int",
+    )
+    out = sorted(frame_sample(docs, every_k=2).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert [r["mean_luma"] for r in out] == [10.0, 30.0, 50.0]
+    assert all(r["n_frames"] == 5 for r in out)
 
 
 def test_salted_aggregate_matches_plain(spark):
