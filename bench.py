@@ -64,14 +64,18 @@ def main() -> None:
         run(name, WARMUP_SF_DIR)
         spark.catalog.clearCache()
 
-    # Two full passes at the target scale, per-query min across passes:
-    # pass 1 absorbs the once-per-session costs (JIT, buffer pools,
-    # first big parquet scan) and this VM's noisy-neighbor spikes; the
-    # min approximates the steady-state plan cost a long-running
-    # cluster app sees. clearCache between queries drops operator
-    # persist()s so each query is measured independently.
+    # Three full passes at the target scale, per-query min across
+    # passes: pass 1 absorbs the once-per-session costs (JIT, buffer
+    # pools, first big parquet scan); the min approximates the
+    # steady-state plan cost a long-running cluster app sees. Three
+    # passes (not two) because this VM shows multi-minute
+    # noisy-neighbor windows that can cover two consecutive passes of
+    # one query (r03 measured dedup_ngram_jaccard at 13.5s min-of-2 in
+    # bench vs 3.8-4.8s x4 in isolation minutes later). clearCache
+    # between queries drops operator persist()s so each query is
+    # measured independently.
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             run(name, sf_dir)
