@@ -92,6 +92,134 @@ def lsh_bucket(
     return emb.withColumn("bucket", bucket)
 
 
+def _nearest_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmax-dot centroid id as a pure JVM expression: an array of
+    (negated dot, cid) structs reduced with array_min (struct ordering
+    gives min-by-distance with ascending-cid tiebreak)."""
+    cands = F.array(
+        *[
+            F.struct(
+                (-_dot(v, F.array(*[F.lit(x) for x in vec]))).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return F.array_min(cands).getField("cid")
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: Lloyd iterations seeded from
+    the ``nlist`` corpus vectors with the smallest md5(id) (a
+    reproducible pseudo-random sample — no RNG state, same centroids
+    every run/engine).
+
+    Each iteration is one distributed pass: nearest-centroid assignment
+    is a broadcast literal expression (centroids are nlist x dim
+    doubles — KBs), the new means come from one posexplode + groupBy
+    (nlist*dim groups). Only the centroid table ever reaches the
+    driver, so the corpus side scales; this mirrors k-means|| minus
+    the sampling rounds, acceptable because IVF needs a usable coarse
+    partition, not an optimal clustering.
+    """
+    n = with_norm(emb, vec_col)
+    seeds = (
+        n.select(F.col(id_col), "__v")
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = n.select(_nearest_centroid(F.col("__v"), centroids).alias("cid"), "__v")
+        means = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("vec"))
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["vec"]] for r in means}
+        # empty cells keep their previous centroid (deterministic)
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus rows live in their
+    nearest-centroid cell; each query scans only its ``nprobe`` closest
+    cells instead of the whole corpus.
+
+    Scale path vs ``lsh_topk``: cells are balanced by construction
+    (Lloyd means follow density, unlike fixed hyperplane cuts), and
+    ``nprobe`` trades recall for scan cost explicitly. The probe
+    explode keeps candidate generation an equi-join on cell id —
+    corpus stays partitioned by cid, query side broadcasts; no cross
+    product anywhere. At 100 TB, write the corpus bucketed by cid so
+    repeated query batches skip the assignment shuffle.
+    """
+    centroids = ivf_centroids(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    n = with_norm(emb, vec_col).persist()  # assignment + query probe reuse the normed corpus
+    corpus = n.select(
+        F.col(id_col).alias("vid"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+        _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+    )
+    # per-query ordered centroid list -> first nprobe cell ids
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col("__v"), F.array(*[F.lit(x) for x in vec]))).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    q = (
+        n.filter(query_pred)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("__v").alias("qv"),
+            F.col("__norm").alias("qn"),
+            F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe).getField("cid")).alias("cid"),
+        )
+    )
+    sims = (
+        F.broadcast(q)
+        .join(corpus, "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "sim")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_pred: Column,

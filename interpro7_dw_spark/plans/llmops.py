@@ -157,6 +157,18 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
+    name="z_embedding_ivf_topk",
+    tags=("NN2", "F9"),
+    description="ANN top-5 via a deterministic IVF coarse quantizer "
+    "(md5-seeded Lloyd, nprobe cell scan; approximate — recall vs the "
+    "exact brute force is machine-checked in tests/test_operators.py).",
+    build=lambda spark, sf: S.ivf_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, nlist=8, nprobe=3
+    ),
+    oracle=None,
+))
+
+register(QuerySpec(
     name="text_metrics",
     tags=("TX1", "TX3", "F6", "F9", "A2"),
     description="Per-document text metrics in one scan: quality features "

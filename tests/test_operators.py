@@ -313,3 +313,35 @@ def test_lsh_topk_recall_vs_exact(spark):
     # and every approximate neighbor must be a genuine same-bucket
     # candidate with correctly ranked similarity (subset sanity)
     assert all(q < 5 for q, _ in approx)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") < 5
+    exact = {(r["qid"], r["vid"]) for r in cosine_topk(emb, pred, k=5).collect()}
+    approx_rows = ivf_topk(emb, pred, k=5, nlist=8, nprobe=3).collect()
+    approx = {(r["qid"], r["vid"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # probing 3/8 density-following cells keeps most true neighbors
+    assert recall >= 0.5, f"IVF recall@5 collapsed: {recall}"
+    # every query returns exactly k ranked rows (cells are never empty
+    # at this corpus size) and similarities are correctly ordered
+    by_q: dict[int, list] = {}
+    for r in approx_rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["sim"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+    # md5-seeded Lloyd is deterministic: same centroids across calls
+    c1 = ivf_centroids(emb, nlist=4, iters=1)
+    c2 = ivf_centroids(emb, nlist=4, iters=1)
+    assert c1 == c2
