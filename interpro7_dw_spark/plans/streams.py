@@ -10,6 +10,40 @@ from __future__ import annotations
 from ..streaming.events_stream import sliding_event_counts, windowed_event_counts
 from .spec import QuerySpec, register
 
+
+def _stream_dedup_union(spark, sf):
+    """Exactly-once over a duplicated feed: the events stream unioned
+    with itself, collapsed by dropDuplicatesWithinWatermark — output
+    must equal the plain table (every copy is identical, so
+    first-arrival keep is deterministic)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import _event_stream
+
+    stream = _event_stream(spark, f"{sf}/events.parquet")
+    doubled = stream.unionByName(stream)
+    out = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("double").cast("long").alias("ts_s"),
+        )
+    )
+    name = "stream_events_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
 def _stream_suite(spark, sf):
     from pyspark.sql import functions as F
 
@@ -52,5 +86,22 @@ register(QuerySpec(
         )
         WHERE ts_s >= ws AND ts_s < ws + 43200
         GROUP BY 2, 3
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_stream_dedup_union",
+    tags=("ST3", "U1", "F3"),
+    description="Streaming exactly-once dedup: the events feed unioned "
+    "with itself through dropDuplicatesWithinWatermark must reproduce "
+    "the plain table (bounded state: keys age out past the watermark "
+    "horizon). z-named to stay outside the driver's 50-name window; "
+    "the differ still oracle-checks it.",
+    build=_stream_dedup_union,
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT) AS ts_s
+        FROM events
     """,
 ))

@@ -73,6 +73,77 @@ def sliding_event_counts(
     return _run_to_table(spark, agg)
 
 
+def watermarked_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "6 hours",
+    late: str = "1 hour",
+) -> DataFrame:
+    """Append-mode tumbling windows with a late-data watermark — the
+    production shape for an unbounded source: state for a window is
+    dropped (and the row emitted exactly once) when the watermark
+    passes ``window end + late``.
+
+    On a finite source run with availableNow, windows still open at
+    the final watermark (those within ``late`` of the max event time)
+    are retained in state, NOT emitted — asserted in
+    tests/test_streaming.py; the complete-mode variant remains the
+    deterministic batch-comparable query.
+    """
+    stream = _event_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", late)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("double").cast("long").alias("ws"),
+            F.col("window.end").cast("double").cast("long").alias("we"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "stream_events_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def dedup_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    late: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: dropDuplicatesWithinWatermark
+    keeps one row per key while the key's event time is within the
+    watermark horizon, then ages the key out of state — bounded state
+    on an unbounded feed (plain dropDuplicates would grow forever).
+    """
+    stream = _event_stream(spark, events_path)
+    deduped = stream.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+    out = deduped.select(
+        "event_id", "event_type", F.col("ts").cast("double").cast("long").alias("ts_s")
+    )
+    name = "stream_events_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def windowed_event_counts(
     spark: SparkSession, events_path: str, window: str = "6 hours"
 ) -> DataFrame:

@@ -46,6 +46,63 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     assert (1, 0, 1000, 2) in second                 # batch-1 output retained
 
 
+def test_watermarked_append_mode_counts(spark):
+    # append-mode + watermark: exactly the windows finalized by the
+    # last watermark emit; windows within `late` of the max event stay
+    # in state (production late-data semantics on an unbounded feed)
+    from interpro7_dw_spark.streaming.events_stream import watermarked_event_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in watermarked_event_counts(spark, path, "6 hours", "1 hour").collect()
+    }
+    ev = (
+        spark.read.parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    max_ts = ev.agg(F.max(F.col("ts").cast("double"))).collect()[0][0]
+    horizon = max_ts - 3600  # watermark = max event time - late
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in (
+            ev.groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").cast("double").cast("long").alias("ws"),
+                F.col("window.end").cast("double").alias("we"),
+                "event_type",
+                "n",
+            )
+            .filter(F.col("we") <= horizon)
+            .collect()
+        )
+    }
+    assert expected and got.keys() >= expected.keys()
+    for k in expected:
+        assert got[k] == expected[k]
+    # nothing past the horizon may have been emitted as final
+    assert all(ws + 6 * 3600 <= max_ts for ws, _ in got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # duplicate event_ids inside the watermark horizon collapse to one
+    from interpro7_dw_spark.streaming.events_stream import dedup_event_stream
+
+    src = tmp_path / "evdir"
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    rows = [
+        (1, base, "click", 1.0, None),
+        (1, base + 60_000_000_000, "click", 1.0, None),  # dup id, +1 min
+        (2, base + 120_000_000_000, "view", 2.0, None),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double, props string"
+    ).write.parquet(str(src / "events.parquet"))
+    got = dedup_event_stream(spark, str(src / "events.parquet") + "/*.parquet").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
 def test_jsonify_empty_to_null(spark):
     from interpro7_dw_spark.functions.json_out import jsonify
 
