@@ -30,6 +30,45 @@ def write_mart(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> 
     out.write.mode("overwrite").parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Relational sink over JDBC (reference S9: MySQL batch inserts,
+    interpro/mysql/entries.py executemany batches of ~1000).
+
+    Spark's JDBC writer is the same shape the reference hand-rolls:
+    each partition opens one connection and issues batched inserts
+    (``batchsize`` rows per round trip); ``num_partitions`` caps the
+    connection count — at cluster scale set it to what the database
+    tolerates, not the input's partition count (a 1000-executor job
+    must not open 1000 connections against one MySQL).
+
+    Integration-tested against embedded Derby (the JDBC engine Spark
+    ships) in tests/test_io.py — the same code path a MySQL URL takes.
+    """
+    opts = {"batchsize": str(batchsize), **(properties or {})}
+    out = df.repartition(num_partitions) if num_partitions else df
+    out.write.mode(mode).options(**opts).jdbc(url, table, properties=opts)
+
+
+def read_jdbc_table(
+    spark,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+):
+    """JDBC read-back (S1's jdbc variant); partition options
+    (partitionColumn/lowerBound/upperBound/numPartitions) pass through
+    ``properties`` for parallel range scans of big tables."""
+    return spark.read.options(**(properties or {})).jdbc(url, table)
+
+
 def write_lookup_mart(
     df: DataFrame, path: str, key_col: str, prefix_len: int = 2
 ) -> None:
