@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # name -> is_small_dimension (broadcast candidate at any scale)
 TABLES: dict[str, bool] = {
@@ -39,11 +40,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read `ts` as epoch-nanos LONG instead. Exact integer
-        # time arithmetic also sidesteps tz / float-epoch pitfalls.
+        # Some generations of events.parquet carry TIMESTAMP(NANOS),
+        # which Spark's reader rejects unless read as epoch-nanos LONG.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(spark, df)
+    return df
+
+
+def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to epoch-NANOS LONG whatever the parquet
+    physical type (TIMESTAMP(NANOS)→long via the legacy flag, or
+    TIMESTAMP(MICROS)→timestamp_ntz). Every downstream plan does exact
+    integer time arithmetic on nanos, which sidesteps tz / float-epoch
+    pitfalls and matches DuckDB's ``epoch_ns(ts)`` bit-for-bit (the
+    naive timestamp is interpreted as UTC)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in (None, "bigint"):
+        return df
+    # timestamp_ntz: interpret the naive value as UTC (DuckDB semantics)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -24,19 +24,26 @@ from pyspark.sql import functions as F
 
 
 def _event_stream(spark: SparkSession, events_path: str):
-    # events.ts arrives as epoch-nanos LONG (see sources/catalog.py);
-    # convert to a proper timestamp for event-time windowing. The file
-    # streaming source wants a directory — point it at the sf dir with
-    # a glob filter selecting just the events table.
+    # events.ts arrives either as epoch-nanos LONG (TIMESTAMP(NANOS)
+    # parquet read under the legacy flag) or as timestamp_ntz
+    # (TIMESTAMP(MICROS) parquet); normalize to a proper event-time
+    # timestamp for windowing. The file streaming source wants a
+    # directory — point it at the sf dir with a glob filter selecting
+    # just the events table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    batch = spark.read.parquet(events_path)
     directory, _, filename = events_path.rpartition("/")
-    return (
-        spark.readStream.schema(schema)
+    stream = (
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", filename)
         .parquet(directory)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # naive timestamp interpreted as UTC — same convention as the batch
+    # catalog (sources/catalog.py normalize_event_ts)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(spark: SparkSession, agg) -> DataFrame:
