@@ -59,8 +59,15 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     dtype = dict(df.dtypes).get("ts")
     if dtype in (None, "bigint"):
         return df
-    # timestamp_ntz: interpret the naive value as UTC (DuckDB semantics)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timestamp_ntz: the naive value must be interpreted as UTC (DuckDB
+    # semantics). The session builder (session.py) pins the zone; refuse
+    # to run under any other — silently overwriting a session-wide conf
+    # here would shift epoch values for unrelated queries.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"events ts normalization requires spark.sql.session.timeZone=UTC, got {tz!r}"
+        )
     return df.withColumn(
         "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
     )

@@ -38,11 +38,21 @@ def _event_stream(spark: SparkSession, events_path: str):
         .option("pathGlobFilter", filename)
         .parquet(directory)
     )
+    # The cast branch is decided once from an eager batch read; the
+    # stream assumes the parquet physical ts type is fixed for the
+    # lifetime of the query (true for this finite fixture source —
+    # files appended later must match the schema captured at start).
     if dict(batch.dtypes).get("ts") == "bigint":
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # naive timestamp interpreted as UTC — same convention as the batch
-    # catalog (sources/catalog.py normalize_event_ts)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # catalog (sources/catalog.py normalize_event_ts); the session
+    # builder pins spark.sql.session.timeZone=UTC (session.py), so the
+    # cast below resolves against UTC without mutating session state.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"event stream ts normalization requires spark.sql.session.timeZone=UTC, got {tz!r}"
+        )
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -31,7 +31,12 @@ def test_entry_contract(spark):
     assert set(os_) <= set(qs)
     # every oracle-less query is a deliberate exception, listed here
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"z_embedding_lsh_topk", "z_domain_merge_matches", "z_multimodal_decode"}
+    assert rows_only == {
+        "z_embedding_lsh_topk",
+        "z_embedding_ivf_topk",
+        "z_domain_merge_matches",
+        "z_multimodal_decode",
+    }
 
 
 def test_driver_cap_window_holds_all_oracle_queries(spark):

@@ -57,9 +57,13 @@ def test_watermarked_append_mode_counts(spark):
         (r["ws"], r["event_type"]): r["n"]
         for r in watermarked_event_counts(spark, path, "6 hours", "1 hour").collect()
     }
-    ev = (
-        spark.read.parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # build the batch expectation through the same ts-normalization the
+    # engine uses, so the test tolerates both parquet generations
+    # (TIMESTAMP(NANOS) -> long, TIMESTAMP(MICROS) -> timestamp_ntz)
+    from interpro7_dw_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     max_ts = ev.agg(F.max(F.col("ts").cast("double"))).collect()[0][0]
     horizon = max_ts - 3600  # watermark = max event time - late
