@@ -59,17 +59,18 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     dtype = dict(df.dtypes).get("ts")
     if dtype in (None, "bigint"):
         return df
-    # timestamp_ntz: the naive value must be interpreted as UTC (DuckDB
-    # semantics). The session builder (session.py) pins the zone; refuse
-    # to run under any other — silently overwriting a session-wide conf
-    # here would shift epoch values for unrelated queries.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise RuntimeError(
-            f"events ts normalization requires spark.sql.session.timeZone=UTC, got {tz!r}"
-        )
+    # timestamp_ntz: the naive value is interpreted as UTC (DuckDB
+    # semantics). timestampdiff on two NTZ values is pure wall-clock
+    # arithmetic, so the result is identical under ANY session timezone
+    # — no session-conf mutation, safe under the driver's own session.
     return df.withColumn(
-        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        "ts",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000)
+        ).cast("long"),
     )
 
 

@@ -45,15 +45,18 @@ def _event_stream(spark: SparkSession, events_path: str):
     if dict(batch.dtypes).get("ts") == "bigint":
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # naive timestamp interpreted as UTC — same convention as the batch
-    # catalog (sources/catalog.py normalize_event_ts); the session
-    # builder pins spark.sql.session.timeZone=UTC (session.py), so the
-    # cast below resolves against UTC without mutating session state.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise RuntimeError(
-            f"event stream ts normalization requires spark.sql.session.timeZone=UTC, got {tz!r}"
-        )
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # catalog (sources/catalog.py normalize_event_ts). Go through
+    # tz-free NTZ wall-clock arithmetic + timestamp_micros so the
+    # resulting event-time instants are identical under ANY session
+    # timezone (the driver runs this under its own session).
+    return stream.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def _run_to_table(spark: SparkSession, agg) -> DataFrame:
