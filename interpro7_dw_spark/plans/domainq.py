@@ -84,6 +84,239 @@ register(QuerySpec(
 ))
 
 
+_LOC_SCHEMA = (
+    "array<struct<fragments: array<struct<start: bigint, `end`: bigint, "
+    "`dc-status`: string>>, representative: boolean, model: string, score: double>>"
+)
+
+
+def _domain_match_summary(spark: SparkSession, sf: str):
+    """Numeric projection of the FULL merge pipeline output — parsed
+    back from the emitted locations JSON, so JSON shape, representative
+    flags, per-signature grouping and entry condensation all feed the
+    hash. Integer-only measures sidestep float/JSON-format brittleness."""
+    merged = merge_protein_matches(
+        synth_matches(spark, sf), synth_signatures(spark, sf), synth_entries(spark, sf)
+    )
+    # parse the JSON once into a column — repeating from_json per
+    # measure re-parses the string five times (measured 6x slower)
+    return merged.withColumn("locs", F.from_json("locations", _LOC_SCHEMA)).select(
+        "protein_acc",
+        "accession",
+        "source_database",
+        "type",
+        "entry_acc",
+        F.expr("cast(size(locs) as bigint)").alias("n_locations"),
+        F.expr("aggregate(locs, 0L, (acc, l) -> acc + if(l.representative, 1L, 0L))").alias(
+            "n_repr"
+        ),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.start))"
+        ).alias("frag_start_sum"),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.end))"
+        ).alias("frag_end_sum"),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + coalesce(cast(round(l.score * 100) as bigint), 0L))"
+        ).alias("score_cents_sum"),
+    )
+
+
+register(QuerySpec(
+    name="domain_match_summary",
+    tags=("X1", "G5", "W3", "F1", "J2", "A9"),
+    description="Value-level oracle for the X1 match-merge pipeline "
+    "(reference interpro/oracle/matches.py:287-393): the representative-"
+    "selection DFS (matches.py:106-232) is replayed in DuckDB as "
+    "conflict-free subset-mask enumeration — the include-first DFS "
+    "tie-break equals argmax(coverage, pfam_count, mask) with candidate 0 "
+    "as the most significant bit — and entry condensation (matches.py:"
+    "60-103) as a list_reduce fold. Single-fragment fixture keeps the "
+    "mask space <= 2^7 per chain-group.",
+    build=_domain_match_summary,
+    oracle="""
+WITH m0 AS (
+  SELECT 'P' || l_orderkey AS protein_acc,
+         l_partkey % 200 AS sig_num,
+         'SIG' || (l_partkey % 200) AS signature_acc,
+         CAST((l_partkey * 13 + l_linenumber * 7) % 400 + 1 AS BIGINT) AS s,
+         CAST((l_partkey * 13 + l_linenumber * 7) % 400 + 1
+              + CAST(l_quantity * 3 AS BIGINT) + 10 AS BIGINT) AS e,
+         CAST(round(l_discount * 100) AS BIGINT) AS score_cents
+  FROM lineitem
+),
+m AS (
+  SELECT *,
+    ['pfam','cdd','profile','smart','ncbifam','cathgene3d','ssf','panther','hamap'][CAST(sig_num % 9 AS INT) + 1] AS db,
+    ['domain','domain','domain','domain','domain','domain','domain','family','region'][CAST(sig_num % 9 AS INT) + 1] AS typ,
+    CASE WHEN sig_num % 9 <= 6 THEN 'domain'
+         WHEN sig_num % 9 = 7 THEN 'family'
+         ELSE 'region' END AS klass,
+    CASE WHEN sig_num % 9 <= 6 THEN CAST(sig_num % 9 AS INT)
+         WHEN sig_num % 9 = 7 THEN 1 END AS rnk,
+    CASE WHEN sig_num % 3 = 0 THEN 'IPR' || (sig_num % 40) END AS entry_acc,
+    row_number() OVER (PARTITION BY protein_acc ORDER BY signature_acc, s, e) AS domain_id
+  FROM m0
+),
+-- chain-group domains/families per (protein, klass); a row starts a new
+-- group when its start exceeds the running max end (touch = same group)
+chain AS (
+  SELECT *,
+    CASE WHEN s <= max(e) OVER (PARTITION BY protein_acc, klass
+                                ORDER BY s, e, domain_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 0 ELSE 1 END AS brk
+  FROM m WHERE klass IN ('domain','family')
+),
+grp AS (
+  SELECT *, sum(brk) OVER (PARTITION BY protein_acc, klass ORDER BY s, e, domain_id) AS gid
+  FROM chain
+),
+cand AS (
+  SELECT *, e - s + 1 AS sz,
+    row_number() OVER (PARTITION BY protein_acc, klass, gid
+                       ORDER BY (e - s + 1) DESC, rnk, domain_id) - 1 AS ci
+  FROM grp
+),
+cand20 AS (
+  SELECT *, count(*) OVER (PARTITION BY protein_acc, klass, gid) AS n
+  FROM cand WHERE ci < 20
+),
+singles AS (
+  SELECT protein_acc, domain_id FROM cand20 WHERE n = 1
+),
+multi AS (SELECT DISTINCT protein_acc, klass, gid, n FROM cand20 WHERE n > 1),
+-- DFS replay: enumerate candidate subsets as bitmasks, candidate ci at
+-- bit (n-1-ci) so larger mask == earlier include-first DFS visit
+masks AS (
+  SELECT g.protein_acc, g.klass, g.gid, g.n, gs.mask
+  FROM multi g, LATERAL (
+    SELECT unnest(generate_series(1, (1::BIGINT << g.n) - 1)) AS mask
+  ) gs
+),
+conf AS (
+  SELECT a.protein_acc, a.klass, a.gid, a.ci AS i, b.ci AS j
+  FROM cand20 a
+  JOIN cand20 b ON a.protein_acc = b.protein_acc AND a.klass = b.klass
+               AND a.gid = b.gid AND a.ci < b.ci
+  WHERE least(a.e, b.e) - greatest(a.s, b.s) + 1 > 0
+    AND least(a.e, b.e) - greatest(a.s, b.s) + 1 >= least(a.sz, b.sz) * 0.3
+),
+invalid AS (
+  SELECT DISTINCT mk.protein_acc, mk.klass, mk.gid, mk.mask
+  FROM masks mk
+  JOIN conf c ON mk.protein_acc = c.protein_acc AND mk.klass = c.klass AND mk.gid = c.gid
+  WHERE ((mk.mask >> (mk.n - 1 - c.i)) & 1) = 1
+    AND ((mk.mask >> (mk.n - 1 - c.j)) & 1) = 1
+),
+valid_mm AS (
+  SELECT mk.protein_acc, mk.klass, mk.gid, mk.mask, mk.n,
+         c.ci, c.s, c.e, c.rnk, c.domain_id
+  FROM masks mk
+  JOIN cand20 c ON mk.protein_acc = c.protein_acc AND mk.klass = c.klass AND mk.gid = c.gid
+  WHERE ((mk.mask >> (mk.n - 1 - c.ci)) & 1) = 1
+    AND NOT EXISTS (SELECT 1 FROM invalid iv
+                    WHERE iv.protein_acc = mk.protein_acc AND iv.klass = mk.klass
+                      AND iv.gid = mk.gid AND iv.mask = mk.mask)
+),
+-- residue coverage of a subset: adjacency-merged islands (gap of 1 merges)
+isl AS (
+  SELECT *,
+    CASE WHEN s <= max(e) OVER (PARTITION BY protein_acc, klass, gid, mask
+                                ORDER BY s, e, domain_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 0 ELSE 1 END AS brk
+  FROM valid_mm
+),
+isl2 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY protein_acc, klass, gid, mask
+                           ORDER BY s, e, domain_id) AS iid
+  FROM isl
+),
+cov AS (
+  SELECT protein_acc, klass, gid, mask,
+         sum(iend - istart + 1) AS cov, sum(pf) AS pfams
+  FROM (
+    SELECT protein_acc, klass, gid, mask, iid,
+           min(s) AS istart, max(e) AS iend,
+           sum(CASE WHEN rnk = 0 THEN 1 ELSE 0 END) AS pf
+    FROM isl2
+    GROUP BY protein_acc, klass, gid, mask, iid
+  )
+  GROUP BY protein_acc, klass, gid, mask
+),
+best AS (
+  SELECT protein_acc, klass, gid, mask
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc, klass, gid
+                                 ORDER BY cov DESC, pfams DESC, mask DESC) AS rn
+    FROM cov
+  ) WHERE rn = 1
+),
+selected AS (
+  SELECT v.protein_acc, v.domain_id
+  FROM valid_mm v JOIN best b
+    ON v.protein_acc = b.protein_acc AND v.klass = b.klass
+   AND v.gid = b.gid AND v.mask = b.mask
+),
+reprs AS (
+  SELECT * FROM singles UNION ALL SELECT * FROM selected
+),
+sigsum AS (
+  SELECT m.protein_acc, m.signature_acc AS accession, m.db AS source_database,
+         m.typ AS "type", any_value(m.entry_acc) AS entry_acc,
+         count(*) AS n_locations,
+         CAST(sum(CASE WHEN r.domain_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repr,
+         CAST(sum(m.s) AS BIGINT) AS frag_start_sum,
+         CAST(sum(m.e) AS BIGINT) AS frag_end_sum,
+         CAST(sum(m.score_cents) AS BIGINT) AS score_cents_sum
+  FROM m LEFT JOIN reprs r ON m.protein_acc = r.protein_acc AND m.domain_id = r.domain_id
+  GROUP BY m.protein_acc, m.signature_acc, m.db, m.typ
+),
+ent AS (
+  SELECT protein_acc, entry_acc,
+         list_sort(list({s: s, e: e})) AS spans
+  FROM m WHERE entry_acc IS NOT NULL
+  GROUP BY protein_acc, entry_acc
+),
+-- entry condensation fold (swallow contained; extend on >=10 pct overlap
+-- of the shorter span; else emit) — mirrors condense_locations_col
+entfold AS (
+  SELECT protein_acc, entry_acc,
+    list_reduce(
+      list_transform(spans, x -> {done: CAST([] AS STRUCT(s BIGINT, e BIGINT)[]), cs: x.s, ce: x.e}),
+      (acc, x) -> CASE
+        WHEN x.ce <= acc.ce THEN acc
+        WHEN x.cs <= acc.ce
+             AND least(acc.ce, x.ce) - greatest(acc.cs, x.cs) + 1
+                 >= (least(acc.ce - acc.cs, x.ce - x.cs) + 1) * 0.1
+          THEN {done: acc.done, cs: acc.cs, ce: x.ce}
+        ELSE {done: list_append(acc.done, {s: acc.cs, e: acc.ce}), cs: x.cs, ce: x.ce}
+      END
+    ) AS st
+  FROM ent
+),
+entsum AS (
+  SELECT protein_acc, entry_acc AS accession, 'INTERPRO' AS source_database,
+         'Domain' AS "type", entry_acc,
+         CAST(len(condensed) AS BIGINT) AS n_locations,
+         0::BIGINT AS n_repr,
+         CAST(list_reduce(list_transform(condensed, x -> x.s), (a, b) -> a + b) AS BIGINT) AS frag_start_sum,
+         CAST(list_reduce(list_transform(condensed, x -> x.e), (a, b) -> a + b) AS BIGINT) AS frag_end_sum,
+         0::BIGINT AS score_cents_sum
+  FROM (
+    SELECT protein_acc, entry_acc,
+           list_append(st.done, {s: st.cs, e: st.ce}) AS condensed
+    FROM entfold
+  )
+)
+SELECT * FROM sigsum
+UNION ALL
+SELECT * FROM entsum
+    """,
+))
+
+
 def _flat_protein2ipr(spark: SparkSession, sf: str):
     from ..domain.flatfiles import protein2ipr_rows
     from ..domain.pipeline import classify_matches

@@ -88,7 +88,10 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="collect_set_priorities",
+    # z_-parked (still differ-checked): its operators are also covered
+    # by window_suite/array_ops, freeing a driver-window slot for
+    # domain_match_summary (the flagship X1 oracle, plans/domainq.py)
+    name="z_collect_set_priorities",
     tags=("A3", "O3", "F13"),
     description="Grouped distinct-set collection rendered as a sorted joined "
     "string (reference per-entry proteome/structure sets, interpro/xrefs/entries.py:139-154).",
