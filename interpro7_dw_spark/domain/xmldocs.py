@@ -1,0 +1,479 @@
+"""Concrete XML document composition — the row→element projections
+behind the reference's FTP XML deliverables:
+
+- ``match_complete.xml.gz`` per-protein match elements
+  (reference interpro/ftp/xmlfiles.py:457-551,556-659,786-875);
+- ``interpro.xml.gz`` per-entry elements
+  (reference interpro/ftp/xmlfiles.py:209-452);
+- ``uniparc_match`` protein elements (reference
+  interpro/ftp/uniparc.py:60-125) share the match/lcn shapes.
+
+The reference serializes with ``xml.dom.minidom``'s
+``writexml(addindent="  ", newl="\n")``; these builders reproduce that
+byte format (two-space child indent, one element per line, insertion-
+order attributes, minidom escaping rules, single-text-child elements
+rendered inline) as pure JVM column expressions — one XML string per
+protein/entry row, assembled with ``concat``/``transform``/
+``array_join`` inside whole-stage codegen. No Python in the row path;
+the framing (header, root tags, ``<release>`` block) rides
+``sources/sinks.write_xml``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# inverse of fragments.DC_STATUSES (reference xmlfiles.py:23)
+_DC_CODES = {
+    "CONTINUOUS": "S",
+    "N_TERMINAL_DISC": "N",
+    "C_TERMINAL_DISC": "C",
+    "NC_TERMINAL_DISC": "NC",
+}
+
+# parsed shape of the merge pipeline's locations JSON (domain/pipeline.py)
+LOCATIONS_SCHEMA = (
+    "array<struct<fragments: array<struct<start: bigint, `end`: bigint, "
+    "`dc-status`: string>>, representative: boolean, model: string, score: double>>"
+)
+
+
+def esc_attr(c: Column) -> Column:
+    """minidom attribute escaping: & < > \" (in that order)."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    return F.regexp_replace(c, '"', "&quot;")
+
+
+def esc_text(c: Column) -> Column:
+    """minidom _write_data escaping (& < \" > — applies to text nodes
+    and attribute values alike in minidom)."""
+    return esc_attr(c)
+
+
+def _esc_sql(expr: str) -> str:
+    """The same minidom escaping as a SQL snippet, for values rendered
+    inside F.expr-composed element strings."""
+    return (
+        "replace(replace(replace(replace(" + expr + ", '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+    )
+
+
+def _attr(name: str, value: Column) -> Column:
+    return F.concat(F.lit(f' {name}="'), esc_attr(value), F.lit('"'))
+
+
+def _dc_code_expr(status_field: str) -> str:
+    branches = " ".join(
+        f"WHEN {status_field} = '{k}' THEN '{v}'" for k, v in _DC_CODES.items()
+    )
+    return f"CASE {branches} END"
+
+
+def _lcn_expr() -> str:
+    """SQL expression rendering one parsed location struct ``l`` as a
+    ``<lcn .../>`` element at the given indent (reference
+    create_lcn, xmlfiles.py:845-875): start = first fragment start,
+    end = max fragment end, fragments string rebuilt START-END-CODE."""
+    frag_str = (
+        "array_join(transform(l.fragments, f -> concat(f.start, '-', f.end, '-', "
+        + _dc_code_expr("f.`dc-status`")
+        + ")), ',')"
+    )
+    return f"""
+      concat('<lcn start="', l.fragments[0].start,
+             '" end="', array_max(transform(l.fragments, f -> f.end)),
+             '" fragments="', {frag_str},
+             '" score="', cast(l.score as string),
+             '" representative="', if(l.representative, 'true', 'false'), '"/>')
+    """
+
+
+def match_elements(parsed: DataFrame) -> DataFrame:
+    """One row per (protein_acc, accession, model) ``<match>`` element.
+
+    ``parsed``: signature-level merge output with ``locs`` (parsed
+    locations array), ``sig_name``, ``source_database``, ``evidence``,
+    ``type``, plus nullable entry fields ``entry_acc``, ``entry_name``,
+    ``entry_type``, ``entry_parent``. Locations are grouped by model in
+    first-occurrence order (reference create_matches,
+    xmlfiles.py:786-823) — ``array_distinct`` preserves it.
+    """
+    lcn = _lcn_expr()
+    return (
+        parsed.select(
+            "*",
+            F.posexplode(
+                F.expr("array_distinct(transform(locs, l -> l.model))")
+            ).alias("mpos", "model"),
+        )
+        .withColumn("mlocs", F.expr("filter(locs, l -> l.model <=> model)"))
+        .select(
+            "protein_acc",
+            "accession",
+            # first-occurrence model order within a signature (reference
+            # groups locations into a dict, xmlfiles.py:787-794)
+            "mpos",
+            "model",
+            F.concat(
+                F.lit("<match"),
+                _attr("id", F.col("accession")),
+                _attr("name", F.col("sig_name")),
+                _attr("dbname", F.col("source_database")),
+                F.lit(' status="T"'),
+                _attr("model", F.col("model")),
+                _attr("evd", F.col("evidence")),
+                _attr("type", F.col("type")),
+                F.lit(">\n"),
+                F.when(
+                    F.col("entry_acc").isNotNull(),
+                    F.concat(
+                        F.lit("    <ipr"),
+                        _attr("id", F.col("entry_acc")),
+                        _attr("name", F.col("entry_name")),
+                        _attr("type", F.col("entry_type")),
+                        F.when(
+                            F.col("entry_parent").isNotNull(),
+                            _attr("parent_id", F.col("entry_parent")),
+                        ).otherwise(F.lit("")),
+                        F.lit("/>\n"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.expr(f"array_join(transform(mlocs, l -> concat('    ', {lcn})), '\\n')"),
+                F.lit("\n  </match>"),
+            ).alias("xml"),
+        )
+    )
+
+
+def match_complete_proteins(
+    merged: DataFrame,
+    signatures: DataFrame,
+    entries: DataFrame,
+    proteins: DataFrame,
+) -> DataFrame:
+    """Compose ``<protein>`` elements for match_complete.xml from the
+    merge pipeline output (reference _export_matches,
+    xmlfiles.py:457-551): signature matches sorted by accession, each
+    expanded per model, INTERPRO rows folded into ``<ipr>`` children.
+
+    ``proteins`` columns: protein_acc, name, length, crc64, taxid,
+    reviewed (boolean). Returns (protein_acc, xml) sorted composition-
+    ready; feed to ``sources.sinks.write_xml`` with root
+    ``interpromatch``.
+    """
+    sig_dim = F.broadcast(
+        signatures.select(
+            F.col("signature_acc").alias("accession"),
+            F.col("name").alias("sig_name"),
+            F.col("evidence"),
+        )
+    )
+    ent_dim = F.broadcast(
+        entries.select(
+            F.col("entry_acc"),
+            F.col("name").alias("entry_name"),
+            F.col("type").alias("entry_type"),
+            F.col("parent_acc").alias("entry_parent"),
+        )
+    )
+    parsed = (
+        merged.filter(F.col("source_database") != "INTERPRO")
+        .withColumn("locs", F.from_json("locations", LOCATIONS_SCHEMA))
+        .join(sig_dim, "accession", "left")
+        .join(ent_dim, "entry_acc", "left")
+    )
+    elems = match_elements(parsed)
+
+    per_protein = elems.groupBy("protein_acc").agg(
+        F.expr(
+            """
+            array_join(
+              transform(
+                array_sort(collect_list(struct(accession, mpos, xml))),
+                x -> concat('  ', x.xml)),
+              '\\n')
+            """
+        ).alias("matches_xml")
+    )
+
+    prot = proteins.select(
+        "protein_acc",
+        F.col("name").alias("p_name"),
+        F.col("length").cast("string").alias("p_len"),
+        "crc64",
+        F.col("taxid").cast("string").alias("p_taxid"),
+        F.when(F.col("reviewed"), "reviewed").otherwise("unreviewed").alias("p_status"),
+    )
+    open_tag = F.concat(
+        F.lit("<protein"),
+        _attr("id", F.col("protein_acc")),
+        _attr("name", F.col("p_name")),
+        _attr("length", F.col("p_len")),
+        _attr("crc64", F.col("crc64")),
+        _attr("taxid", F.col("p_taxid")),
+        _attr("status", F.col("p_status")),
+    )
+    return (
+        prot.join(per_protein, "protein_acc", "left")
+        .select(
+            "protein_acc",
+            F.when(
+                F.col("matches_xml").isNull(), F.concat(open_tag, F.lit("/>"))
+            )
+            .otherwise(
+                F.concat(open_tag, F.lit(">\n"), F.col("matches_xml"), F.lit("\n</protein>"))
+            )
+            .alias("xml"),
+        )
+        .sort("protein_acc")
+    )
+
+
+def interpro_entries_xml(
+    entries: DataFrame,
+    signatures: DataFrame,
+    entry2protein_count: DataFrame,
+    go_terms: DataFrame | None = None,
+    taxonomy_distribution: DataFrame | None = None,
+) -> DataFrame:
+    """Compose ``<interpro>`` elements for interpro.xml (reference
+    xmlfiles.py:209-452): entry attributes, name, abstract, class_list
+    (GO), parent_list / child_list, member_list with per-signature
+    protein counts, taxonomy_distribution.
+
+    ``entries`` columns: entry_acc, name, short_name, type, parent_acc,
+    optional ``abstract`` (plain text), optional booleans ``llm`` /
+    ``llm_reviewed``. ``entry2protein_count``: (entry_acc, n_proteins).
+    ``go_terms``: (entry_acc, go_id, category, go_name). ``signatures``
+    must carry (signature_acc, short_name, database, entry_acc) and
+    joins ``entry2protein_count`` per signature via
+    (signature_acc, n_proteins) in ``member_counts`` — here the per-
+    signature count defaults to the entry count's signature rows if a
+    ``n_proteins`` column is present on ``signatures``.
+    """
+    has_abstract = "abstract" in entries.columns
+    has_llm = "llm" in entries.columns
+
+    members = (
+        signatures.filter(F.col("entry_acc").isNotNull())
+        .select(
+            "entry_acc",
+            F.col("signature_acc"),
+            F.col("short_name").alias("sig_short"),
+            F.col("database").alias("sig_db"),
+            (
+                F.col("n_proteins")
+                if "n_proteins" in signatures.columns
+                else F.lit(0)
+            ).cast("string").alias("sig_np"),
+        )
+        .groupBy("entry_acc")
+        .agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(
+                    array_sort(collect_list(struct(signature_acc, sig_np, sig_db, sig_short))),
+                    x -> concat('    <db_xref protein_count="', x.sig_np,
+                                '" db="', {_esc_sql('x.sig_db')},
+                                '" dbkey="', {_esc_sql('x.signature_acc')},
+                                '" name="', {_esc_sql('x.sig_short')}, '"/>')),
+                  '\\n')
+                """
+            ).alias("members_xml")
+        )
+    )
+
+    children = (
+        entries.filter(F.col("parent_acc").isNotNull())
+        .groupBy(F.col("parent_acc").alias("entry_acc"))
+        .agg(
+            F.expr(
+                """
+                array_join(
+                  transform(array_sort(collect_list(entry_acc)),
+                            c -> concat('    <rel_ref ipr_ref="', c, '"/>')),
+                  '\\n')
+                """
+            ).alias("children_xml")
+        )
+    )
+
+    go_xml = None
+    if go_terms is not None:
+        go_xml = go_terms.groupBy("entry_acc").agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(
+                    array_sort(collect_list(struct(go_id, category, go_name))),
+                    g -> concat('    <classification id="', {_esc_sql('g.go_id')},
+                                '" class_type="GO">\\n',
+                                '      <category>', {_esc_sql('g.category')}, '</category>\\n',
+                                '      <description>', {_esc_sql('g.go_name')}, '</description>\\n',
+                                '    </classification>')),
+                  '\\n')
+                """
+            ).alias("go_xml")
+        )
+
+    tax_xml = None
+    if taxonomy_distribution is not None:
+        tax_xml = taxonomy_distribution.groupBy("entry_acc").agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(
+                    array_sort(collect_list(struct(taxon_name, n_proteins))),
+                    x -> concat('    <taxon_data name="', {_esc_sql('x.taxon_name')},
+                                '" proteins_count="', x.n_proteins, '"/>')),
+                  '\\n')
+                """
+            ).alias("tax_xml")
+        )
+
+    df = (
+        entries.join(F.broadcast(entry2protein_count), "entry_acc", "left")
+        .join(members, "entry_acc", "left")
+        .join(F.broadcast(children), "entry_acc", "left")
+    )
+    if go_xml is not None:
+        df = df.join(F.broadcast(go_xml), "entry_acc", "left")
+    if tax_xml is not None:
+        df = df.join(F.broadcast(tax_xml), "entry_acc", "left")
+
+    llm_attr = (
+        F.concat(
+            F.lit(' is-llm="'),
+            F.when(F.col("llm"), "true").otherwise("false"),
+            F.lit('" is-llm-reviewed="'),
+            F.when(F.col("llm_reviewed"), "true").otherwise("false"),
+            F.lit('"'),
+        )
+        if has_llm
+        else F.lit(' is-llm="false" is-llm-reviewed="false"')
+    )
+
+    blocks = [
+        F.concat(
+            F.lit("<interpro"),
+            _attr("id", F.col("entry_acc")),
+            _attr("protein_count", F.coalesce(F.col("n_proteins"), F.lit(0)).cast("string")),
+            _attr("short_name", F.col("short_name")),
+            _attr("type", F.col("type")),
+            llm_attr,
+            F.lit(">"),
+        ),
+        F.concat(F.lit("  <name>"), esc_text(F.col("name")), F.lit("</name>")),
+    ]
+    if has_abstract:
+        blocks.append(
+            F.when(
+                F.col("abstract").isNotNull(),
+                F.concat(
+                    F.lit('  <abstract is-llm="false" is-llm-reviewed="false">'),
+                    esc_text(F.col("abstract")),
+                    F.lit("</abstract>"),
+                ),
+            )
+        )
+    if go_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("go_xml").isNotNull(),
+                F.concat(F.lit("  <class_list>\n"), F.col("go_xml"), F.lit("\n  </class_list>")),
+            )
+        )
+    blocks.append(
+        F.when(
+            F.col("parent_acc").isNotNull(),
+            F.concat(
+                F.lit('  <parent_list>\n    <rel_ref ipr_ref="'),
+                F.col("parent_acc"),
+                F.lit('"/>\n  </parent_list>'),
+            ),
+        )
+    )
+    blocks.append(
+        F.when(
+            F.col("children_xml").isNotNull(),
+            F.concat(F.lit("  <child_list>\n"), F.col("children_xml"), F.lit("\n  </child_list>")),
+        )
+    )
+    # member_list is always present, possibly empty (xmlfiles.py:388-400)
+    blocks.append(
+        F.when(
+            F.col("members_xml").isNotNull(),
+            F.concat(F.lit("  <member_list>\n"), F.col("members_xml"), F.lit("\n  </member_list>")),
+        ).otherwise(F.lit("  <member_list/>")),
+    )
+    if tax_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("tax_xml").isNotNull(),
+                F.concat(
+                    F.lit("  <taxonomy_distribution>\n"),
+                    F.col("tax_xml"),
+                    F.lit("\n  </taxonomy_distribution>"),
+                ),
+            ).otherwise(F.lit("  <taxonomy_distribution/>")),
+        )
+
+    body = F.concat_ws("\n", *[F.coalesce(b, F.lit("")) for b in blocks])
+    # drop blank lines left by absent optional blocks
+    body = F.regexp_replace(body, "\n{2,}", "\n")
+    return entries.select("entry_acc").join(
+        df.select(
+            "entry_acc",
+            F.concat(body, F.lit("\n</interpro>")).alias("xml"),
+        ),
+        "entry_acc",
+    ).sort("entry_acc")
+
+
+def release_dbinfo_xml(databases: list[dict], attr_order: tuple[str, ...]) -> str:
+    """The ``<release>`` block (xmlfiles.py:216-233,630-645): one
+    ``dbinfo`` per database dict with keys matching ``attr_order``
+    (interpro.xml uses (version, dbname, entry_count, file_date);
+    match_complete.xml uses (dbname, version, entry_count, file_date)).
+    Dimension-sized — composed driver-side."""
+    lines = ["<release>"]
+    for db in databases:
+        attrs = "".join(f' {k}="{db[k]}"' for k in attr_order)
+        lines.append(f"  <dbinfo{attrs}/>")
+    lines.append("</release>")
+    return "\n".join(lines)
+
+
+def export_match_complete(
+    merged: DataFrame,
+    signatures: DataFrame,
+    entries: DataFrame,
+    proteins: DataFrame,
+    path: str,
+    databases: list[dict] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """match_complete.xml.gz end-to-end (xmlfiles.py:556-659): XML
+    declaration + DOCTYPE header, ``<release>`` prolog, sorted
+    per-protein elements, ``</interpromatch>`` close."""
+    from ..sources.sinks import write_xml
+
+    df = match_complete_proteins(merged, signatures, entries, proteins)
+    prolog = release_dbinfo_xml(
+        databases or [], ("dbname", "version", "entry_count", "file_date")
+    ) if databases else None
+    write_xml(
+        df.select("xml"),
+        path,
+        row_to_xml=lambda r: r.xml,
+        root_tag="interpromatch",
+        header='<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<!DOCTYPE interpromatch SYSTEM "match_complete.dtd">',
+        prolog=prolog,
+        compression=compression,
+    )

@@ -137,13 +137,16 @@ def write_xml(
     row_to_xml,  # Callable[[Row], str]
     root_tag: str,
     header: str = '<?xml version="1.0" encoding="UTF-8"?>',
+    prolog: str | None = None,
     compression: str | None = None,
 ) -> None:
     """Framed XML sink (reference interpro.xml.gz DOM writers,
     interpro/ftp/xmlfiles.py:209-452): mapPartitions serializes rows
-    to fragments in parallel; the frame (header/root open/close) is
-    prepended/appended as tiny DataFrames so the final concatenated
-    stream is well-formed. Single file to preserve framing order."""
+    to fragments in parallel; the frame (header/root open/close, plus
+    an optional ``prolog`` block right after the root opens — e.g. the
+    ``<release>`` dbinfo section) is prepended/appended inside the
+    single partition's iterator so the final concatenated stream is
+    well-formed. Single file to preserve framing order."""
     body = df.rdd.mapPartitions(lambda rows: (row_to_xml(r) for r in rows))
     open_tag, close_tag = f"<{root_tag}>", f"</{root_tag}>"
 
@@ -152,6 +155,8 @@ def write_xml(
     def frame(lines):
         yield (header,)
         yield (open_tag,)
+        if prolog is not None:
+            yield (prolog,)
         for line in lines:
             yield (line,)
         yield (close_tag,)

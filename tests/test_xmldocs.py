@@ -1,0 +1,238 @@
+"""Byte-fidelity tests for the XML document compositions
+(domain/xmldocs.py) against an expected serialization built with
+xml.dom.minidom the same way the reference writers do
+(interpro/ftp/xmlfiles.py:457-551,786-875 for match_complete;
+xmlfiles.py:209-452 for interpro.xml)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+from xml.dom.minidom import getDOMImplementation
+
+import pytest
+from pyspark.sql import functions as F
+
+from interpro7_dw_spark.domain.pipeline import merge_protein_matches
+from interpro7_dw_spark.domain.xmldocs import (
+    _DC_CODES,
+    interpro_entries_xml,
+    match_complete_proteins,
+    release_dbinfo_xml,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    matches = spark.createDataFrame(
+        [
+            # two locations, one with a discontinuous 2-fragment string,
+            # plus a second signature and an integrated entry
+            ("P1", "SIGA", None, 10, 50, None, 0.25),
+            ("P1", "SIGA", None, 60, 90, "60-70-N,80-90-C", 0.5),
+            ("P1", "SIGB", None, 10, 45, None, 1.5),
+            ("P2", "SIGB", None, 5, 25, None, 0.75),
+        ],
+        "protein_acc string, signature_acc string, model_acc string, "
+        "pos_from long, pos_to long, fragments string, score double",
+    )
+    signatures = spark.createDataFrame(
+        [
+            ("SIGA", "Sig <A> & co", "sigA", "Pfam", "domain", "hmm", "IPR1"),
+            ("SIGB", "Sig B", "sigB", "CDD", "domain", "hmm", None),
+        ],
+        "signature_acc string, name string, short_name string, "
+        "database string, type string, evidence string, entry_acc string",
+    )
+    entries = spark.createDataFrame(
+        [
+            ("IPR1", 'Entry "one"', "entry_1", "Domain", None),
+            ("IPR2", "Entry two", "entry_2", "Family", "IPR1"),
+        ],
+        "entry_acc string, name string, short_name string, type string, parent_acc string",
+    )
+    proteins = spark.createDataFrame(
+        [
+            ("P1", "PROT1_HUMAN", 400, "ABCDEF0123456789", "9606", True),
+            ("P2", "PROT2_MOUSE", 200, "0123456789ABCDEF", "10090", False),
+            ("P3", "PROT3_YEAST", 100, "FFFF0000FFFF0000", "4932", False),
+        ],
+        "protein_acc string, name string, length int, crc64 string, taxid string, reviewed boolean",
+    )
+    return matches, signatures, entries, proteins
+
+
+def _expected_protein_elem(doc, protein, matches_by_sig, sig_dim, ent_dim):
+    """Build the expected <protein> element with minidom, mirroring the
+    reference builder (_export_matches + create_matches + create_lcn)."""
+    acc, name, length, crc64, taxid, reviewed = protein
+    elem = doc.createElement("protein")
+    elem.setAttribute("id", acc)
+    elem.setAttribute("name", name)
+    elem.setAttribute("length", str(length))
+    elem.setAttribute("crc64", crc64)
+    elem.setAttribute("taxid", taxid)
+    elem.setAttribute("status", "reviewed" if reviewed else "unreviewed")
+
+    for sig_acc in sorted(matches_by_sig):
+        locations = matches_by_sig[sig_acc]
+        sig = sig_dim[sig_acc]
+        models = {}
+        for loc in locations:
+            models.setdefault(loc["model"], []).append(loc)
+        for model, locs in models.items():
+            m = doc.createElement("match")
+            m.setAttribute("id", sig_acc)
+            m.setAttribute("name", sig["name"])
+            m.setAttribute("dbname", sig["database"])
+            m.setAttribute("status", "T")
+            m.setAttribute("model", model)
+            m.setAttribute("evd", sig["evidence"])
+            m.setAttribute("type", sig["type"])
+            if sig["entry_acc"]:
+                ent = ent_dim[sig["entry_acc"]]
+                ipr = doc.createElement("ipr")
+                ipr.setAttribute("id", sig["entry_acc"])
+                ipr.setAttribute("name", ent["name"])
+                ipr.setAttribute("type", ent["type"])
+                if ent["parent_acc"]:
+                    ipr.setAttribute("parent_id", ent["parent_acc"])
+                m.appendChild(ipr)
+            for loc in locs:
+                frags = loc["fragments"]
+                lcn = doc.createElement("lcn")
+                lcn.setAttribute("start", str(frags[0]["start"]))
+                lcn.setAttribute("end", str(max(f["end"] for f in frags)))
+                lcn.setAttribute(
+                    "fragments",
+                    ",".join(
+                        f"{f['start']}-{f['end']}-{_DC_CODES[f['dc-status']]}"
+                        for f in frags
+                    ),
+                )
+                lcn.setAttribute("score", str(loc["score"]))
+                lcn.setAttribute(
+                    "representative", "true" if loc.get("representative") else "false"
+                )
+                m.appendChild(lcn)
+            elem.appendChild(m)
+    return elem
+
+
+def test_match_complete_protein_elements_byte_fidelity(spark, fixture):
+    matches, signatures, entries, proteins = fixture
+    merged = merge_protein_matches(matches, signatures, entries)
+    got = {
+        r.protein_acc: r.xml
+        for r in match_complete_proteins(merged, signatures, entries, proteins).collect()
+    }
+
+    # expected: parse the pipeline's own locations JSON (already
+    # golden-tested in test_domain.py) and render through minidom
+    sig_rows = merged.filter(F.col("source_database") != "INTERPRO").collect()
+    by_protein: dict[str, dict[str, list]] = {}
+    for r in sig_rows:
+        by_protein.setdefault(r.protein_acc, {})[r.accession] = json.loads(r.locations)
+    sig_dim = {r.signature_acc: r.asDict() for r in signatures.collect()}
+    ent_dim = {r.entry_acc: r.asDict() for r in entries.collect()}
+
+    doc = getDOMImplementation().createDocument(None, None, None)
+    for prot in proteins.collect():
+        elem = _expected_protein_elem(
+            doc, tuple(prot), by_protein.get(prot.protein_acc, {}), sig_dim, ent_dim
+        )
+        expected = elem.toprettyxml(indent="  ", newl="\n").rstrip("\n")
+        assert got[prot.protein_acc] == expected, prot.protein_acc
+
+    # empty protein renders self-closed, like minidom
+    assert got["P3"] == (
+        '<protein id="P3" name="PROT3_YEAST" length="100" '
+        'crc64="FFFF0000FFFF0000" taxid="4932" status="unreviewed"/>'
+    )
+
+
+def test_export_match_complete_file_framing(spark, fixture, tmp_path):
+    from interpro7_dw_spark.domain.xmldocs import export_match_complete
+
+    matches, signatures, entries, proteins = fixture
+    merged = merge_protein_matches(matches, signatures, entries)
+    out = str(tmp_path / "match_complete_xml")
+    dbs = [
+        {"dbname": "PFAM", "version": "37.0", "entry_count": 2, "file_date": "01-JAN-26"},
+    ]
+    export_match_complete(merged, signatures, entries, proteins, out, databases=dbs)
+
+    parts = glob.glob(out + "/part-*.txt.gz")
+    assert len(parts) == 1
+    text = gzip.open(parts[0], "rt", encoding="utf-8").read()
+    assert text.startswith(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<!DOCTYPE interpromatch SYSTEM "match_complete.dtd">\n'
+        "<interpromatch>\n"
+        "<release>\n"
+        '  <dbinfo dbname="PFAM" version="37.0" entry_count="2" file_date="01-JAN-26"/>\n'
+        "</release>\n"
+    )
+    assert text.rstrip("\n").endswith("</interpromatch>")
+    # well-formed end to end
+    from xml.dom.minidom import parseString
+
+    dom = parseString(text)
+    assert len(dom.getElementsByTagName("protein")) == 3
+    assert len(dom.getElementsByTagName("match")) == 3
+    assert len(dom.getElementsByTagName("lcn")) == 4
+
+
+def test_interpro_entries_xml(spark, fixture):
+    _, signatures, entries, _ = fixture
+    counts = spark.createDataFrame(
+        [("IPR1", 10)], "entry_acc string, n_proteins int"
+    )
+    go = spark.createDataFrame(
+        [("IPR1", "GO:0005524", "Molecular Function", "ATP binding")],
+        "entry_acc string, go_id string, category string, go_name string",
+    )
+    got = {
+        r.entry_acc: r.xml
+        for r in interpro_entries_xml(entries, signatures, counts, go_terms=go).collect()
+    }
+    assert got["IPR1"] == (
+        '<interpro id="IPR1" protein_count="10" short_name="entry_1" '
+        'type="Domain" is-llm="false" is-llm-reviewed="false">\n'
+        "  <name>Entry &quot;one&quot;</name>\n"
+        "  <class_list>\n"
+        '    <classification id="GO:0005524" class_type="GO">\n'
+        "      <category>Molecular Function</category>\n"
+        "      <description>ATP binding</description>\n"
+        "    </classification>\n"
+        "  </class_list>\n"
+        "  <child_list>\n"
+        '    <rel_ref ipr_ref="IPR2"/>\n'
+        "  </child_list>\n"
+        "  <member_list>\n"
+        '    <db_xref protein_count="0" db="Pfam" dbkey="SIGA" name="sigA"/>\n'
+        "  </member_list>\n"
+        "</interpro>"
+    )
+    assert got["IPR2"] == (
+        '<interpro id="IPR2" protein_count="0" short_name="entry_2" '
+        'type="Family" is-llm="false" is-llm-reviewed="false">\n'
+        "  <name>Entry two</name>\n"
+        "  <parent_list>\n"
+        '    <rel_ref ipr_ref="IPR1"/>\n'
+        "  </parent_list>\n"
+        "  <member_list/>\n"
+        "</interpro>"
+    )
+
+
+def test_release_dbinfo_block():
+    dbs = [
+        {"version": "99.0", "dbname": "InterPro", "entry_count": 5, "file_date": "01-JAN-26"},
+    ]
+    assert release_dbinfo_xml(dbs, ("version", "dbname", "entry_count", "file_date")) == (
+        "<release>\n"
+        '  <dbinfo version="99.0" dbname="InterPro" entry_count="5" file_date="01-JAN-26"/>\n'
+        "</release>"
+    )
