@@ -1,0 +1,255 @@
+"""webfront_protein mart catalog entry (reference
+interpro/mysql/proteins.py:273-540): one row per protein composing
+organism JSON, per-database entry counts, clan sets, inherited GO
+terms, domain-organisation id/key/architecture-count, proteome /
+structure / isoform counts and the final counts JSON — all synthesized
+deterministically from the star schema so DuckDB can replay the
+composition exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..domain.proteins import protein_mart
+from .domainq import _SIG_DBS
+from .spec import QuerySpec, register, t
+
+_DB_ARR = "['" + "','".join(_SIG_DBS) + "']"
+
+
+def synth_proteins(spark: SparkSession, sf: str):
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    nation = t(spark, sf, "nation")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.concat(F.lit("P"), F.col("o_orderkey")).alias("protein_acc"),
+            F.concat(F.lit("ID"), F.col("o_orderkey")).alias("identifier"),
+            F.col("o_orderpriority").alias("name"),
+            ((F.col("o_orderkey") % 1000) + 50).cast("long").alias("length"),
+            F.col("c_nationkey").cast("string").alias("tax_id"),
+            F.col("n_name").alias("sci_name"),
+            F.concat(F.col("n_name"), F.lit(" (full)")).alias("full_name"),
+            (F.col("o_orderstatus") == "F").alias("reviewed"),
+            (F.col("o_orderkey") % 10 == 0).alias("fragment"),
+            ((F.col("o_orderkey") % 4) + 1).cast("int").alias("evidence"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.concat(F.lit("GEN"), F.col("o_orderkey") % 100),
+            ).alias("gene"),
+        )
+    )
+
+
+def synth_matches(spark: SparkSession, sf: str):
+    li = t(spark, sf, "lineitem")
+    sig_num = F.col("l_partkey") % 200
+    idx = sig_num % 9
+    db = F.lit(None).cast("string")
+    for i, d in enumerate(_SIG_DBS):
+        db = F.when(idx == i, d).otherwise(db)
+    return li.select(
+        F.concat(F.lit("P"), F.col("l_orderkey")).alias("protein_acc"),
+        F.concat(F.lit("SIG"), sig_num).alias("signature_acc"),
+        db.alias("database"),
+    )
+
+
+def synth_signature_clans(spark: SparkSession):
+    return spark.range(200).filter(F.col("id") % 5 == 0).select(
+        F.concat(F.lit("SIG"), F.col("id")).alias("signature_acc"),
+        F.concat(F.lit("CL"), F.col("id") % 10).alias("clan_acc"),
+    )
+
+
+def synth_entry_go(spark: SparkSession):
+    g = F.col("id") % 7
+    cat = F.expr("array('BP','CC','MF')[cast((id % 7) % 3 as int)]")
+    return spark.range(200).filter(F.col("id") % 3 == 0).select(
+        F.concat(F.lit("SIG"), F.col("id")).alias("signature_acc"),
+        F.concat(F.lit("GO:000"), g).alias("go_id"),
+        F.concat(F.lit("go name "), g).alias("go_name"),
+        cat.alias("category"),
+    )
+
+
+def synth_proteomes(spark: SparkSession, sf: str):
+    orders = t(spark, sf, "orders")
+    return orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.concat(F.lit("P"), F.col("o_orderkey")).alias("protein_acc"),
+        F.concat(F.lit("UP"), F.col("o_orderkey") % 50).alias("proteome_id"),
+    )
+
+
+def synth_structures(spark: SparkSession, sf: str):
+    li = t(spark, sf, "lineitem")
+    return li.filter(F.col("l_partkey") % 7 == 0).select(
+        F.concat(F.lit("P"), F.col("l_orderkey")).alias("protein_acc"),
+        F.concat(F.lit("PDB"), F.col("l_partkey") % 500).alias("pdb_id"),
+    )
+
+
+def synth_isoforms(spark: SparkSession, sf: str):
+    orders = t(spark, sf, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 6 == 0)
+        .select(
+            F.concat(F.lit("P"), F.col("o_orderkey")).alias("protein_acc"),
+            F.explode(F.expr("sequence(1, cast(o_orderkey % 2 + 1 as int))")).alias("iso"),
+        )
+        .select("protein_acc")
+    )
+
+
+def synth_domorgs(spark: SparkSession, sf: str):
+    """Domain organisation from pfam-class matches: key = sorted
+    distinct pfam signatures joined '-', id = md5(key), count = number
+    of proteins sharing the key (reference domorgs KVStore,
+    proteins.py:464-471 / uniprot/proteins.py dom-org export)."""
+    m = synth_matches(spark, sf).filter(F.col("database") == "pfam")
+    keys = m.groupBy("protein_acc").agg(
+        F.array_join(F.array_sort(F.collect_set("signature_acc")), "-").alias("dom_key")
+    )
+    w = Window.partitionBy("dom_key")
+    return keys.select(
+        "protein_acc",
+        F.md5("dom_key").alias("dom_id"),
+        "dom_key",
+        F.count("*").over(w).alias("dom_count"),
+    )
+
+
+def _mart_protein(spark: SparkSession, sf: str):
+    return protein_mart(
+        synth_proteins(spark, sf),
+        synth_matches(spark, sf),
+        signature_clans=synth_signature_clans(spark),
+        entry_go=synth_entry_go(spark),
+        proteomes=synth_proteomes(spark, sf),
+        structures=synth_structures(spark, sf),
+        domorgs=synth_domorgs(spark, sf),
+        isoforms=synth_isoforms(spark, sf),
+    )
+
+
+register(QuerySpec(
+    name="mart_protein",
+    tags=("X5", "A2", "A5", "A8", "F3", "F8", "J2", "J6"),
+    description="webfront_protein mart (reference interpro/mysql/"
+    "proteins.py:273-540): per-protein organism JSON, per-db match-count "
+    "map, clan set counts, inherited GO term JSON, domain-organisation "
+    "fingerprint (md5 of the sorted pfam signature list) with per-key "
+    "architecture counts, proteome/structure/isoform counts, and the "
+    "counts JSON blob. Canonical divergence (documented in domain/"
+    "proteins.py): maps/lists sorted by key instead of dict insertion "
+    "order.",
+    build=_mart_protein,
+    oracle=f"""
+WITH prot AS (
+  SELECT 'P' || o_orderkey AS protein_acc, 'ID' || o_orderkey AS identifier,
+         o_orderpriority AS name, CAST((o_orderkey % 1000) + 50 AS BIGINT) AS length,
+         CAST(c_nationkey AS VARCHAR) AS tax_id, n_name AS sci_name,
+         n_name || ' (full)' AS full_name,
+         o_orderstatus = 'F' AS reviewed,
+         o_orderkey % 10 = 0 AS fragment,
+         CAST((o_orderkey % 4) + 1 AS INT) AS evidence,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'GEN' || (o_orderkey % 100) END AS gene,
+         o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+m AS (
+  SELECT 'P' || l_orderkey AS protein_acc,
+         'SIG' || (l_partkey % 200) AS signature_acc,
+         {_DB_ARR}[CAST((l_partkey % 200) % 9 AS INT) + 1] AS db
+  FROM lineitem
+),
+dbc AS (
+  SELECT protein_acc,
+         '{{' || string_agg('"' || db || '":' || n, ',' ORDER BY db) || '}}' AS entries_map
+  FROM (SELECT protein_acc, db, count(*) AS n FROM m GROUP BY 1, 2)
+  GROUP BY protein_acc
+),
+clans AS (
+  SELECT 'SIG' || i AS signature_acc, 'CL' || (i % 10) AS clan_acc
+  FROM (SELECT unnest(generate_series(0, 199)) AS i) WHERE i % 5 = 0
+),
+nsets AS (
+  SELECT m.protein_acc, count(DISTINCT c.clan_acc) AS n_sets
+  FROM m JOIN clans c ON m.signature_acc = c.signature_acc
+  GROUP BY m.protein_acc
+),
+ego AS (
+  SELECT 'SIG' || i AS signature_acc, 'GO:000' || (i % 7) AS go_id,
+         'go name ' || (i % 7) AS go_name,
+         ['BP','CC','MF'][CAST((i % 7) % 3 AS INT) + 1] AS category
+  FROM (SELECT unnest(generate_series(0, 199)) AS i) WHERE i % 3 = 0
+),
+pgo AS (
+  SELECT protein_acc,
+         '[' || string_agg(
+           '{{"identifier":"' || go_id || '","name":"' || go_name
+           || '","category":"' || category || '"}}',
+           ',' ORDER BY go_id, go_name, category) || ']' AS go_terms
+  FROM (SELECT DISTINCT m.protein_acc, g.go_id, g.go_name, g.category
+        FROM m JOIN ego g ON m.signature_acc = g.signature_acc)
+  GROUP BY protein_acc
+),
+upids AS (
+  SELECT 'P' || o_orderkey AS protein_acc,
+         min('UP' || (o_orderkey % 50)) AS proteome_id
+  FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1
+),
+structs AS (
+  SELECT 'P' || l_orderkey AS protein_acc,
+         count(DISTINCT 'PDB' || (l_partkey % 500)) AS n_structures
+  FROM lineitem WHERE l_partkey % 7 = 0 GROUP BY 1
+),
+isos AS (
+  SELECT 'P' || o_orderkey AS protein_acc,
+         CAST(o_orderkey % 2 + 1 AS BIGINT) AS n_isoforms
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+domkeys AS (
+  SELECT protein_acc,
+         string_agg(DISTINCT signature_acc, '-' ORDER BY signature_acc) AS dom_key
+  FROM m WHERE db = 'pfam' GROUP BY protein_acc
+),
+domorgs AS (
+  SELECT protein_acc, md5(dom_key) AS dom_id, dom_key,
+         count(*) OVER (PARTITION BY dom_key) AS dom_count
+  FROM domkeys
+)
+SELECT p.protein_acc AS accession, p.identifier,
+       '{{"taxId":"' || p.tax_id || '","scientificName":"' || p.sci_name
+         || '","fullName":"' || p.full_name || '"}}' AS organism,
+       p.name, p.length,
+       u.proteome_id, p.gene,
+       g.go_terms,
+       p.evidence AS evidence_code,
+       CASE WHEN p.reviewed THEN 'reviewed' ELSE 'unreviewed' END AS source_database,
+       CASE WHEN p.fragment THEN 1 ELSE 0 END AS is_fragment,
+       p.tax_id,
+       d.dom_id, d.dom_key AS ida,
+       '{{"domain_architectures":' || coalesce(d.dom_count, 0)
+         || ',"entries":' || coalesce(c.entries_map, '{{}}')
+         || ',"isoforms":' || coalesce(i.n_isoforms, 0)
+         || ',"proteomes":' || CASE WHEN u.proteome_id IS NOT NULL THEN 1 ELSE 0 END
+         || ',"sets":' || coalesce(s.n_sets, 0)
+         || ',"structures":' || coalesce(st.n_structures, 0)
+         || ',"taxa":1}}' AS counts
+FROM prot p
+LEFT JOIN dbc c ON p.protein_acc = c.protein_acc
+LEFT JOIN nsets s ON p.protein_acc = s.protein_acc
+LEFT JOIN pgo g ON p.protein_acc = g.protein_acc
+LEFT JOIN upids u ON p.protein_acc = u.protein_acc
+LEFT JOIN structs st ON p.protein_acc = st.protein_acc
+LEFT JOIN domorgs d ON p.protein_acc = d.protein_acc
+LEFT JOIN isos i ON p.protein_acc = i.protein_acc
+    """,
+))

@@ -556,7 +556,10 @@ def _cross_denorm(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="cross_denorm",
+    # z_-parked (still differ-checked): J9 also covered by
+    # search_documents, J3 by join_left_default — slot freed for
+    # mart_protein (plans/proteinq.py)
+    name="z_cross_denorm",
     tags=("J9", "J3"),
     description="Cross-product denormalization with zero-filled fallback cells "
     "(reference ES (protein x entry x chain) doc fan-out + fallback docs, "

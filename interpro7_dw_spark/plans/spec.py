@@ -72,7 +72,17 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect registration of every plan module
-    from . import domainq, graphs, llmops, marts, relational, relational2, streams  # noqa: F401
+    from . import (  # noqa: F401
+        domainq,
+        ebiq,
+        graphs,
+        llmops,
+        marts,
+        proteinq,
+        relational,
+        relational2,
+        streams,
+    )
 
     return dict(REGISTRY)
 
