@@ -63,17 +63,16 @@ _NODE_SCHEMA = (
 )
 
 
-def taxon_distribution_tree(
+def taxon_distribution_nodes(
     facts: DataFrame,
     taxa: DataFrame,
     entry_col: str = "entry_acc",
 ) -> DataFrame:
-    """Per-entry distribution tree JSON.
-
-    ``facts``: (entry_acc, tax_id, num_proteins, is_species) — one row
-    per (entry, matched taxon). ``taxa``: (tax_id, parent_id, rank,
-    sci_name). Returns (entry_acc, tree) with canonical JSON.
-    """
+    """Flat node relation of the per-entry distribution tree: one row
+    per (entry, uid) with (level, parent_uid, nid, name, proteins,
+    species). This is the complete information content of the tree —
+    ``taxon_distribution_tree`` only nests it — so it is the
+    value-oracle surface (the nesting kernel is golden-tested)."""
     lineages = main_rank_lineage(taxa)
     names = taxa.select(F.col("tax_id").alias("name_tax_id"), F.col("sci_name").alias("nname"))
 
@@ -109,6 +108,61 @@ def taxon_distribution_tree(
         ),
     )
 
+    # parent uid: carried per fact-path row, aggregated with the node
+    with_parent = (
+        facts.join(lineages, "tax_id")
+        .withColumn("path", path)
+        .select(
+            entry_col,
+            "num_proteins",
+            "is_species",
+            F.posexplode("path").alias("lvl", "p"),
+            F.col("path").alias("fullpath"),
+        )
+        .select(
+            entry_col,
+            "num_proteins",
+            "is_species",
+            F.col("lvl").cast("int").alias("lvl"),
+            F.col("p.uid").alias("uid"),
+            F.col("p.nid").alias("nid"),
+            F.when(F.col("lvl") > 0, F.element_at("fullpath", F.col("lvl"))["uid"]).alias("parent_uid"),
+        )
+    )
+    return (
+        with_parent.groupBy(entry_col, "lvl", "uid")
+        .agg(
+            F.max("nid").alias("nid"),
+            F.max("parent_uid").alias("parent_uid"),
+            F.sum("num_proteins").alias("proteins"),
+            F.sum(F.col("is_species").cast("long")).alias("species"),
+        )
+        .join(F.broadcast(names), F.col("nid") == F.col("name_tax_id"), "left")
+        .select(
+            entry_col,
+            "uid",
+            F.col("lvl").alias("level"),
+            "parent_uid",
+            "nid",
+            F.col("nname").alias("name"),
+            "proteins",
+            "species",
+        )
+    )
+
+
+def taxon_distribution_tree(
+    facts: DataFrame,
+    taxa: DataFrame,
+    entry_col: str = "entry_acc",
+) -> DataFrame:
+    """Per-entry distribution tree JSON.
+
+    ``facts``: (entry_acc, tax_id, num_proteins, is_species) — one row
+    per (entry, matched taxon). ``taxa``: (tax_id, parent_id, rank,
+    sci_name). Returns (entry_acc, tree) with canonical JSON. Nests
+    the ``taxon_distribution_nodes`` relation in an Arrow batch.
+    """
     ranks = MAIN_RANKS
 
     def _make_tree_udf():
@@ -162,47 +216,16 @@ def taxon_distribution_tree(
 
         return build_tree
 
-    # parent uid: carried per fact-path row, aggregated with the node
-    with_parent = (
-        facts.join(lineages, "tax_id")
-        .withColumn("path", path)
-        .select(
-            entry_col,
-            "num_proteins",
-            "is_species",
-            F.posexplode("path").alias("lvl", "p"),
-            F.col("path").alias("fullpath"),
-        )
-        .select(
-            entry_col,
-            "num_proteins",
-            "is_species",
-            F.col("lvl").cast("int").alias("lvl"),
-            F.col("p.uid").alias("uid"),
-            F.col("p.nid").alias("nid"),
-            F.when(F.col("lvl") > 0, F.element_at("fullpath", F.col("lvl"))["uid"]).alias("parent_uid"),
-        )
-    )
-    node_rows = (
-        with_parent.groupBy(entry_col, "lvl", "uid")
-        .agg(
-            F.max("nid").alias("nid"),
-            F.max("parent_uid").alias("parent_uid"),
-            F.sum("num_proteins").alias("proteins"),
-            F.sum(F.col("is_species").cast("long")).alias("species"),
-        )
-        .join(F.broadcast(names), F.col("nid") == F.col("name_tax_id"), "left")
-        .select(
-            entry_col,
-            F.struct(
-                F.col("uid").alias("uid"),
-                F.col("lvl").alias("level"),
-                F.col("parent_uid").alias("parent_uid"),
-                F.col("nname").alias("name"),
-                F.col("proteins").alias("proteins"),
-                F.col("species").alias("species"),
-            ).alias("node"),
-        )
+    node_rows = taxon_distribution_nodes(facts, taxa, entry_col).select(
+        entry_col,
+        F.struct(
+            F.col("uid").alias("uid"),
+            F.col("level").alias("level"),
+            F.col("parent_uid").alias("parent_uid"),
+            F.col("name").alias("name"),
+            F.col("proteins").alias("proteins"),
+            F.col("species").alias("species"),
+        ).alias("node"),
     )
     build_tree = _make_tree_udf()
     return (

@@ -191,7 +191,10 @@ def _rollup_orders_to_ancestors(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="lineage_rollup_orders",
+    # z_-parked (still differ-checked): A9 covered by rollup_region_nation
+    # + domain_match_summary, G1 by closure_depths - slot freed for
+    # tree_taxon_nodes (plans/treeq.py)
+    name="z_lineage_rollup_orders",
     tags=("A9", "G1"),
     description="Hierarchical rollup via lineage explode: order counts "
     "accumulated to every ancestor (reference taxonomy xref propagation, "

@@ -864,7 +864,9 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="json_extract",
+    # z_-parked (still differ-checked): F8 covered by mart_entry2xrefs +
+    # lookup_match_json - slot freed for tree_hierarchy_json (plans/treeq.py)
+    name="z_json_extract",
     tags=("F8",),
     description="JSON field extraction + typed aggregation (reference "
     "json.loads of clan domains, interpro/oracle/clans.py:66-74).",

@@ -75,7 +75,10 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="union_unpivot",
+    # z_-parked (still differ-checked): U1 covered by search_documents +
+    # mart_pfam_alignments, A8 by pivot_status_by_year, F11 by array_ops -
+    # slot freed for mart_relnotes (plans/relnotesq.py)
+    name="z_union_unpivot",
     tags=("U1", "A8", "F11"),
     description="Unpivot wide->long via stack(), then UNION ALL with a second "
     "source under a provenance tag (reference matches UNION ALL "

@@ -79,9 +79,11 @@ def all_specs() -> dict[str, QuerySpec]:
         llmops,
         marts,
         proteinq,
+        relnotesq,
         relational,
         relational2,
         streams,
+        treeq,
     )
 
     return dict(REGISTRY)
