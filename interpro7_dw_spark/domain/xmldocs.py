@@ -477,3 +477,97 @@ def export_match_complete(
         prolog=prolog,
         compression=compression,
     )
+
+
+# libraries whose per-location feature is an alignment, not a
+# sequence-feature (reference interpro/ftp/uniparc.py:12-16)
+WITH_ALIGNMENT = {"HAMAP", "PROSITE patterns", "PROSITE profiles"}
+
+
+def uniparc_protein_xml(matches: DataFrame, proteins: DataFrame) -> DataFrame:
+    """Compose ``uniparc_match.tar.gz`` member ``<protein>`` elements
+    (reference interpro/ftp/uniparc.py:60-125): attrs (id, length,
+    crc64) only; per-match elements with attribute order (id, name,
+    dbname, status, evd, model) — note evd BEFORE model, unlike
+    match_complete — no ``type`` attr; PIRSR matches dropped; lcn
+    carries start/end/score, optional fragments, and the feature
+    rendered as ``alignment`` for HAMAP/PROSITE libraries,
+    ``sequence-feature`` otherwise.
+
+    ``matches`` columns: upi, signature_acc, sig_name, library,
+    evidence, model_acc, entry_acc/entry_name/entry_type/entry_parent
+    (nullable), locations array<struct<start bigint, end bigint,
+    score double, fragments string, seq_feature string>>.
+    ``proteins``: upi, length, crc64. Returns (upi, xml) sorted.
+    """
+    alns = "', '".join(sorted(WITH_ALIGNMENT))
+    lcn = f"""
+      concat('    <lcn start="', l.start, '" end="', l.end,
+             '" score="', cast(l.score as string), '"',
+             if(l.fragments is not null,
+                concat(' fragments="', {_esc_sql('l.fragments')}, '"'), ''),
+             if(l.seq_feature is not null,
+                concat(' ', if(library in ('{alns}'),
+                               'alignment', 'sequence-feature'),
+                       '="', {_esc_sql('l.seq_feature')}, '"'),
+                ''),
+             '/>')
+    """
+    match_xml = F.concat(
+        F.lit("  <match"),
+        _attr("id", F.col("signature_acc")),
+        _attr("name", F.col("sig_name")),
+        _attr("dbname", F.col("library")),
+        F.lit(' status="T"'),
+        _attr("evd", F.col("evidence")),
+        _attr("model", F.coalesce("model_acc", F.col("signature_acc"))),
+        F.lit(">\n"),
+        F.when(
+            F.col("entry_acc").isNotNull(),
+            F.concat(
+                F.lit("    <ipr"),
+                _attr("id", F.col("entry_acc")),
+                _attr("name", F.col("entry_name")),
+                _attr("type", F.col("entry_type")),
+                F.when(
+                    F.col("entry_parent").isNotNull(),
+                    _attr("parent_id", F.col("entry_parent")),
+                ).otherwise(F.lit("")),
+                F.lit("/>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.expr(f"array_join(transform(locations, l -> {lcn}), '\\n')"),
+        F.lit("\n  </match>"),
+    )
+    per_protein = (
+        matches.filter(F.col("library") != "PIRSR")
+        .select("upi", F.col("signature_acc").alias("sort_key"), match_xml.alias("mxml"))
+        .groupBy("upi")
+        .agg(
+            F.expr(
+                """
+                array_join(
+                  transform(array_sort(collect_list(struct(sort_key, mxml))),
+                            x -> x.mxml), '\\n')
+                """
+            ).alias("matches_xml")
+        )
+    )
+    open_tag = F.concat(
+        F.lit("<protein"),
+        _attr("id", F.col("upi")),
+        _attr("length", F.col("length").cast("string")),
+        _attr("crc64", F.col("crc64")),
+    )
+    return (
+        proteins.join(per_protein, "upi", "left")
+        .select(
+            "upi",
+            F.when(F.col("matches_xml").isNull(), F.concat(open_tag, F.lit("/>")))
+            .otherwise(
+                F.concat(open_tag, F.lit(">\n"), F.col("matches_xml"), F.lit("\n</protein>"))
+            )
+            .alias("xml"),
+        )
+        .sort("upi")
+    )

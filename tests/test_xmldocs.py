@@ -236,3 +236,46 @@ def test_release_dbinfo_block():
         '  <dbinfo version="99.0" dbname="InterPro" entry_count="5" file_date="01-JAN-26"/>\n'
         "</release>"
     )
+
+
+def test_uniparc_protein_elements(spark):
+    from interpro7_dw_spark.domain.xmldocs import uniparc_protein_xml
+
+    matches = spark.createDataFrame(
+        [
+            # HAMAP: feature renders as alignment; fragments optional
+            ("UPI1", "MF_1", "HamapSig", "HAMAP", "hmm", None,
+             "IPR1", "Entry one", "Family", None,
+             [(5, 40, 12.5, None, "MA-CL")]),
+            # Pfam: feature renders as sequence-feature
+            ("UPI1", "PF1", "PfamSig", "Pfam", "hmm", "PF1.2",
+             None, None, None, None,
+             [(10, 60, 1.0, "10-30-S,40-60-N", "sf1"), (70, 90, 2.0, None, None)]),
+            # PIRSR: dropped entirely (uniparc.py:73-76)
+            ("UPI1", "PIRSR1", "PirSig", "PIRSR", "hmm", None,
+             None, None, None, None, [(1, 5, 0.1, None, None)]),
+        ],
+        "upi string, signature_acc string, sig_name string, library string, "
+        "evidence string, model_acc string, entry_acc string, entry_name string, "
+        "entry_type string, entry_parent string, "
+        "locations array<struct<start:long, end:long, score:double, "
+        "fragments:string, seq_feature:string>>",
+    )
+    proteins = spark.createDataFrame(
+        [("UPI1", 100, "AABB"), ("UPI2", 50, "CCDD")],
+        "upi string, length int, crc64 string",
+    )
+    got = {r.upi: r.xml for r in uniparc_protein_xml(matches, proteins).collect()}
+    assert got["UPI1"] == (
+        '<protein id="UPI1" length="100" crc64="AABB">\n'
+        '  <match id="MF_1" name="HamapSig" dbname="HAMAP" status="T" evd="hmm" model="MF_1">\n'
+        '    <ipr id="IPR1" name="Entry one" type="Family"/>\n'
+        '    <lcn start="5" end="40" score="12.5" alignment="MA-CL"/>\n'
+        "  </match>\n"
+        '  <match id="PF1" name="PfamSig" dbname="Pfam" status="T" evd="hmm" model="PF1.2">\n'
+        '    <lcn start="10" end="60" score="1.0" fragments="10-30-S,40-60-N" sequence-feature="sf1"/>\n'
+        '    <lcn start="70" end="90" score="2.0"/>\n'
+        "  </match>\n"
+        "</protein>"
+    )
+    assert got["UPI2"] == '<protein id="UPI2" length="50" crc64="CCDD"/>'
