@@ -34,6 +34,9 @@ def entry_documents(
     entry_structures: DataFrame | None = None,
     entry_enzymes: DataFrame | None = None,
     entry_clans: DataFrame | None = None,
+    entry_pubmed: DataFrame | None = None,
+    entry_go: DataFrame | None = None,
+    entry_extrefs: DataFrame | None = None,
 ) -> DataFrame:
     """Compose EBISearch documents.
 
@@ -47,7 +50,12 @@ def entry_documents(
     - ``entry_proteomes``: proteome_id (:293-297);
     - ``entry_structures``: pdb_id (:299-303);
     - ``entry_enzymes``: ec (:305-310);
-    - ``entry_clans``: clan_acc (-> ``set`` field, :81-86).
+    - ``entry_clans``: clan_acc (-> ``set`` field, :81-86);
+    - ``entry_pubmed``: pmid (PUBMED xrefs, reference :109-119 for
+      InterPro entries and :137-147 for signatures);
+    - ``entry_go``: go_id (GO xrefs on InterPro entries, :121-125);
+    - ``entry_extrefs``: ref_db, ref_id (the entry dim's own
+      cross-references, upper-cased dbname, :102-108).
 
     Returns (entry_acc, entry_type, doc, n_fields) where ``doc`` is the
     ``{fields, cross_references}`` struct and n_fields the chunking
@@ -119,6 +127,18 @@ def entry_documents(
                                "array_sort(collect_list(pdb_id))"))
     if entry_enzymes is not None:
         joins.append(agg_pairs(entry_enzymes, "ecs", "array_sort(collect_list(ec))"))
+    if entry_pubmed is not None:
+        joins.append(
+            agg_pairs(entry_pubmed, "pmids",
+                      "array_sort(collect_set(cast(pmid as string)))")
+        )
+    if entry_go is not None:
+        joins.append(agg_pairs(entry_go, "gos", "array_sort(collect_list(go_id))"))
+    if entry_extrefs is not None:
+        joins.append(
+            agg_pairs(entry_extrefs, "extrefs",
+                      "array_sort(collect_list(struct(upper(ref_db) as ref_db, ref_id)))")
+        )
     for j in joins:
         df = df.join(j, "entry_acc", "left")
     for c, t in [
@@ -127,6 +147,9 @@ def entry_documents(
         ("upids", "array<string>"),
         ("pdbs", "array<string>"),
         ("ecs", "array<string>"),
+        ("pmids", "array<string>"),
+        ("gos", "array<string>"),
+        ("extrefs", "array<struct<ref_db:string,ref_id:string>>"),
     ]:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(t))
@@ -170,11 +193,23 @@ def entry_documents(
              transform(member_sigs,
                        s -> struct(upper(s.member_db) as dbname, s.sig_acc as dbkey)),
              cast(array() as """ + _XREF + """)),
+          if(lower(database) = 'interpro' and extrefs is not null,
+             transform(extrefs, x -> struct(x.ref_db as dbname, x.ref_id as dbkey)),
+             cast(array() as """ + _XREF + """)),
+          if(lower(database) = 'interpro' and pmids is not null,
+             transform(pmids, p -> struct('PUBMED' as dbname, p as dbkey)),
+             cast(array() as """ + _XREF + """)),
+          if(lower(database) = 'interpro' and gos is not null,
+             transform(gos, g -> struct('GO' as dbname, g as dbkey)),
+             cast(array() as """ + _XREF + """)),
           if(lower(database) = 'interpro' and rel_accs is not null,
              transform(rel_accs, r -> struct('INTERPRO' as dbname, r as dbkey)),
              cast(array() as """ + _XREF + """)),
           if(lower(database) != 'interpro' and integrated_in is not null,
              array(struct('INTERPRO' as dbname, integrated_in as dbkey)),
+             cast(array() as """ + _XREF + """)),
+          if(lower(database) != 'interpro' and pmids is not null,
+             transform(pmids, p -> struct('PUBMED' as dbname, p as dbkey)),
              cast(array() as """ + _XREF + """)),
           if(prot is not null,
              flatten(transform(prot, p ->

@@ -571,3 +571,94 @@ def uniparc_protein_xml(matches: DataFrame, proteins: DataFrame) -> DataFrame:
         )
         .sort("upi")
     )
+
+
+def sites_protein_xml(site_rows: DataFrame, proteins: DataFrame) -> DataFrame:
+    """Compose ``sites.xml.gz`` per-protein elements (reference
+    export_site_annotations, interpro/ftp/xmlfiles.py:730-781):
+    protein -> match (id/name/dbname) -> sites -> site(description) ->
+    site-locations -> site-location(start/end/residue). Entry and
+    description order canonicalized by key (the reference iterates
+    dicts); locations keep input order.
+
+    ``site_rows``: protein_acc, entry_acc, entry_name (nullable — falls
+    back to the accession like the reference), database, description,
+    locations array<struct<residue string, start bigint, end bigint>>.
+    ``proteins``: protein_acc, name, length, crc64, taxid, reviewed.
+    """
+    site_xml = F.concat(
+        F.lit('      <site description="'),
+        esc_attr(F.col("description")),
+        F.lit('">\n        <site-locations>\n'),
+        F.expr(
+            "array_join(transform(locations, l -> concat("
+            "'          <site-location start=\"', l.start, '\" end=\"', l.end, "
+            "'\" residue=\"', " + _esc_sql("l.residue") + ", '\"/>')), '\\n')"
+        ),
+        F.lit("\n        </site-locations>\n      </site>"),
+    )
+    per_entry = (
+        site_rows.select(
+            "protein_acc",
+            "entry_acc",
+            F.coalesce("entry_name", F.col("entry_acc")).alias("entry_name"),
+            "database",
+            "description",
+            site_xml.alias("sxml"),
+        )
+        .groupBy("protein_acc", "entry_acc")
+        .agg(
+            F.first("entry_name").alias("entry_name"),
+            F.first("database").alias("database"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(description, sxml))),"
+                " x -> x.sxml), '\\n')"
+            ).alias("sites_xml"),
+        )
+        .select(
+            "protein_acc",
+            "entry_acc",
+            F.concat(
+                F.lit("  <match"),
+                _attr("id", F.col("entry_acc")),
+                _attr("name", F.col("entry_name")),
+                _attr("dbname", F.col("database")),
+                F.lit(">\n    <sites>\n"),
+                F.col("sites_xml"),
+                F.lit("\n    </sites>\n  </match>"),
+            ).alias("mxml"),
+        )
+    )
+    per_protein = per_entry.groupBy("protein_acc").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(entry_acc, mxml))),"
+            " x -> x.mxml), '\\n')"
+        ).alias("matches_xml")
+    )
+    prot = proteins.select(
+        "protein_acc",
+        F.col("name").alias("p_name"),
+        F.col("length").cast("string").alias("p_len"),
+        "crc64",
+        F.col("taxid").cast("string").alias("p_taxid"),
+        F.when(F.col("reviewed"), "reviewed").otherwise("unreviewed").alias("p_status"),
+    )
+    open_tag = F.concat(
+        F.lit("<protein"),
+        _attr("id", F.col("protein_acc")),
+        _attr("name", F.col("p_name")),
+        _attr("length", F.col("p_len")),
+        _attr("crc64", F.col("crc64")),
+        _attr("taxid", F.col("p_taxid")),
+        _attr("status", F.col("p_status")),
+    )
+    # inner join: the reference iterates the sites store, emitting only
+    # proteins that have site annotations (xmlfiles.py:742-776)
+    return (
+        prot.join(per_protein, "protein_acc")
+        .select(
+            "protein_acc",
+            F.concat(open_tag, F.lit(">\n"), F.col("matches_xml"), F.lit("\n</protein>")).alias("xml"),
+        )
+        .sort("protein_acc")
+    )

@@ -155,3 +155,57 @@ def lineage_rollup(
         closure.select(F.col("node").alias(node_col), "anc"), node_col
     )
     return joined.groupBy(F.col("anc").alias(node_col)).agg(*agg_exprs)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (node,
+    component) where component = the lexicographically smallest node id
+    in the component — the canonical-representative rule every dedup
+    cluster assignment needs (keep min id, drop the rest).
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels; converged when no label
+    changes. Rounds needed = component diameter — near-dup clusters
+    are dense (LSH pairs approximate cliques), so 2-3 rounds in
+    practice. For adversarial long-chain graphs swap in large-star/
+    small-star (Kiveris et al.) — same join shape per round.
+    localCheckpoint truncates lineage like transitive_closure above;
+    at cluster scale prefer parquet checkpoints (same seam).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint after {max_rounds} rounds")

@@ -326,3 +326,63 @@ register(QuerySpec(
     build=_multimodal_decode,
     oracle=None,
 ))
+
+
+def _dedup_components(spark: SparkSession, sf: str):
+    from ..operators.graph import connected_components
+
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(D.shingles(t(spark, sf, "documents"))))
+    cc = connected_components(pairs.select("da", "db"), src="da", dst="db")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+register(QuerySpec(
+    name="z_dedup_components",
+    tags=("DD3", "G1", "DD5"),
+    description="Near-dup cluster assignment: connected components over "
+    "the MinHash+LSH candidate pairs (min-label propagation, "
+    "operators/graph.py::connected_components); component = lexicographic "
+    "min doc_id = the canonical survivor, like production dedup keeps one "
+    "doc per cluster. Oracle replays via a recursive reachability CTE.",
+    build=_dedup_components,
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        seeded AS (
+          SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 15)) AS s(seed)
+        ),
+        minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                 md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+          FROM minh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size,
+               doc_id = component AS is_canonical
+        FROM comp
+    """,
+))

@@ -148,3 +148,35 @@ def test_chunk_boundaries_and_envelope(spark, dims, tmp_path):
             len(e["fields"]) + len(e["cross_references"]) for e in p["entries"]
         ]
         assert sum(weights[:-1]) < cap
+
+
+def test_pubmed_go_extref_xrefs(spark, dims):
+    entries = dims[0]
+    pubmed = spark.createDataFrame(
+        [("IPR1", 111), ("IPR1", 111), ("PF001", 222)], "entry_acc string, pmid long"
+    )
+    go = spark.createDataFrame(
+        [("IPR1", "GO:0005524"), ("PF001", "GO:9999999")],  # sig GO ignored
+        "entry_acc string, go_id string",
+    )
+    extrefs = spark.createDataFrame(
+        [("IPR1", "cazy", "GH5"), ("PF001", "cazy", "GH6")],  # sig extref ignored
+        "entry_acc string, ref_db string, ref_id string",
+    )
+    docs = {
+        r.entry_acc: r
+        for r in entry_documents(
+            entries, entry_pubmed=pubmed, entry_go=go, entry_extrefs=extrefs
+        ).collect()
+    }
+    ipr = [(x.dbname, x.dbkey) for x in docs["IPR1"].doc.cross_references]
+    assert ipr == [
+        ("PFAM", "PF001"),       # member signature
+        ("CAZY", "GH5"),         # entry cross-reference, upper-cased
+        ("PUBMED", "111"),       # deduped
+        ("GO", "GO:0005524"),
+        ("INTERPRO", "IPR2"),    # relationship
+    ]
+    # signature docs: only INTERPRO + PUBMED (reference :129-147)
+    pf = [(x.dbname, x.dbkey) for x in docs["PF001"].doc.cross_references]
+    assert pf == [("INTERPRO", "IPR1"), ("PUBMED", "222")]

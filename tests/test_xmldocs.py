@@ -279,3 +279,46 @@ def test_uniparc_protein_elements(spark):
         "</protein>"
     )
     assert got["UPI2"] == '<protein id="UPI2" length="50" crc64="CCDD"/>'
+
+
+def test_sites_protein_xml(spark):
+    from interpro7_dw_spark.domain.xmldocs import sites_protein_xml
+
+    site_rows = spark.createDataFrame(
+        [
+            ("P1", "SIGX", None, "PIRSR", "Active site",
+             [("H", 10, 10), ("D", 25, 26)]),
+            ("P1", "SIGX", None, "PIRSR", "Binding site",
+             [("K", 40, 40)]),
+        ],
+        "protein_acc string, entry_acc string, entry_name string, "
+        "database string, description string, "
+        "locations array<struct<residue:string, start:long, end:long>>",
+    )
+    proteins = spark.createDataFrame(
+        [("P1", "PROT1", 100, "AA11", "9606", True),
+         ("P2", "PROT2", 50, "BB22", "4932", False)],  # no sites -> omitted
+        "protein_acc string, name string, length int, crc64 string, "
+        "taxid string, reviewed boolean",
+    )
+    rows = sites_protein_xml(site_rows, proteins).collect()
+    assert [r.protein_acc for r in rows] == ["P1"]
+    assert rows[0].xml == (
+        '<protein id="P1" name="PROT1" length="100" crc64="AA11" taxid="9606" status="reviewed">\n'
+        '  <match id="SIGX" name="SIGX" dbname="PIRSR">\n'
+        "    <sites>\n"
+        '      <site description="Active site">\n'
+        "        <site-locations>\n"
+        '          <site-location start="10" end="10" residue="H"/>\n'
+        '          <site-location start="25" end="26" residue="D"/>\n'
+        "        </site-locations>\n"
+        "      </site>\n"
+        '      <site description="Binding site">\n'
+        "        <site-locations>\n"
+        '          <site-location start="40" end="40" residue="K"/>\n'
+        "        </site-locations>\n"
+        "      </site>\n"
+        "    </sites>\n"
+        "  </match>\n"
+        "</protein>"
+    )
