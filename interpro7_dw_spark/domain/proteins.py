@@ -52,42 +52,50 @@ def protein_mart(
     """
     m = matches.select("protein_acc", "signature_acc", F.lower("database").alias("db"))
 
-    db_counts = (
-        m.groupBy("protein_acc", "db")
-        .agg(F.count("*").alias("n"))
-        .groupBy("protein_acc")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("db", "n")))
-            ).alias("entries_map")
-        )
-    )
-
-    parts = [db_counts]
-
+    # ONE pass over the matches fact: clan and GO dims are broadcast
+    # (GO pre-aggregated per signature so the join stays 1:1 and match
+    # multiplicities feed the per-db counts undistorted), then a single
+    # groupBy(protein) computes the db-count map, distinct clan count,
+    # and the flattened/deduped GO set — instead of three scans + three
+    # shuffles of the biggest input.
+    enriched = m
+    aggs = [F.collect_list("db").alias("dbs")]
     if signature_clans is not None:
-        parts.append(
-            m.join(F.broadcast(signature_clans), "signature_acc")
-            .groupBy("protein_acc")
-            .agg(F.countDistinct("clan_acc").alias("n_sets"))
-        )
+        enriched = enriched.join(F.broadcast(signature_clans), "signature_acc", "left")
+        aggs.append(F.countDistinct("clan_acc").alias("n_sets"))
     if entry_go is not None:
-        parts.append(
-            m.join(F.broadcast(entry_go), "signature_acc")
-            .select("protein_acc", "go_id", "go_name", "category")
-            .distinct()
-            .groupBy("protein_acc")
-            .agg(
-                F.expr(
-                    """
-                    transform(
-                      array_sort(collect_list(struct(go_id, go_name, category))),
-                      g -> struct(g.go_id as identifier, g.go_name as name,
-                                  g.category as category))
-                    """
-                ).alias("go_terms")
-            )
+        go_by_sig = entry_go.groupBy("signature_acc").agg(
+            F.collect_set(F.struct("go_id", "go_name", "category")).alias("gos")
         )
+        enriched = enriched.join(F.broadcast(go_by_sig), "signature_acc", "left")
+        aggs.append(
+            F.expr(
+                """
+                transform(
+                  array_sort(array_distinct(flatten(collect_list(gos)))),
+                  g -> struct(g.go_id as identifier, g.go_name as name,
+                              g.category as category))
+                """
+            ).alias("go_terms_raw")
+        )
+    per_protein = enriched.groupBy("protein_acc").agg(*aggs)
+    per_protein = per_protein.withColumn(
+        "entries_map",
+        F.expr(
+            """
+            map_from_entries(
+              array_sort(transform(array_distinct(dbs),
+                d -> struct(d, cast(size(filter(dbs, x -> x = d)) as bigint)))))
+            """
+        ),
+    ).drop("dbs")
+    if entry_go is not None:
+        per_protein = per_protein.withColumn(
+            "go_terms", F.when(F.size("go_terms_raw") > 0, F.col("go_terms_raw"))
+        ).drop("go_terms_raw")
+
+    parts = [per_protein]
+
     if proteomes is not None:
         parts.append(
             proteomes.groupBy("protein_acc").agg(
