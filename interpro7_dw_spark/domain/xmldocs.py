@@ -233,12 +233,62 @@ def match_complete_proteins(
     )
 
 
+def _publication_xml() -> F.Column:
+    """One ``<publication>`` element from a literature struct row
+    (reference xmlfiles.py:304-369): author_list ('Unknown' fallback),
+    optional title/url, db_xref PUBMED-or-MEDLINE, optional journal,
+    ISBN book_title, volume/issue/pages location, year."""
+    return F.concat(
+        F.lit('    <publication id="'),
+        esc_attr(F.col("pub_id")),
+        F.lit('">\n      <author_list>'),
+        esc_text(F.coalesce(F.col("authors"), F.lit("Unknown"))),
+        F.lit("</author_list>\n"),
+        F.when(
+            F.col("title").isNotNull(),
+            F.concat(F.lit("      <title>"), esc_text(F.col("title")), F.lit("</title>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("url").isNotNull(),
+            F.concat(F.lit("      <url>"), esc_text(F.col("url")), F.lit("</url>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("pmid").isNotNull(),
+            F.concat(F.lit('      <db_xref db="PUBMED" dbkey="'), F.col("pmid").cast("string"), F.lit('"/>\n')),
+        ).otherwise(F.lit('      <db_xref db="MEDLINE" dbkey="MEDLINE"/>\n')),
+        F.when(
+            F.col("journal").isNotNull(),
+            F.concat(F.lit("      <journal>"), esc_text(F.col("journal")), F.lit("</journal>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("isbn").isNotNull(),
+            F.concat(F.lit("      <book_title>ISBN:"), esc_text(F.col("isbn")), F.lit("</book_title>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("volume").isNotNull() | F.col("issue").isNotNull() | F.col("pages").isNotNull(),
+            F.concat(
+                F.lit("      <location"),
+                F.when(F.col("volume").isNotNull(), _attr("volume", F.col("volume"))).otherwise(F.lit("")),
+                F.when(F.col("issue").isNotNull(), _attr("issue", F.col("issue"))).otherwise(F.lit("")),
+                F.when(F.col("pages").isNotNull(), _attr("pages", F.col("pages"))).otherwise(F.lit("")),
+                F.lit("/>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("year").isNotNull(),
+            F.concat(F.lit("      <year>"), F.col("year").cast("string"), F.lit("</year>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("    </publication>"),
+    )
+
+
 def interpro_entries_xml(
     entries: DataFrame,
     signatures: DataFrame,
     entry2protein_count: DataFrame,
     go_terms: DataFrame | None = None,
     taxonomy_distribution: DataFrame | None = None,
+    literature: DataFrame | None = None,
 ) -> DataFrame:
     """Compose ``<interpro>`` elements for interpro.xml (reference
     xmlfiles.py:209-452): entry attributes, name, abstract, class_list
@@ -336,6 +386,20 @@ def interpro_entries_xml(
             ).alias("tax_xml")
         )
 
+    pub_xml = None
+    if literature is not None:
+        # publications sorted by id (reference xmlfiles.py:305-307)
+        pub_xml = (
+            literature.withColumn("pxml", _publication_xml())
+            .groupBy("entry_acc")
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(pub_id, pxml))),"
+                    " x -> x.pxml), '\\n')"
+                ).alias("pub_xml")
+            )
+        )
+
     df = (
         entries.join(F.broadcast(entry2protein_count), "entry_acc", "left")
         .join(members, "entry_acc", "left")
@@ -345,6 +409,8 @@ def interpro_entries_xml(
         df = df.join(F.broadcast(go_xml), "entry_acc", "left")
     if tax_xml is not None:
         df = df.join(F.broadcast(tax_xml), "entry_acc", "left")
+    if pub_xml is not None:
+        df = df.join(F.broadcast(pub_xml), "entry_acc", "left")
 
     llm_attr = (
         F.concat(
@@ -386,6 +452,13 @@ def interpro_entries_xml(
             F.when(
                 F.col("go_xml").isNotNull(),
                 F.concat(F.lit("  <class_list>\n"), F.col("go_xml"), F.lit("\n  </class_list>")),
+            )
+        )
+    if pub_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("pub_xml").isNotNull(),
+                F.concat(F.lit("  <pub_list>\n"), F.col("pub_xml"), F.lit("\n  </pub_list>")),
             )
         )
     blocks.append(

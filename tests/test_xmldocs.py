@@ -322,3 +322,47 @@ def test_sites_protein_xml(spark):
         "  </match>\n"
         "</protein>"
     )
+
+
+def test_interpro_pub_list(spark, fixture):
+    _, signatures, entries, _ = fixture
+    counts = spark.createDataFrame([("IPR1", 10)], "entry_acc string, n_proteins int")
+    lit = spark.createDataFrame(
+        [
+            ("IPR1", "PUB1", "Smith J, Doe A", "A title", None, 123,
+             "J Mol Biol", None, "12", None, "100-110", 1999),
+            # no PMID -> MEDLINE placeholder; no title/journal; ISBN book
+            ("IPR1", "PUB2", None, None, "http://x", None,
+             None, "978-3", None, "4", None, None),
+        ],
+        "entry_acc string, pub_id string, authors string, title string, "
+        "url string, pmid long, journal string, isbn string, volume string, "
+        "issue string, pages string, year int",
+    )
+    got = {
+        r.entry_acc: r.xml
+        for r in interpro_entries_xml(entries, signatures, counts, literature=lit).collect()
+    }
+    x = got["IPR1"]
+    i1, i2 = x.index('<publication id="PUB1">'), x.index('<publication id="PUB2">')
+    assert i1 < i2  # sorted by pub id
+    assert (
+        '    <publication id="PUB1">\n'
+        "      <author_list>Smith J, Doe A</author_list>\n"
+        "      <title>A title</title>\n"
+        '      <db_xref db="PUBMED" dbkey="123"/>\n'
+        "      <journal>J Mol Biol</journal>\n"
+        '      <location volume="12" pages="100-110"/>\n'
+        "      <year>1999</year>\n"
+        "    </publication>"
+    ) in x
+    assert (
+        '    <publication id="PUB2">\n'
+        "      <author_list>Unknown</author_list>\n"
+        "      <url>http://x</url>\n"
+        '      <db_xref db="MEDLINE" dbkey="MEDLINE"/>\n'
+        "      <book_title>ISBN:978-3</book_title>\n"
+        '      <location issue="4"/>\n'
+        "    </publication>"
+    ) in x
+    assert "  <pub_list>\n" in x and "\n  </pub_list>" in x
