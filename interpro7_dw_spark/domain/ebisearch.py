@@ -37,6 +37,7 @@ def entry_documents(
     entry_pubmed: DataFrame | None = None,
     entry_go: DataFrame | None = None,
     entry_extrefs: DataFrame | None = None,
+    entry_pathways: DataFrame | None = None,
 ) -> DataFrame:
     """Compose EBISearch documents.
 
@@ -55,7 +56,13 @@ def entry_documents(
       InterPro entries and :137-147 for signatures);
     - ``entry_go``: go_id (GO xrefs on InterPro entries, :121-125);
     - ``entry_extrefs``: ref_db, ref_id (the entry dim's own
-      cross-references, upper-cased dbname, :102-108).
+      cross-references, upper-cased dbname, :102-108);
+    - ``entry_pathways``: pathway_db ('metacyc'/'reactome'),
+      pathway_id (:312-319, appended last, upper-cased dbname).
+
+    ``entries`` may carry an optional ``old_short_names`` array column
+    — each value different from ``short_name`` becomes a
+    ``previous_short_name`` field (:72-77).
 
     Returns (entry_acc, entry_type, doc, n_fields) where ``doc`` is the
     ``{fields, cross_references}`` struct and n_fields the chunking
@@ -139,6 +146,13 @@ def entry_documents(
             agg_pairs(entry_extrefs, "extrefs",
                       "array_sort(collect_list(struct(upper(ref_db) as ref_db, ref_id)))")
         )
+    if entry_pathways is not None:
+        joins.append(
+            agg_pairs(
+                entry_pathways, "pathways",
+                "array_sort(collect_list(struct(upper(pathway_db) as pdb, pathway_id)))",
+            )
+        )
     for j in joins:
         df = df.join(j, "entry_acc", "left")
     for c, t in [
@@ -150,9 +164,12 @@ def entry_documents(
         ("pmids", "array<string>"),
         ("gos", "array<string>"),
         ("extrefs", "array<struct<ref_db:string,ref_id:string>>"),
+        ("pathways", "array<struct<pdb:string,pathway_id:string>>"),
     ]:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(t))
+    if "old_short_names" not in df.columns:
+        df = df.withColumn("old_short_names", F.lit(None).cast("array<string>"))
 
     is_interpro = F.lower(F.col("database")) == "interpro"
 
@@ -169,6 +186,10 @@ def entry_documents(
              cast(array() as """ + _FIELD + """)),
           if(short_name is not null,
              array(struct('short_name' as name, short_name as value)),
+             cast(array() as """ + _FIELD + """)),
+          if(old_short_names is not null,
+             transform(filter(old_short_names, n -> n != short_name),
+                       n -> struct('previous_short_name' as name, n as value)),
              cast(array() as """ + _FIELD + """)),
           if(clan_acc is not null, array(struct('set' as name, clan_acc as value)),
              cast(array() as """ + _FIELD + """)),
@@ -229,6 +250,9 @@ def entry_documents(
              cast(array() as """ + _XREF + """)),
           if(ecs is not null,
              transform(ecs, x -> struct('EC' as dbname, x as dbkey)),
+             cast(array() as """ + _XREF + """)),
+          if(pathways is not null,
+             transform(pathways, p -> struct(p.pdb as dbname, p.pathway_id as dbkey)),
              cast(array() as """ + _XREF + """))
         )
         """

@@ -289,6 +289,9 @@ def interpro_entries_xml(
     go_terms: DataFrame | None = None,
     taxonomy_distribution: DataFrame | None = None,
     literature: DataFrame | None = None,
+    cross_references: DataFrame | None = None,
+    structures: DataFrame | None = None,
+    key_species: DataFrame | None = None,
 ) -> DataFrame:
     """Compose ``<interpro>`` elements for interpro.xml (reference
     xmlfiles.py:209-452): entry attributes, name, abstract, class_list
@@ -386,6 +389,52 @@ def interpro_entries_xml(
             ).alias("tax_xml")
         )
 
+    xref_xml = None
+    if cross_references is not None:
+        # external_doc_list: sorted by (db, id) (reference :402-410)
+        xref_xml = cross_references.groupBy("entry_acc").agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(array_sort(collect_list(struct(ref_db, ref_id))),
+                            x -> concat('    <db_xref db="', {_esc_sql('x.ref_db')},
+                                        '" dbkey="', {_esc_sql('x.ref_id')}, '"/>')),
+                  '\\n')
+                """
+            ).alias("xref_xml")
+        )
+
+    struct_xml = None
+    if structures is not None:
+        # structure_db_links: PDB ids in input order canonicalized sorted
+        # (reference :412-418 iterates the per-entry list)
+        struct_xml = structures.groupBy("entry_acc").agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(array_sort(collect_list(pdb_id)),
+                            p -> concat('    <db_xref db="PDB" dbkey="',
+                                        {_esc_sql('p')}, '"/>')),
+                  '\\n')
+                """
+            ).alias("struct_xml")
+        )
+
+    keysp_xml = None
+    if key_species is not None:
+        # key_species: sorted (name, count) taxon_data rows (:430-439)
+        keysp_xml = key_species.groupBy("entry_acc").agg(
+            F.expr(
+                f"""
+                array_join(
+                  transform(array_sort(collect_list(struct(taxon_name, n_proteins))),
+                            x -> concat('    <taxon_data name="', {_esc_sql('x.taxon_name')},
+                                        '" proteins_count="', x.n_proteins, '"/>')),
+                  '\\n')
+                """
+            ).alias("keysp_xml")
+        )
+
     pub_xml = None
     if literature is not None:
         # publications sorted by id (reference xmlfiles.py:305-307)
@@ -411,6 +460,12 @@ def interpro_entries_xml(
         df = df.join(F.broadcast(tax_xml), "entry_acc", "left")
     if pub_xml is not None:
         df = df.join(F.broadcast(pub_xml), "entry_acc", "left")
+    if xref_xml is not None:
+        df = df.join(F.broadcast(xref_xml), "entry_acc", "left")
+    if struct_xml is not None:
+        df = df.join(F.broadcast(struct_xml), "entry_acc", "left")
+    if keysp_xml is not None:
+        df = df.join(F.broadcast(keysp_xml), "entry_acc", "left")
 
     llm_attr = (
         F.concat(
@@ -484,6 +539,28 @@ def interpro_entries_xml(
             F.concat(F.lit("  <member_list>\n"), F.col("members_xml"), F.lit("\n  </member_list>")),
         ).otherwise(F.lit("  <member_list/>")),
     )
+    if xref_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("xref_xml").isNotNull(),
+                F.concat(
+                    F.lit("  <external_doc_list>\n"),
+                    F.col("xref_xml"),
+                    F.lit("\n  </external_doc_list>"),
+                ),
+            )
+        )
+    if struct_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("struct_xml").isNotNull(),
+                F.concat(
+                    F.lit("  <structure_db_links>\n"),
+                    F.col("struct_xml"),
+                    F.lit("\n  </structure_db_links>"),
+                ),
+            )
+        )
     if tax_xml is not None:
         blocks.append(
             F.when(
@@ -494,6 +571,17 @@ def interpro_entries_xml(
                     F.lit("\n  </taxonomy_distribution>"),
                 ),
             ).otherwise(F.lit("  <taxonomy_distribution/>")),
+        )
+    if keysp_xml is not None:
+        blocks.append(
+            F.when(
+                F.col("keysp_xml").isNotNull(),
+                F.concat(
+                    F.lit("  <key_species>\n"),
+                    F.col("keysp_xml"),
+                    F.lit("\n  </key_species>"),
+                ),
+            )
         )
 
     body = F.concat_ws("\n", *[F.coalesce(b, F.lit("")) for b in blocks])

@@ -180,3 +180,26 @@ def test_pubmed_go_extref_xrefs(spark, dims):
     # signature docs: only INTERPRO + PUBMED (reference :129-147)
     pf = [(x.dbname, x.dbkey) for x in docs["PF001"].doc.cross_references]
     assert pf == [("INTERPRO", "IPR1"), ("PUBMED", "222")]
+
+
+def test_pathways_and_previous_short_names(spark, dims):
+    from pyspark.sql import functions as F
+
+    entries = dims[0].withColumn(
+        "old_short_names",
+        F.when(F.col("entry_acc") == "IPR1", F.expr("array('kin', 'old_kin')")),
+    )
+    pathways = spark.createDataFrame(
+        [("IPR1", "metacyc", "PWY-1"), ("IPR1", "reactome", "R-HSA-2")],
+        "entry_acc string, pathway_db string, pathway_id string",
+    )
+    docs = {
+        r.entry_acc: r
+        for r in entry_documents(entries, entry_pathways=pathways).collect()
+    }
+    fields = [(f.name, f.value) for f in docs["IPR1"].doc.fields]
+    # 'kin' == short_name is dropped; 'old_kin' survives
+    assert ("previous_short_name", "old_kin") in fields
+    assert ("previous_short_name", "kin") not in fields
+    xrefs = [(x.dbname, x.dbkey) for x in docs["IPR1"].doc.cross_references]
+    assert xrefs[-2:] == [("METACYC", "PWY-1"), ("REACTOME", "R-HSA-2")]

@@ -366,3 +366,53 @@ def test_interpro_pub_list(spark, fixture):
         "    </publication>"
     ) in x
     assert "  <pub_list>\n" in x and "\n  </pub_list>" in x
+
+
+def test_interpro_xref_structure_keyspecies_blocks(spark, fixture):
+    _, signatures, entries, _ = fixture
+    counts = spark.createDataFrame([("IPR1", 10)], "entry_acc string, n_proteins int")
+    xrefs = spark.createDataFrame(
+        [("IPR1", "CAZY", "GH5"), ("IPR1", "CAZY", "GH1")],
+        "entry_acc string, ref_db string, ref_id string",
+    )
+    pdbs = spark.createDataFrame(
+        [("IPR1", "2abc"), ("IPR1", "1xyz")], "entry_acc string, pdb_id string"
+    )
+    tax = spark.createDataFrame(
+        [("IPR1", "Bacteria", 7)], "entry_acc string, taxon_name string, n_proteins int"
+    )
+    keysp = spark.createDataFrame(
+        [("IPR1", "Homo sapiens", 3)], "entry_acc string, taxon_name string, n_proteins int"
+    )
+    got = {
+        r.entry_acc: r.xml
+        for r in interpro_entries_xml(
+            entries, signatures, counts,
+            taxonomy_distribution=tax,
+            cross_references=xrefs,
+            structures=pdbs,
+            key_species=keysp,
+        ).collect()
+    }
+    x = got["IPR1"]
+    assert (
+        "  <external_doc_list>\n"
+        '    <db_xref db="CAZY" dbkey="GH1"/>\n'
+        '    <db_xref db="CAZY" dbkey="GH5"/>\n'
+        "  </external_doc_list>\n"
+        "  <structure_db_links>\n"
+        '    <db_xref db="PDB" dbkey="1xyz"/>\n'
+        '    <db_xref db="PDB" dbkey="2abc"/>\n'
+        "  </structure_db_links>\n"
+        "  <taxonomy_distribution>\n"
+        '    <taxon_data name="Bacteria" proteins_count="7"/>\n'
+        "  </taxonomy_distribution>\n"
+        "  <key_species>\n"
+        '    <taxon_data name="Homo sapiens" proteins_count="3"/>\n'
+        "  </key_species>\n"
+        "</interpro>"
+    ) in x
+    # entries without these inputs render an empty taxonomy_distribution
+    # and no optional blocks
+    assert "<external_doc_list>" not in got["IPR2"]
+    assert "<taxonomy_distribution/>" in got["IPR2"]
