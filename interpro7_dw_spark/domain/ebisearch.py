@@ -321,3 +321,54 @@ def export_ebisearch(
     payloads.select("value", "entry_type", "chunk").write.mode("overwrite").partitionBy(
         "entry_type", "chunk"
     ).text(outdir)
+
+
+def restore_citations(description, pubs) -> F.Column:
+    """Citation-marker cleanup in description text (reference
+    ebisearch.py:24-35): ``[cite:PUBnnn]`` becomes ``[PMID:<pmid>]``
+    when the entry's literature maps the id to a PMID; markers for ids
+    NOT in the entry's literature are removed together with an optional
+    trailing comma/whitespace; known ids without a PMID stay as-is.
+
+    ``description``: string column (or name); ``pubs``: column (or
+    name) of array<struct<pub_id string, pmid string>>. Pure JVM:
+    one fold replaces known-id markers with PMID links or a protected
+    placeholder, a regexp sweep strips the remaining (unknown-id)
+    markers, and a second fold restores the protected ones.
+    """
+    desc = F.col(description) if isinstance(description, str) else description
+    pubs_col = F.col(pubs) if isinstance(pubs, str) else pubs
+    empty = "cast(array() as array<struct<pub_id string, pmid string>>)"
+    safe_pubs = F.coalesce(pubs_col, F.expr(empty))
+    # pass 1: known ids -> [PMID:..] or <<KEEP:id>> (no-PMID markers
+    # must survive the unknown-id sweep below)
+    replaced = F.aggregate(
+        safe_pubs,
+        desc,
+        lambda acc, p: F.when(
+            p["pmid"].isNotNull(),
+            F.replace(
+                acc,
+                F.concat(F.lit("[cite:"), p["pub_id"], F.lit("]")),
+                F.concat(F.lit("[PMID:"), p["pmid"], F.lit("]")),
+            ),
+        ).otherwise(
+            F.replace(
+                acc,
+                F.concat(F.lit("[cite:"), p["pub_id"], F.lit("]")),
+                F.concat(F.lit("<<KEEP:"), p["pub_id"], F.lit(">>")),
+            )
+        ),
+    )
+    # pass 2: strip unknown-id markers (+ optional comma/space), then
+    # restore the protected known-id markers
+    swept = F.regexp_replace(replaced, r"\[cite:PUB\d+\],?\s*", "")
+    return F.aggregate(
+        safe_pubs,
+        swept,
+        lambda acc, p: F.replace(
+            acc,
+            F.concat(F.lit("<<KEEP:"), p["pub_id"], F.lit(">>")),
+            F.concat(F.lit("[cite:"), p["pub_id"], F.lit("]")),
+        ),
+    )

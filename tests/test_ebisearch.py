@@ -203,3 +203,23 @@ def test_pathways_and_previous_short_names(spark, dims):
     assert ("previous_short_name", "kin") not in fields
     xrefs = [(x.dbname, x.dbkey) for x in docs["IPR1"].doc.cross_references]
     assert xrefs[-2:] == [("METACYC", "PWY-1"), ("REACTOME", "R-HSA-2")]
+
+
+def test_restore_citations(spark):
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.domain.ebisearch import restore_citations
+
+    df = spark.createDataFrame(
+        [
+            # known with PMID, known without PMID, unknown
+            ("Alpha [cite:PUB1] beta [cite:PUB2] gamma [cite:PUB9], delta",
+             [("PUB1", "123"), ("PUB2", None)]),
+            # no pubs at all: unknown markers stripped
+            ("X [cite:PUB5], tail", None),
+        ],
+        "description string, pubs array<struct<pub_id string, pmid string>>",
+    )
+    got = [r.out for r in df.select(restore_citations("description", "pubs").alias("out")).collect()]
+    assert got[0] == "Alpha [PMID:123] beta [cite:PUB2] gamma delta"
+    assert got[1] == "X tail"

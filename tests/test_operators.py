@@ -345,3 +345,19 @@ def test_ivf_topk_recall_and_determinism(spark):
     c1 = ivf_centroids(emb, nlist=4, iters=1)
     c2 = ivf_centroids(emb, nlist=4, iters=1)
     assert c1 == c2
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # a 10-node path (diameter 9 — forces multiple propagation rounds),
+    # a 3-clique, and an isolated pair
+    from interpro7_dw_spark.operators.graph import connected_components
+
+    path = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(9)]
+    clique = [("c1", "c2"), ("c2", "c3"), ("c1", "c3")]
+    pair = [("z8", "z9")]
+    edges = spark.createDataFrame(path + clique + pair, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {got[f"n{i:02d}"] for i in range(10)} == {"n00"}
+    assert got["c1"] == got["c2"] == got["c3"] == "c1"
+    assert got["z8"] == got["z9"] == "z8"
+    assert len(got) == 15
