@@ -80,6 +80,7 @@ def all_specs() -> dict[str, QuerySpec]:
         marts,
         proteinq,
         relnotesq,
+        sourceq,
         relational,
         relational2,
         streams,
