@@ -164,6 +164,13 @@ def match_complete_proteins(
     reviewed (boolean). Returns (protein_acc, xml) sorted composition-
     ready; feed to ``sources.sinks.write_xml`` with root
     ``interpromatch``.
+
+    Isoforms (reference xmlfiles.py:544-551: variant elements follow
+    their master, ``XXXX-1`` before ``XXXX-2``): union variant-keyed
+    match rows into ``merged`` and variant rows (name = variant acc,
+    taxid/status inherited from the master) into ``proteins`` — ASCII
+    accession sort interleaves ``P1 < P1-1 < P1-2 < P10`` exactly like
+    the reference's per-master loop.
     """
     sig_dim = F.broadcast(
         signatures.select(

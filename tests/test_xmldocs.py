@@ -416,3 +416,27 @@ def test_interpro_xref_structure_keyspecies_blocks(spark, fixture):
     # and no optional blocks
     assert "<external_doc_list>" not in got["IPR2"]
     assert "<taxonomy_distribution/>" in got["IPR2"]
+
+
+def test_isoform_interleaving_via_union(spark, fixture):
+    # variant rows unioned into the inputs land directly after their
+    # master in the accession sort (reference xmlfiles.py:544-551)
+    matches, signatures, entries, proteins = fixture
+    iso_matches = spark.createDataFrame(
+        [("P1-1", "SIGB", None, 7, 30, None, 0.5)], matches.schema
+    )
+    merged = merge_protein_matches(
+        matches.unionByName(iso_matches), signatures, entries
+    )
+    iso_proteins = spark.createDataFrame(
+        [("P1-1", "P1-1", 390, "ABCDEF0123456789", "9606", True)],
+        proteins.schema,
+    )
+    out = match_complete_proteins(
+        merged, signatures, entries, proteins.unionByName(iso_proteins)
+    ).collect()
+    order = [r.protein_acc for r in out]
+    assert order == ["P1", "P1-1", "P2", "P3"]
+    iso_xml = out[1].xml
+    assert iso_xml.startswith('<protein id="P1-1" name="P1-1" length="390"')
+    assert '<match id="SIGB"' in iso_xml
