@@ -253,3 +253,81 @@ LEFT JOIN domorgs d ON p.protein_acc = d.protein_acc
 LEFT JOIN isos i ON p.protein_acc = i.protein_acc
     """,
 ))
+
+
+def _repr_structure(spark: SparkSession, sf: str):
+    """Representative-structure pick (reference interpro/mysql/
+    entries.py:13-14,322-336): best (coverage, resolution) structure
+    per entry. The reference's sequential loop starts from the floor
+    (min_coverage=0.5, max_resolution=2) and admits a candidate when
+    coverage beats the running best OR ties it with a strictly better
+    resolution — declaratively: coverage > 0.5, or coverage = 0.5 with
+    resolution < 2; winner = argmax(coverage, -resolution) with pdb_id
+    as the deterministic tiebreak. Structures without a high-res dim
+    row are skipped (inner join)."""
+    li = t(spark, sf, "lineitem")
+    cand = li.select(
+        F.concat(F.lit("IPR"), F.col("l_partkey") % 40).alias("entry_acc"),
+        F.concat(F.lit("PDB"), F.col("l_partkey") % 500).alias("pdb_id"),
+        (((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 100) / F.lit(100.0)).alias(
+            "coverage"
+        ),
+    ).distinct()
+    highres = spark.range(500).filter(F.col("id") % 3 != 0).select(
+        F.concat(F.lit("PDB"), F.col("id")).alias("pdb_id"),
+        F.concat(F.lit("Structure "), F.col("id")).alias("s_name"),
+        ((F.col("id") % 40) / F.lit(10.0)).alias("resolution"),
+    )
+    admissible = cand.join(F.broadcast(highres), "pdb_id").filter(
+        (F.col("coverage") > 0.5)
+        | ((F.col("coverage") == 0.5) & (F.col("resolution") < 2.0))
+    )
+    key = F.struct(
+        F.col("coverage"),
+        (-F.col("resolution")).alias("neg_res"),
+        F.col("pdb_id"),
+    )
+    return admissible.groupBy("entry_acc").agg(
+        F.max_by("pdb_id", key).alias("pdb_id"),
+        F.max_by("s_name", key).alias("s_name"),
+        F.max("coverage").alias("best_coverage"),
+        F.max_by("resolution", key).alias("resolution"),
+    )
+
+
+register(QuerySpec(
+    name="z_repr_structure",
+    tags=("A7", "J2", "P4"),
+    description="Representative-structure selection per entry (reference "
+    "interpro/mysql/entries.py:322-336): threshold-floored argmax over "
+    "(coverage, -resolution) with the reference's asymmetric admission "
+    "rule (coverage above the floor admits any resolution; coverage AT "
+    "the floor requires resolution under the cap).",
+    build=_repr_structure,
+    oracle="""
+WITH cand AS (
+  SELECT DISTINCT 'IPR' || (l_partkey % 40) AS entry_acc,
+         'PDB' || (l_partkey % 500) AS pdb_id,
+         ((l_partkey * 7 + l_suppkey) % 100) / 100.0 AS coverage
+  FROM lineitem
+),
+highres AS (
+  SELECT 'PDB' || i AS pdb_id, 'Structure ' || i AS s_name,
+         (i % 40) / 10.0 AS resolution
+  FROM (SELECT unnest(generate_series(0, 499)) AS i) WHERE i % 3 != 0
+),
+adm AS (
+  SELECT c.entry_acc, c.pdb_id, h.s_name, c.coverage, h.resolution
+  FROM cand c JOIN highres h ON c.pdb_id = h.pdb_id
+  WHERE c.coverage > 0.5 OR (c.coverage = 0.5 AND h.resolution < 2.0)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY entry_acc
+                               ORDER BY coverage DESC, resolution ASC, pdb_id DESC) AS rn,
+         max(coverage) OVER (PARTITION BY entry_acc) AS best_coverage
+  FROM adm
+)
+SELECT entry_acc, pdb_id, s_name, best_coverage, resolution
+FROM ranked WHERE rn = 1
+    """,
+))
