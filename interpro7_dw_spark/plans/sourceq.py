@@ -168,3 +168,55 @@ register(QuerySpec(
         FROM nation
     """,
 ))
+
+
+def _tsv_fixture(spark: SparkSession, sf: str) -> str:
+    """Headerless TSV in the PSI-MI TAB spirit (reference intact.py:
+    24-97 reads 42 headerless tab-separated columns with an explicit
+    schema): supplier rows projected to a fixed column list."""
+    out = os.path.join(_FIXDIR, "tsv_supp_" + sf.replace("/", "_"))
+    (
+        t(spark, sf, "supplier")
+        .select(
+            F.col("s_suppkey").cast("string"),
+            "s_name",
+            F.col("s_nationkey").cast("string"),
+            F.md5(F.col("s_acctbal").cast("string")).alias("bal_md5"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "false")
+        .csv(out)
+    )
+    return out
+
+
+def _tsv_roundtrip(spark: SparkSession, sf: str):
+    from ..sources.readers import read_tsv
+
+    return read_tsv(
+        spark,
+        _tsv_fixture(spark, sf),
+        "suppkey string, name string, nationkey string, bal_md5 string",
+    ).select(
+        F.col("suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("name").alias("s_name"),
+        F.col("nationkey").cast("bigint").alias("s_nationkey"),
+        "bal_md5",
+    )
+
+
+register(QuerySpec(
+    name="z_source_psimi_tsv",
+    tags=("S6",),
+    description="Headerless-TSV source round-trip (reference PSI-MI TAB "
+    "interactions, intact.py:24-97: explicit schema, no header): supplier "
+    "rows written tab-separated, read back via sources/readers.read_tsv, "
+    "value-hashed against the parquet view.",
+    build=_tsv_roundtrip,
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, md5(CAST(s_acctbal AS VARCHAR)) AS bal_md5
+        FROM supplier
+    """,
+))
