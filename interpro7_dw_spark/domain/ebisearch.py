@@ -8,18 +8,16 @@ directory, each file wrapped in the
 
 Spark-first layout: every per-entry array is a pre-aggregated
 ``collect_list`` joined onto the entry dim and concatenated JVM-side —
-no Python in the row path. The reference streams entries one by one
-through a Python dict and flushes greedily; here chunk assignment is
-``floor(exclusive_prefix_fields / fields_per_file)`` over a
-deterministic per-type ordering — every file stays under
-``fields_per_file + max_doc_fields`` (the greedy rule's bound too) and
-the assignment is a single window function instead of a sequential
-scan, so it distributes.
+no Python in the row path. Chunk assignment replays the reference's
+greedy flush rule exactly (flush *before* appending once the running
+per-type total would reach the cap, so every file stays strictly under
+``fields_per_file``); the sequential fold runs only over the
+dimension-sized per-entry field counts — see ``chunk_documents``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _FIELD = "array<struct<name: string, value: string>>"
@@ -29,6 +27,7 @@ _XREF = "array<struct<dbname: string, dbkey: string>>"
 def entry_documents(
     entries: DataFrame,
     entry_proteins: DataFrame | None = None,
+    entry_genes: DataFrame | None = None,
     entry_taxa: DataFrame | None = None,
     entry_proteomes: DataFrame | None = None,
     entry_structures: DataFrame | None = None,
@@ -46,7 +45,9 @@ def entry_documents(
     creation_date (pre-formatted string).
     Optional inputs (all keyed by entry_acc):
     - ``entry_proteins``: uniprot_acc, uniprot_id, in_alphafold bool
-      (reference ebisearch.py:252-272);
+      (reference ebisearch.py:252-268);
+    - ``entry_genes``: gene — one ``uniprot_gene`` field per gene name,
+      after the uniprot_id fields (:269-273);
     - ``entry_taxa``: tax_id, taxon_name (:281-291);
     - ``entry_proteomes``: proteome_id (:293-297);
     - ``entry_structures``: pdb_id (:299-303);
@@ -121,6 +122,8 @@ def entry_documents(
                 """,
             )
         )
+    if entry_genes is not None:
+        joins.append(agg_pairs(entry_genes, "genes", "array_sort(collect_list(gene))"))
     if entry_taxa is not None:
         joins.append(
             agg_pairs(entry_taxa, "taxa",
@@ -157,6 +160,7 @@ def entry_documents(
         df = df.join(j, "entry_acc", "left")
     for c, t in [
         ("prot", "array<struct<uniprot_acc:string,uniprot_id:string,in_alphafold:boolean>>"),
+        ("genes", "array<string>"),
         ("taxa", "array<struct<tax_id:string,taxon_name:string>>"),
         ("upids", "array<string>"),
         ("pdbs", "array<string>"),
@@ -199,6 +203,9 @@ def entry_documents(
              cast(array() as """ + _FIELD + """)),
           if(prot is not null,
              transform(prot, p -> struct('uniprot_id' as name, p.uniprot_id as value)),
+             cast(array() as """ + _FIELD + """)),
+          if(genes is not null,
+             transform(genes, g -> struct('uniprot_gene' as name, g as value)),
              cast(array() as """ + _FIELD + """)),
           if(taxa is not null,
              transform(taxa, t -> struct('taxonomy_name' as name, t.taxon_name as value)),
@@ -269,19 +276,41 @@ def entry_documents(
 
 
 def chunk_documents(docs: DataFrame, fields_per_file: int) -> DataFrame:
-    """Assign each document a (entry_type, chunk) file slot: exclusive
-    prefix sum of n_fields per type, divided by the cap. Deterministic
-    (ordered by entry_acc) and windowed — no sequential driver scan."""
-    w = (
-        Window.partitionBy("entry_type")
-        .orderBy("entry_acc")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    """Assign each document a (entry_type, chunk) file slot replaying
+    the reference's greedy flush rule exactly (ebisearch.py:322-341):
+    a per-type running total; when ``running + n_fields >= cap`` the
+    current file is flushed *before* appending, so every file's total
+    stays strictly under the cap. The reset at each flush makes this a
+    sequential fold, not a prefix sum — but it only runs over the
+    dimension-sized ``(entry_acc, entry_type, n_fields)`` projection
+    (#entries rows, not #proteins), per-type via ``applyInPandas``, and
+    the chunk ids are joined back onto the full documents. Canonical
+    order: entry_acc (the reference iterates its BasicStore order)."""
+    import pandas as pd
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("entry_acc").reset_index(drop=True)
+        chunks = []
+        running = 0
+        chunk = 0
+        for n in pdf["n_fields"]:
+            if running + int(n) >= fields_per_file and running > 0:
+                chunk += 1
+                running = 0
+            chunks.append(chunk)
+            running += int(n)
+        pdf["chunk"] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    slots = (
+        docs.select("entry_acc", "entry_type", "n_fields")
+        .groupBy("entry_type")
+        .applyInPandas(
+            assign, "entry_acc string, entry_type string, n_fields long, chunk long"
+        )
+        .select("entry_acc", "chunk")
     )
-    return docs.withColumn(
-        "chunk",
-        (F.coalesce(F.sum("n_fields").over(w), F.lit(0)) / F.lit(fields_per_file))
-        .cast("long"),
-    )
+    return docs.join(F.broadcast(slots), "entry_acc")
 
 
 def export_ebisearch(

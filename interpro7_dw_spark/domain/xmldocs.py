@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.pyfloat import py_double_sql
+
 # inverse of fragments.DC_STATUSES (reference xmlfiles.py:23)
 _DC_CODES = {
     "CONTINUOUS": "S",
@@ -77,7 +79,9 @@ def _lcn_expr() -> str:
     """SQL expression rendering one parsed location struct ``l`` as a
     ``<lcn .../>`` element at the given indent (reference
     create_lcn, xmlfiles.py:845-875): start = first fragment start,
-    end = max fragment end, fragments string rebuilt START-END-CODE."""
+    end = max fragment end, fragments string rebuilt START-END-CODE,
+    score rendered as Python ``str(score)`` (py_double_sql — the
+    reference writes ``str(location["score"])``, xmlfiles.py:869)."""
     frag_str = (
         "array_join(transform(l.fragments, f -> concat(f.start, '-', f.end, '-', "
         + _dc_code_expr("f.`dc-status`")
@@ -87,7 +91,7 @@ def _lcn_expr() -> str:
       concat('<lcn start="', l.fragments[0].start,
              '" end="', array_max(transform(l.fragments, f -> f.end)),
              '" fragments="', {frag_str},
-             '" score="', cast(l.score as string),
+             '" score="', {py_double_sql('l.score')},
              '" representative="', if(l.representative, 'true', 'false'), '"/>')
     """
 
@@ -165,12 +169,14 @@ def match_complete_proteins(
     ready; feed to ``sources.sinks.write_xml`` with root
     ``interpromatch``.
 
-    Isoforms (reference xmlfiles.py:544-551: variant elements follow
+    Isoforms (reference xmlfiles.py:517-551: variant elements follow
     their master, ``XXXX-1`` before ``XXXX-2``): union variant-keyed
     match rows into ``merged`` and variant rows (name = variant acc,
     taxid/status inherited from the master) into ``proteins`` — ASCII
     accession sort interleaves ``P1 < P1-1 < P1-2 < P10`` exactly like
-    the reference's per-master loop.
+    the reference's per-master loop. Variant open tags write ``status``
+    BEFORE ``taxid`` (xmlfiles.py:519-525 setAttribute order), the
+    reverse of master rows — detected by ``-`` in the accession.
     """
     sig_dim = F.broadcast(
         signatures.select(
@@ -221,8 +227,15 @@ def match_complete_proteins(
         _attr("name", F.col("p_name")),
         _attr("length", F.col("p_len")),
         _attr("crc64", F.col("crc64")),
-        _attr("taxid", F.col("p_taxid")),
-        _attr("status", F.col("p_status")),
+        # master rows: (taxid, status); isoform variant rows: (status,
+        # taxid) — the reference's two element builders differ
+        # (xmlfiles.py:478-485 vs 519-525)
+        F.when(
+            F.col("protein_acc").contains("-"),
+            F.concat(_attr("status", F.col("p_status")), _attr("taxid", F.col("p_taxid"))),
+        ).otherwise(
+            F.concat(_attr("taxid", F.col("p_taxid")), _attr("status", F.col("p_status")))
+        ),
     )
     return (
         prot.join(per_protein, "protein_acc", "left")
@@ -365,12 +378,16 @@ def interpro_entries_xml(
 
     go_xml = None
     if go_terms is not None:
+        # the reference writes GO terms in entry.go_terms insertion order
+        # (xmlfiles.py:285-302); callers preserving that order pass a
+        # ``pos`` column, otherwise terms are canonicalized by go_id
+        go_key = "pos, go_id" if "pos" in go_terms.columns else "go_id"
         go_xml = go_terms.groupBy("entry_acc").agg(
             F.expr(
                 f"""
                 array_join(
                   transform(
-                    array_sort(collect_list(struct(go_id, category, go_name))),
+                    array_sort(collect_list(struct({go_key}, category, go_name))),
                     g -> concat('    <classification id="', {_esc_sql('g.go_id')},
                                 '" class_type="GO">\\n',
                                 '      <category>', {_esc_sql('g.category')}, '</category>\\n',
@@ -591,9 +608,11 @@ def interpro_entries_xml(
             )
         )
 
-    body = F.concat_ws("\n", *[F.coalesce(b, F.lit("")) for b in blocks])
-    # drop blank lines left by absent optional blocks
-    body = F.regexp_replace(body, "\n{2,}", "\n")
+    # concat_ws natively skips NULL arguments, so absent optional blocks
+    # (NULL from un-otherwise'd F.when) leave exactly one newline between
+    # present blocks — no blank-line cleanup pass that could corrupt
+    # abstracts containing legitimate consecutive newlines
+    body = F.concat_ws("\n", *blocks)
     return entries.select("entry_acc").join(
         df.select(
             "entry_acc",
@@ -671,7 +690,7 @@ def uniparc_protein_xml(matches: DataFrame, proteins: DataFrame) -> DataFrame:
     alns = "', '".join(sorted(WITH_ALIGNMENT))
     lcn = f"""
       concat('    <lcn start="', l.start, '" end="', l.end,
-             '" score="', cast(l.score as string), '"',
+             '" score="', {py_double_sql('l.score')}, '"',
              if(l.fragments is not null,
                 concat(' fragments="', {_esc_sql('l.fragments')}, '"'), ''),
              if(l.seq_feature is not null,

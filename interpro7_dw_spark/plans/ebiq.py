@@ -126,11 +126,13 @@ register(QuerySpec(
     tags=("S17", "A8", "F8", "X5"),
     description="EBISearch entry documents (reference ebisearch.py:30-384): "
     "fields/cross_references composition for InterPro entries and member "
-    "signatures, chunk weights, and the per-type file chunk assignment "
-    "(exclusive prefix-sum window over a 500-field cap).",
+    "signatures, chunk weights, and the per-type file chunk assignment — "
+    "the reference's greedy flush rule (flush before appending once the "
+    "running total would reach the 500-field cap), replayed in the oracle "
+    "as a recursive-CTE fold.",
     build=_ebisearch_docs,
     oracle=f"""
-WITH ipr AS (
+WITH RECURSIVE ipr AS (
   SELECT 'IPR' || i AS entry_acc, 'Entry ' || i AS name, 'entry_' || i AS short_name,
          'Domain' AS typ, 'InterPro' AS db, NULL AS integrated_in,
          CASE WHEN i % 4 = 1 THEN 'IPR' || (i - 1) END AS parent_acc,
@@ -232,12 +234,28 @@ docs AS (
   FROM all_entries e
   LEFT JOIN fagg f ON e.entry_acc = f.entry_acc
   LEFT JOIN xagg x ON e.entry_acc = x.entry_acc
+),
+seq AS (
+  SELECT entry_acc, entry_type, n_fields, fields_str, xrefs_str,
+         row_number() OVER (PARTITION BY entry_type ORDER BY entry_acc) AS rn
+  FROM docs
+),
+-- the reference's greedy flush (ebisearch.py:322-341): running per-type
+-- total; when running + n >= cap (and the file is non-empty) flush and
+-- reset — a sequential fold, replayed here as a recursive CTE
+fold AS (
+  SELECT entry_acc, entry_type, n_fields, rn,
+         CAST(0 AS BIGINT) AS chunk, n_fields AS running
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.entry_acc, s.entry_type, s.n_fields, s.rn,
+         CASE WHEN f.running + s.n_fields >= {_CHUNK_CAP} AND f.running > 0
+              THEN f.chunk + 1 ELSE f.chunk END,
+         CASE WHEN f.running + s.n_fields >= {_CHUNK_CAP} AND f.running > 0
+              THEN s.n_fields ELSE f.running + s.n_fields END
+  FROM fold f JOIN seq s ON s.entry_type = f.entry_type AND s.rn = f.rn + 1
 )
-SELECT entry_acc, entry_type, n_fields,
-       CAST(floor(coalesce(sum(n_fields) OVER (
-           PARTITION BY entry_type ORDER BY entry_acc
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_CHUNK_CAP}) AS BIGINT) AS chunk,
-       fields_str, xrefs_str
-FROM docs
+SELECT s.entry_acc, s.entry_type, s.n_fields, f.chunk, s.fields_str, s.xrefs_str
+FROM seq s JOIN fold f ON s.entry_type = f.entry_type AND s.rn = f.rn
     """,
 ))

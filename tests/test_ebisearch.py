@@ -94,6 +94,22 @@ def test_interpro_entry_fields_and_xrefs(spark, dims):
     assert d.entry_type == "family"
 
 
+def test_uniprot_gene_fields(spark, dims):
+    genes = spark.createDataFrame(
+        [("IPR1", "KIN1"), ("IPR1", "ABL2")], "entry_acc string, gene string"
+    )
+    d = _docs(spark, dims, entry_genes=genes)["IPR1"]
+    fields = [(f.name, f.value) for f in d.doc.fields]
+    # gene fields sit after the uniprot_id family and before
+    # taxonomy_name (reference ebisearch.py:269-281)
+    iid = max(i for i, f in enumerate(fields) if f[0] == "uniprot_id")
+    itax = min(i for i, f in enumerate(fields) if f[0] == "taxonomy_name")
+    assert fields[iid + 1 : itax] == [
+        ("uniprot_gene", "ABL2"),
+        ("uniprot_gene", "KIN1"),
+    ]
+
+
 def test_signature_and_relationship_docs(spark, dims):
     docs = _docs(spark, dims)
     # integrated signature: set field + INTERPRO xref
@@ -122,13 +138,17 @@ def test_chunk_boundaries_and_envelope(spark, dims, tmp_path):
     docs = entry_documents(dims[0], entry_proteins=dims[1], entry_taxa=dims[2])
     rows = {r.entry_acc: r.n_fields for r in docs.collect()}
     # family-type docs in entry_acc order: IPR1 (heavy), PF001, PTHR1
-    cap = rows["IPR1"]  # PF001's exclusive prefix hits the cap exactly
+    cap = rows["IPR1"]  # running total reaches the cap at PF001
     chunked = {
         (r.entry_acc): (r.entry_type, r.chunk)
         for r in chunk_documents(docs, cap).collect()
     }
     assert chunked["IPR1"] == ("family", 0)
-    assert chunked["PF001"] == ("family", 1)   # exclusive prefix >= cap
+    # greedy flush rule (reference ebisearch.py:322-341): running + n
+    # >= cap flushes before appending, so PF001 starts chunk 1 and the
+    # counter resets — PTHR1 joins it (9 + 6 < cap)
+    assert chunked["PF001"] == ("family", 1)
+    assert chunked["PTHR1"] == ("family", 1)
     assert chunked["IPR2"] == ("domain", 0)    # per-type chunking
 
     out = str(tmp_path / "ebisearch")
@@ -142,12 +162,13 @@ def test_chunk_boundaries_and_envelope(spark, dims, tmp_path):
     # every doc lands in exactly one file
     total = sum(p["entry_count"] for p in payloads)
     assert total == 4
-    # each file respects the cap up to one trailing document
+    # greedy flush: every file is strictly under the cap unless it
+    # holds a single document that alone reaches it
     for p in payloads:
         weights = [
             len(e["fields"]) + len(e["cross_references"]) for e in p["entries"]
         ]
-        assert sum(weights[:-1]) < cap
+        assert sum(weights) < cap or len(weights) == 1
 
 
 def test_pubmed_go_extref_xrefs(spark, dims):

@@ -31,8 +31,10 @@ def fixture(spark):
             # plus a second signature and an integrated entry
             ("P1", "SIGA", None, 10, 50, None, 0.25),
             ("P1", "SIGA", None, 60, 90, "60-70-N,80-90-C", 0.5),
-            ("P1", "SIGB", None, 10, 45, None, 1.5),
-            ("P2", "SIGB", None, 5, 25, None, 0.75),
+            # small scores: Python str() writes '0.0005' / '1e-05' where
+            # Java would write '5.0E-4' / '1.0E-5' (functions/pyfloat.py)
+            ("P1", "SIGB", None, 10, 45, None, 0.0005),
+            ("P2", "SIGB", None, 5, 25, None, 1e-05),
         ],
         "protein_acc string, signature_acc string, model_acc string, "
         "pos_from long, pos_to long, fragments string, score double",
@@ -250,7 +252,7 @@ def test_uniparc_protein_elements(spark):
             # Pfam: feature renders as sequence-feature
             ("UPI1", "PF1", "PfamSig", "Pfam", "hmm", "PF1.2",
              None, None, None, None,
-             [(10, 60, 1.0, "10-30-S,40-60-N", "sf1"), (70, 90, 2.0, None, None)]),
+             [(10, 60, 1.0, "10-30-S,40-60-N", "sf1"), (70, 90, 5e-4, None, None)]),
             # PIRSR: dropped entirely (uniparc.py:73-76)
             ("UPI1", "PIRSR1", "PirSig", "PIRSR", "hmm", None,
              None, None, None, None, [(1, 5, 0.1, None, None)]),
@@ -274,7 +276,7 @@ def test_uniparc_protein_elements(spark):
         "  </match>\n"
         '  <match id="PF1" name="PfamSig" dbname="Pfam" status="T" evd="hmm" model="PF1.2">\n'
         '    <lcn start="10" end="60" score="1.0" fragments="10-30-S,40-60-N" sequence-feature="sf1"/>\n'
-        '    <lcn start="70" end="90" score="2.0"/>\n'
+        '    <lcn start="70" end="90" score="0.0005"/>\n'
         "  </match>\n"
         "</protein>"
     )
@@ -438,5 +440,14 @@ def test_isoform_interleaving_via_union(spark, fixture):
     order = [r.protein_acc for r in out]
     assert order == ["P1", "P1-1", "P2", "P3"]
     iso_xml = out[1].xml
-    assert iso_xml.startswith('<protein id="P1-1" name="P1-1" length="390"')
+    # variant open tags write status BEFORE taxid (xmlfiles.py:519-525);
+    # masters write taxid first (xmlfiles.py:478-485)
+    assert iso_xml.startswith(
+        '<protein id="P1-1" name="P1-1" length="390" '
+        'crc64="ABCDEF0123456789" status="reviewed" taxid="9606">'
+    )
+    assert out[0].xml.startswith(
+        '<protein id="P1" name="PROT1_HUMAN" length="400" '
+        'crc64="ABCDEF0123456789" taxid="9606" status="reviewed">'
+    )
     assert '<match id="SIGB"' in iso_xml
