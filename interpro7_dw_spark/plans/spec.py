@@ -75,6 +75,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         domainq,
         ebiq,
+        entrymartq,
         graphs,
         llmops,
         marts,
