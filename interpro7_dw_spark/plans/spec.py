@@ -79,6 +79,7 @@ def all_specs() -> dict[str, QuerySpec]:
         graphs,
         llmops,
         marts,
+        pdbeq,
         proteinq,
         relnotesq,
         sourceq,
