@@ -97,3 +97,76 @@ def relationship_documents(
             F.coalesce("tax_id", F.lit("")),
         ),
     ).select(*DOC_COLUMNS)
+
+
+def ida_documents(domorgs: DataFrame, entry_names: DataFrame) -> DataFrame:
+    """Domain-architecture (IDA) search documents, one per distinct
+    ida_id (reference gen_ida_docs, interpro/elastic/export.py:296-316,
+    429-475): the per-protein domain-organisation stream dedups to its
+    first-seen ida — equivalently any member, since the re-merge
+    (interpro/xrefs/domorgs.py:140-156) stamps every member with the
+    SAME representative block (oldest protein, ties to the smallest
+    accession — the reference's strict ``date <`` update over
+    accession-sorted iteration).
+
+    ``domorgs`` per-protein grain: protein_acc, dom_id, dom_key, date
+    (comparable string), length, locations
+    array<struct<pfam string, interpro string, start long, end long>>
+    (sorted by (start, end) like domorgs.py:44-45).
+    ``entry_names``: (entry_acc, short_name) dim for the per-domain
+    name lookups (export.py:438,452).
+
+    Output: ida_id, ida, rep_protein, rep_length, n_proteins,
+    domains_str — the locations list flattened in reference order
+    (each location emits its Pfam element, then its InterPro element
+    when integrated, export.py:436-460), rendered canonically as
+    ``acc=name:start-end`` joined by commas.
+    """
+    per_ida = domorgs.groupBy("dom_id").agg(
+        F.count("*").alias("n_proteins"),
+        F.min_by(
+            F.struct("protein_acc", "dom_key", "length", "locations"),
+            F.struct("date", "protein_acc"),
+        ).alias("rep"),
+    )
+    elems = per_ida.select(
+        F.col("dom_id").alias("ida_id"),
+        F.col("rep.dom_key").alias("ida"),
+        F.col("rep.protein_acc").alias("rep_protein"),
+        F.col("rep.length").alias("rep_length"),
+        "n_proteins",
+        F.posexplode(
+            F.expr(
+                """
+                flatten(transform(rep.locations, l ->
+                  if(l.interpro is null,
+                     array(struct(l.pfam as acc, l.start as s, l.end as e)),
+                     array(struct(l.pfam as acc, l.start as s, l.end as e),
+                           struct(l.interpro as acc, l.start as s, l.end as e)))))
+                """
+            )
+        ).alias("pos", "elem"),
+    )
+    named = elems.join(
+        F.broadcast(entry_names.select(F.col("entry_acc").alias("acc_key"), "short_name")),
+        elems["elem.acc"] == F.col("acc_key"),
+        "left",
+    )
+    return (
+        named.groupBy("ida_id")
+        .agg(
+            F.first("ida").alias("ida"),
+            F.first("rep_protein").alias("rep_protein"),
+            F.first("rep_length").alias("rep_length"),
+            F.first("n_proteins").alias("n_proteins"),
+            F.expr(
+                """
+                array_join(
+                  transform(array_sort(collect_list(struct(pos,
+                    concat(elem.acc, '=', coalesce(short_name, ''), ':', elem.s, '-', elem.e) as r))),
+                    x -> x.r),
+                  ',')
+                """
+            ).alias("domains_str"),
+        )
+    )

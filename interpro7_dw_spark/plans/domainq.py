@@ -568,3 +568,140 @@ register(QuerySpec(
         FROM docs
     """,
 ))
+
+
+# --- IDA (domain-architecture) search documents ----------------------
+
+def _ida_documents(spark: SparkSession, sf: str):
+    """Per-protein Pfam domain organisations (interpro/xrefs/
+    domorgs.py:28-90) -> per-ida_id deduped search documents
+    (elastic/export.py:296-316,429-475). The id hash is sha-256 here
+    (the reference uses sha-1, which DuckDB lacks; same role)."""
+    from ..domain.documents import ida_documents
+
+    li = t(spark, sf, "lineitem")
+    pk = F.col("l_partkey") % 30
+    # sort key (start, end, pfam, ikey): the testdata's lineitem has
+    # duplicate linenumbers per order, so (start, end) alone ties —
+    # ikey is the null-free interpro tiebreak (Spark sorts struct
+    # NULLs first, DuckDB last; coalesce'ing to '' removes the skew)
+    ipr = F.when(pk % 3 == 0, F.concat(F.lit("IPR"), pk % 10))
+    locs = li.select(
+        F.col("l_orderkey"),
+        F.struct(
+            (F.col("l_linenumber") * 10).cast("long").alias("start"),
+            (F.col("l_linenumber") * 10 + 8 + pk % 7).cast("long").alias("end"),
+            F.concat(F.lit("PF"), pk).alias("pfam"),
+            F.coalesce(ipr, F.lit("")).alias("ikey"),
+            ipr.alias("interpro"),
+        ).alias("loc"),
+    )
+    per_protein = (
+        locs.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("loc")).alias("locations"))
+        .withColumn(
+            "dom_key",
+            F.expr(
+                "array_join(transform(locations, l -> if(l.interpro is null,"
+                " l.pfam, concat(l.pfam, ':', l.interpro))), '-')"
+            ),
+        )
+        .withColumn("dom_id", F.sha2(F.col("dom_key").cast("binary"), 256))
+    )
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("date"),
+        (100 + F.col("o_orderkey") % 200).alias("length"),
+    )
+    domorgs = per_protein.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("l_orderkey").cast("string").alias("protein_acc"),
+        "dom_id",
+        "dom_key",
+        "date",
+        "length",
+        "locations",
+    )
+    names = spark.range(30).select(
+        F.concat(F.lit("PF"), F.col("id")).alias("entry_acc"),
+        F.when(F.col("id") % 11 != 7, F.concat(F.lit("pf_sn_"), F.col("id"))).alias(
+            "short_name"
+        ),
+    ).unionByName(
+        spark.range(10).select(
+            F.concat(F.lit("IPR"), F.col("id")).alias("entry_acc"),
+            F.concat(F.lit("ipr_sn_"), F.col("id")).alias("short_name"),
+        )
+    )
+    return ida_documents(domorgs, names)
+
+
+register(QuerySpec(
+    name="z_ida_documents",
+    tags=("J9", "A6", "A12", "F3"),
+    description="IDA search documents, one per distinct domain "
+    "architecture (reference gen_ida_docs, elastic/export.py:296-316,"
+    "429-475): per-protein Pfam organisations keyed by content hash, "
+    "representative = oldest member protein (accession tiebreak), and "
+    "the flattened pfam-then-interpro domain list with short-name "
+    "lookups rendered canonically.",
+    build=_ida_documents,
+    oracle="""
+WITH locs AS (
+  SELECT l_orderkey AS pk_protein,
+         'PF' || (l_partkey % 30) AS pfam,
+         CASE WHEN (l_partkey % 30) % 3 = 0 THEN 'IPR' || ((l_partkey % 30) % 10) END AS interpro,
+         CAST(l_linenumber * 10 AS BIGINT) AS s,
+         CAST(l_linenumber * 10 + 8 + (l_partkey % 30) % 7 AS BIGINT) AS e
+  FROM lineitem
+),
+orgs AS (
+  SELECT pk_protein,
+         string_agg(CASE WHEN interpro IS NULL THEN pfam
+                         ELSE pfam || ':' || interpro END, '-'
+                    ORDER BY s, e, pfam, coalesce(interpro, '')) AS dom_key
+  FROM locs GROUP BY 1
+),
+ids AS (SELECT pk_protein, dom_key, sha256(dom_key) AS dom_id FROM orgs),
+members AS (
+  SELECT i.*, CAST(o_orderdate AS VARCHAR) AS date,
+         100 + o_orderkey % 200 AS length,
+         CAST(pk_protein AS VARCHAR) AS protein_acc
+  FROM ids i JOIN orders ON pk_protein = o_orderkey
+),
+reps AS (
+  SELECT dom_id, dom_key AS ida, protein_acc AS rep_protein,
+         length AS rep_length, pk_protein AS rep_pk,
+         count(*) OVER (PARTITION BY dom_id) AS n_proteins,
+         row_number() OVER (PARTITION BY dom_id ORDER BY date, protein_acc) AS rn
+  FROM members
+),
+rep1 AS (SELECT * FROM reps WHERE rn = 1),
+names AS (
+  SELECT 'PF' || i AS acc, CASE WHEN i % 11 != 7 THEN 'pf_sn_' || i END AS short_name
+  FROM (SELECT unnest(generate_series(0, 29)) AS i)
+  UNION ALL
+  SELECT 'IPR' || i, 'ipr_sn_' || i FROM (SELECT unnest(generate_series(0, 9)) AS i)
+),
+locs2 AS (
+  -- per-location index: duplicate locations emit their (pfam, ipr)
+  -- element PAIRS consecutively, like the flatten on the Spark side
+  SELECT *, row_number() OVER (PARTITION BY pk_protein
+              ORDER BY s, e, pfam, coalesce(interpro, '')) AS loc_idx
+  FROM locs
+),
+elems AS (
+  SELECT r.dom_id, l.s, l.e, l.loc_idx, x.acc, x.ord
+  FROM rep1 r
+  JOIN locs2 l ON l.pk_protein = r.rep_pk
+  CROSS JOIN LATERAL (VALUES (l.pfam, 0), (l.interpro, 1)) AS x(acc, ord)
+  WHERE x.acc IS NOT NULL
+)
+SELECT r.dom_id AS ida_id, r.ida, r.rep_protein, r.rep_length,
+       CAST(r.n_proteins AS BIGINT) AS n_proteins,
+       (SELECT string_agg(e.acc || '=' || coalesce(n.short_name, '') || ':' || e.s || '-' || e.e,
+                          ',' ORDER BY e.loc_idx, e.ord)
+        FROM elems e LEFT JOIN names n ON e.acc = n.acc
+        WHERE e.dom_id = r.dom_id) AS domains_str
+FROM rep1 r
+    """,
+))

@@ -51,3 +51,36 @@ def test_relationship_documents_fanout_and_leftovers(spark):
     # doc ids deterministic and unique
     ids = [r["doc_id"] for r in docs]
     assert len(ids) == len(set(ids))
+
+
+def test_ida_documents_dedup_and_representative(spark):
+    from interpro7_dw_spark.domain.documents import ida_documents
+
+    loc = "array<struct<start long, `end` long, pfam string, interpro string>>"
+    domorgs = spark.createDataFrame(
+        [
+            # same ida held by three proteins; P2 is oldest -> rep
+            ("P1", "ID1", "PF1:IPR1-PF2", "2020-05-05", 100,
+             [(10, 20, "PF1", "IPR1"), (30, 40, "PF2", None)]),
+            ("P2", "ID1", "PF1:IPR1-PF2", "2019-01-01", 90,
+             [(5, 15, "PF1", "IPR1"), (25, 35, "PF2", None)]),
+            ("P3", "ID1", "PF1:IPR1-PF2", "2019-01-01", 95,   # date tie: P2 < P3
+             [(6, 16, "PF1", "IPR1"), (26, 36, "PF2", None)]),
+            ("P4", "ID2", "PF9", "2021-01-01", 50, [(1, 9, "PF9", None)]),
+        ],
+        f"protein_acc string, dom_id string, dom_key string, date string, "
+        f"length long, locations {loc}",
+    )
+    names = spark.createDataFrame(
+        [("PF1", "kinase"), ("IPR1", "kin_entry"), ("PF2", None)],
+        "entry_acc string, short_name string",
+    )
+    got = {r.ida_id: r for r in ida_documents(domorgs, names).collect()}
+    assert set(got) == {"ID1", "ID2"}
+    r = got["ID1"]
+    # oldest member wins, accession tiebreak (domorgs.py:66-90)
+    assert (r.rep_protein, r.rep_length, r.n_proteins) == ("P2", 90, 3)
+    # pfam element then interpro element per location; null name -> ''
+    assert r.domains_str == "PF1=kinase:5-15,IPR1=kin_entry:5-15,PF2=:25-35"
+    # PF9 has no dim row at all -> '' name
+    assert got["ID2"].domains_str == "PF9=:1-9"
