@@ -257,7 +257,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="binary_payload_meta",
+    name="z_binary_payload_meta",
     tags=("MM1", "F4"),
     description="Multimodal plumbing: binary payload column + typed metadata "
     "(decode kernel is a deterministic stub; see operators/multimodal.py).",
@@ -288,43 +288,53 @@ def _multimodal_decode(spark: SparkSession, sf: str):
     imgs = decode_image(make_raster_payload(docs))
     small = resize_image(make_raster_payload(docs), 16, 16)
     frames = frame_sample(make_video_payload(docs), every_k=2)
+    fr = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.first("n_frames").alias("n_frames"),
+    )
+    sm = small.select("doc_id", F.length("payload").cast("int").alias("resized_bytes"))
     return (
-        imgs.groupBy("media_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
-            F.sum("n_bytes").cast("long").alias("total_bytes"),
-        )
-        .unionByName(
-            small.select(F.lit("image/fri0-16x16").alias("media_type"), "mean_luma", F.lit(264).alias("n_bytes"))
-            .groupBy("media_type")
-            .agg(
-                F.count("*").alias("n"),
-                F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
-                F.sum("n_bytes").cast("long").alias("total_bytes"),
-            )
-        )
-        .unionByName(
-            frames.select(F.lit("video/fvi0-frames").alias("media_type"), "mean_luma", F.lit(0).alias("n_bytes"))
-            .groupBy("media_type")
-            .agg(
-                F.count("*").alias("n"),
-                F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
-                F.sum("n_bytes").cast("long").alias("total_bytes"),
-            )
-        )
+        imgs.select("doc_id", "width", "height", F.col("n_bytes").alias("img_bytes"))
+        .join(sm, "doc_id")
+        .join(fr, "doc_id")
     )
 
 
 register(QuerySpec(
     name="z_multimodal_decode",
     tags=("MM2", "X2"),
-    description="Multimodal kernel stack at scale: synthesized FRI0/FVI0 "
-    "binary payloads -> Arrow mapInPandas decode, numpy bilinear resize, "
-    "frame sampling -> typed metadata aggregation; rows-only (kernels are "
-    "engine-side Python by design).",
+    description="Multimodal kernel stack with a value oracle: synthesized "
+    "FRI0/FVI0 binary payloads -> Arrow mapInPandas header decode, numpy "
+    "bilinear resize (re-encoded payload length), every-2nd frame sampling "
+    "-> per-document structural stats. The payload generator derives dims "
+    "and frame counts from md5(text) bytes, so the oracle recomputes them "
+    "with hex-digit arithmetic; pixel statistics (mean luma) stay "
+    "golden-tested in tests/test_operators.py (the md5 counter stream "
+    "isn't SQL-expressible).",
     build=_multimodal_decode,
-    oracle=None,
+    oracle="""
+WITH b AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+),
+hexd AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+         (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1,
+         (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS b2
+  FROM b
+)
+SELECT doc_id,
+       CAST(8 + b0 % 25 AS INT) AS width,
+       CAST(8 + b1 % 25 AS INT) AS height,
+       CAST(8 + (8 + b0 % 25) * (8 + b1 % 25) AS INT) AS img_bytes,
+       CAST(8 + 16 * 16 AS INT) AS resized_bytes,
+       CAST((4 + b2 % 9 + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(4 + b2 % 9 AS INT) AS n_frames
+FROM hexd
+    """,
 ))
 
 

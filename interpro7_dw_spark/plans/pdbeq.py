@@ -117,7 +117,7 @@ _FRAGS_CTE = f"""
 
 
 register(QuerySpec(
-    name="mart_pdbematches",
+    name="z_pdbematches",
     tags=("J1", "J10", "P4", "F9"),
     description="PDB chain match fragments mapped to author residue "
     "numbering through the per-chain SIFTS residue map (reference "

@@ -35,7 +35,6 @@ def test_entry_contract(spark):
         "z_embedding_lsh_topk",
         "z_embedding_ivf_topk",
         "z_domain_merge_matches",
-        "z_multimodal_decode",
     }
 
 
