@@ -849,3 +849,56 @@ def sites_protein_xml(site_rows: DataFrame, proteins: DataFrame) -> DataFrame:
         )
         .sort("protein_acc")
     )
+
+
+def export_uniparc_match_archive(
+    protein_xml: DataFrame,
+    outdir: str,
+    proteins_per_member: int = 10_000,
+) -> str:
+    """Package ``uniparc_protein_xml`` rows as ``uniparc_match.tar.gz``
+    (reference interpro/ftp/uniparc.py:19-57,60-131): proteins split
+    into contiguous sorted-UPI ranges — the reference's per-range
+    ``.dat`` stores (SURVEY S3) — one ``NNNNNN.xml`` member per range,
+    numbered from 000001 in range order; every member starts with the
+    XML declaration line and holds bare ``<protein>`` elements (no
+    root), each followed by a newline.
+
+    Member bodies are rendered and grouped distributed (one global
+    range sort, one shuffle); the tar itself is a sequential format,
+    so members stream to the driver one at a time through
+    ``toLocalIterator`` — the same single-writer seam as the
+    reference's one ``tarfile`` handle, without materializing more
+    than one member in memory. Returns the archive path.
+    """
+    import io
+    import os
+    import tarfile
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("upi")
+    members = (
+        protein_xml.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("member", (F.col("rn") / proteins_per_member).cast("long"))
+        .groupBy("member")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(upi, xml))),"
+                " x -> x.xml), '\\n')"
+            ).alias("body")
+        )
+        .sort("member")
+    )
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "uniparc_match.tar.gz")
+    with tarfile.open(path, "w:gz") as tf:
+        for row in members.toLocalIterator():
+            data = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n' + row.body + "\n"
+            ).encode("utf-8")
+            info = tarfile.TarInfo(f"{row.member + 1:06d}.xml")
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return path

@@ -451,3 +451,50 @@ def test_isoform_interleaving_via_union(spark, fixture):
         'crc64="ABCDEF0123456789" taxid="9606" status="reviewed">'
     )
     assert '<match id="SIGB"' in iso_xml
+
+
+def test_uniparc_match_archive_member_framing(spark, tmp_path):
+    # member packaging (reference interpro/ftp/uniparc.py:19-57): one
+    # NNNNNN.xml per sorted-UPI range, numbered from 000001, each
+    # opening with the XML declaration and holding bare <protein>
+    # elements, all tar.gz'd as uniparc_match.tar.gz
+    import tarfile
+
+    from interpro7_dw_spark.domain.xmldocs import (
+        export_uniparc_match_archive,
+        uniparc_protein_xml,
+    )
+
+    matches = spark.createDataFrame(
+        [("UPI3", "PF1", "PfamSig", "Pfam", "hmm", None,
+          None, None, None, None, [(1, 9, 0.5, None, None)])],
+        "upi string, signature_acc string, sig_name string, library string, "
+        "evidence string, model_acc string, entry_acc string, entry_name string, "
+        "entry_type string, entry_parent string, "
+        "locations array<struct<start:long, end:long, score:double, "
+        "fragments:string, seq_feature:string>>",
+    )
+    proteins = spark.createDataFrame(
+        [("UPI1", 10, "AA"), ("UPI2", 20, "BB"), ("UPI3", 30, "CC")],
+        "upi string, length int, crc64 string",
+    )
+    df = uniparc_protein_xml(matches, proteins)
+    path = export_uniparc_match_archive(df, str(tmp_path), proteins_per_member=2)
+    with tarfile.open(path, "r:gz") as tf:
+        names = tf.getnames()
+        assert names == ["000001.xml", "000002.xml"]
+        m1 = tf.extractfile("000001.xml").read().decode()
+        m2 = tf.extractfile("000002.xml").read().decode()
+    assert m1 == (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<protein id="UPI1" length="10" crc64="AA"/>\n'
+        '<protein id="UPI2" length="20" crc64="BB"/>\n'
+    )
+    assert m2 == (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<protein id="UPI3" length="30" crc64="CC">\n'
+        '  <match id="PF1" name="PfamSig" dbname="Pfam" status="T" evd="hmm" model="PF1">\n'
+        '    <lcn start="1" end="9" score="0.5"/>\n'
+        "  </match>\n"
+        "</protein>\n"
+    )
