@@ -41,6 +41,13 @@ HEADLINE = [
     "search_documents",
     "z_multimodal_decode",
     "z_domain_merge_matches",
+    # r6 additions: the heavy compositions that now carry the most
+    # pipeline weight — drift signal for future rounds
+    "mart_protein",
+    "mart_entry",
+    "z_ebisearch_docs",
+    "domain_match_summary",
+    "z_xml_uniparc_proteins",
 ]
 
 

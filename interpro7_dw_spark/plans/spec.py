@@ -87,6 +87,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational2,
         streams,
         treeq,
+        xmlq,
     )
 
     return dict(REGISTRY)
