@@ -86,6 +86,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational,
         relational2,
         streams,
+        taxmartq,
         treeq,
         xmlq,
     )
