@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         marts,
         pdbeq,
         proteinq,
+        proteomemartq,
         relnotesq,
         sourceq,
         relational,
