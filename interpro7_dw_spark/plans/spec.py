@@ -86,6 +86,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sourceq,
         relational,
         relational2,
+        setstructq,
         streams,
         taxmartq,
         treeq,
