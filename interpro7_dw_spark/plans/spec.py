@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         marts,
         pdbeq,
         proteinq,
+        proteinrowsq,
         proteomemartq,
         relnotesq,
         sourceq,
