@@ -76,6 +76,7 @@ def all_specs() -> dict[str, QuerySpec]:
         domainq,
         ebiq,
         entrymartq,
+        entryrowsq,
         graphs,
         llmops,
         marts,
