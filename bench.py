@@ -48,6 +48,9 @@ HEADLINE = [
     "z_ebisearch_docs",
     "domain_match_summary",
     "z_xml_uniparc_proteins",
+    # r6 continuation: the heaviest of the new webfront row marts
+    # (three-level nested JSON assembly over lineitem)
+    "z_structure_mart",
 ]
 
 
