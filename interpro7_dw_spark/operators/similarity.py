@@ -64,6 +64,57 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a, b) with a < b
+    and cosine(a, b) >= threshold, the similarity rounded to 6 places
+    (same determinism contract as :func:`cosine_topk`). Feed the pairs
+    into ``operators/graph.py::connected_components`` for survivor
+    selection, exactly like the MinHash clustering path.
+
+    ``planes=None`` is the exact O(n^2/2) baseline (a self-join with
+    the a<b canonicalization — fine for verification scales and as the
+    per-bucket kernel). Passing ``planes`` switches to the scale path:
+    candidates are generated only WITHIN a random-hyperplane LSH
+    bucket (:func:`lsh_bucket`) before the exact cosine verify —
+    near-linear at 100 TB, with the usual LSH recall trade-off
+    (pairs straddling a hyperplane are missed; raise recall by
+    unioning several independent plane sets like MinHash bands).
+    """
+    n = with_norm(emb, vec_col)
+    if planes is not None:
+        n = lsh_bucket(n, planes=planes, dim=dim, vec_col="__v")
+        join_cond = (F.col("a_id") < F.col("b_id")) & (
+            F.col("a_bucket") == F.col("b_bucket")
+        )
+        cols = [id_col, "__v", "__norm", "bucket"]
+    else:
+        join_cond = F.col("a_id") < F.col("b_id")
+        cols = [id_col, "__v", "__norm"]
+    a = n.select(*[F.col(c).alias(f"a_{c}") for c in cols]).withColumnRenamed(
+        f"a_{id_col}", "a_id"
+    )
+    b = n.select(*[F.col(c).alias(f"b_{c}") for c in cols]).withColumnRenamed(
+        f"b_{id_col}", "b_id"
+    )
+    sim = F.round(
+        _dot(F.col("a___v"), F.col("b___v"))
+        / (F.col("a___norm") * F.col("b___norm")),
+        6,
+    )
+    return (
+        a.join(b, join_cond)
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def _hyperplane(planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — no RNG state."""
     import hashlib

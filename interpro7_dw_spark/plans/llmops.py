@@ -146,6 +146,30 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
+    name="z_embedding_near_dup",
+    tags=("NN1", "F9", "U3"),
+    description="Embedding-cosine near-duplicate pairs (a < b, cosine "
+    ">= 0.30, rounded to 6 places): the exact all-pairs baseline whose "
+    "per-bucket kernel the LSH scale path reuses "
+    "(operators/similarity.py::cosine_near_dup_pairs); pairs feed "
+    "connected-components survivor selection like the MinHash path.",
+    build=lambda spark, sf: S.cosine_near_dup_pairs(
+        t(spark, sf, "embeddings"), 0.30
+    ),
+    oracle="""
+        WITH n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.30
+    """,
+))
+
+register(QuerySpec(
     name="z_embedding_lsh_topk",
     tags=("NN2", "F9"),
     description="ANN top-5 via random-hyperplane LSH buckets (approximate; "

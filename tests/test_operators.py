@@ -361,3 +361,27 @@ def test_connected_components_chain_and_cliques(spark):
     assert got["c1"] == got["c2"] == got["c3"] == "c1"
     assert got["z8"] == got["z9"] == "z8"
     assert len(got) == 15
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark):
+    # the LSH scale path of cosine_near_dup_pairs must return a
+    # SUBSET of the exact pairs (same-bucket filter can only drop
+    # candidates, never invent them), each with the identical rounded
+    # similarity, and must retain a usable fraction
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from interpro7_dw_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in cosine_near_dup_pairs(emb, 0.30).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in cosine_near_dup_pairs(emb, 0.30, planes=2).collect()
+    }
+    assert exact, "fixture produced no near-dup pairs"
+    assert set(approx) <= set(exact)
+    assert all(exact[p] == s for p, s in approx.items())
+    assert len(approx) / len(exact) >= 0.2, (len(approx), len(exact))
