@@ -253,6 +253,51 @@ def match_complete_proteins(
     )
 
 
+def toad_license_header(year: int) -> str:
+    """The interpro-N.xml.gz prolog (reference export_toad_matches,
+    xmlfiles.py:690-712): XML declaration + the CC-BY license comment,
+    with the copyright year injected (the reference stamps
+    ``date.today()``; callers pass the release year explicitly so the
+    output is reproducible)."""
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<!--\nCopyright {year} Google LLC\n\n"
+        "The materials are licensed under the Creative Commons "
+        "Attribution 4.0 International License (CC-BY). You may obtain "
+        "a copy of the CC-BY license at: "
+        "https://creativecommons.org/licenses/by/4.0/legalcode\n\n"
+        'Unless required by applicable law or agreed to in writing, '
+        "all materials distributed here under the CC-BY licenses are "
+        'distributed on an "AS IS" BASIS, WITHOUT WARRANTIES OR '
+        "CONDITIONS OF ANY KIND, either express or implied. See the "
+        "licenses for the specific language governing permissions and "
+        "limitations under those licenses.\n\n"
+        "This is not an official Google product.\n-->"
+    )
+
+
+def toad_matches_proteins(
+    merged: DataFrame, signatures: DataFrame, proteins: DataFrame
+) -> DataFrame:
+    """ftp-toad-matches / interpro-N.xml.gz protein elements (reference
+    export_toad_matches, xmlfiles.py:662-729): the SAME per-protein
+    match composition as match_complete, run with
+    ``include_interpro_entry=False`` (``_export_matches`` is called
+    with an empty entry map, so no ``<ipr>`` children appear even for
+    integrated signatures), no features store, and no isoform
+    interleaving. Frame with ``write_xml(root_tag='interpromatch',
+    header=toad_license_header(year))``."""
+    empty_entries = merged.sparkSession.createDataFrame(
+        [], "entry_acc string, name string, type string, parent_acc string"
+    )
+    return match_complete_proteins(
+        merged.withColumn("entry_acc", F.lit(None).cast("string")),
+        signatures,
+        empty_entries,
+        proteins,
+    )
+
+
 def _publication_xml() -> F.Column:
     """One ``<publication>`` element from a literature struct row
     (reference xmlfiles.py:304-369): author_list ('Unknown' fallback),

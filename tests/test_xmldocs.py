@@ -498,3 +498,42 @@ def test_uniparc_match_archive_member_framing(spark, tmp_path):
         "  </match>\n"
         "</protein>\n"
     )
+
+
+def test_toad_matches_framing_and_no_ipr_children(spark, fixture, tmp_path):
+    # ftp-toad-matches (reference xmlfiles.py:662-729): identical match
+    # composition but include_interpro_entry=False and the CC-BY
+    # licensed interpromatch framing
+    import glob as _glob
+    import gzip as _gzip
+
+    from interpro7_dw_spark.domain.xmldocs import (
+        toad_license_header,
+        toad_matches_proteins,
+    )
+    from interpro7_dw_spark.sources.sinks import write_xml
+
+    matches, signatures, entries, proteins = fixture
+    merged = merge_protein_matches(matches, signatures, entries)
+    rows = toad_matches_proteins(merged, signatures, proteins)
+    xml = {r.protein_acc: r.xml for r in rows.collect()}
+    # integrated signatures exist in the fixture, yet no <ipr> children
+    assert any("<match" in x for x in xml.values())
+    assert all("<ipr" not in x for x in xml.values())
+
+    out = str(tmp_path / "toad_xml")
+    write_xml(
+        rows.select("xml"),
+        out,
+        lambda r: r.xml + "\n",
+        "interpromatch",
+        header=toad_license_header(2026),
+        compression="gzip",
+    )
+    [part] = _glob.glob(out + "/part-*.txt.gz")
+    text = _gzip.open(part, "rt", encoding="utf-8").read()
+    assert text.startswith(
+        '<?xml version="1.0" encoding="UTF-8"?>\n<!--\nCopyright 2026 Google LLC'
+    )
+    assert "This is not an official Google product.\n-->" in text
+    assert "<interpromatch>" in text and text.rstrip("\n").endswith("</interpromatch>")
