@@ -178,3 +178,74 @@ def merge_uniparc_matches(
             F.expr("transform(__locs, x -> x.location)").alias("locations"),
         )
     )
+
+
+def i5_analysis_name(lib: F.Column) -> F.Column:
+    """InterProScan analysis name for a member-db display name
+    (reference get_i5_appl, interpro/oracle/lookup.py:328-334):
+    CATH renames, else upper-case with spaces to underscores."""
+    return (
+        F.when(lib == "CATH-FunFam", F.lit("FUNFAM"))
+        .when(lib == "CATH-Gene3D", F.lit("GENE3D"))
+        .otherwise(F.upper(F.regexp_replace(lib, " ", "_")))
+    )
+
+
+def lookup_site_rows(merged: DataFrame, sequences: DataFrame) -> DataFrame:
+    """LOOKUP_SITE rows (reference insert_sites, interpro/oracle/
+    lookup.py:280-326): the 4-level explode matches -> locations ->
+    sites -> siteLocations over the typed merge output
+    (:func:`merge_uniparc_matches`), keyed by the sequence md5 with
+    its 3-char list-partition prefix (lookup.py:299-300) and the I5
+    analysis-name mapping. Locations without sites contribute no rows
+    (``explode`` drops empty arrays exactly like the nested loops).
+
+    ``sequences``: upi, md5. Spark shape: broadcast-or-SMJ join on
+    upi, then three generator expands — narrow after the join, no
+    extra shuffle.
+    """
+    return (
+        merged.join(sequences, "upi")
+        .select(
+            "md5",
+            i5_analysis_name(F.col("library")).alias("analysis"),
+            "version",
+            "signature_acc",
+            F.explode("locations").alias("loc"),
+        )
+        .select(
+            "md5",
+            "analysis",
+            "version",
+            "signature_acc",
+            F.col("loc.start").alias("loc_start"),
+            F.col("loc.end").alias("loc_end"),
+            F.explode("loc.sites").alias("site"),
+        )
+        .select(
+            "md5",
+            F.substring("md5", 1, 3).alias("md5_prefix"),
+            "analysis",
+            "version",
+            "signature_acc",
+            "loc_start",
+            "loc_end",
+            F.col("site.numLocations").alias("num_sites"),
+            F.col("site.description").alias("description"),
+            F.explode("site.siteLocations").alias("sl"),
+        )
+        .select(
+            "md5",
+            "md5_prefix",
+            "analysis",
+            "version",
+            "signature_acc",
+            "loc_start",
+            "loc_end",
+            "num_sites",
+            F.col("sl.residue").alias("residue"),
+            F.col("sl.res_start").alias("res_start"),
+            F.col("sl.res_end").alias("res_end"),
+            "description",
+        )
+    )

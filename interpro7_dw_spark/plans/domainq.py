@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..domain.pipeline import REPR_DOM_DATABASES, merge_protein_matches
+from ..domain.uniparc import lookup_site_rows
 from .spec import QuerySpec, register, t
 
 _SIG_DBS = REPR_DOM_DATABASES + ["panther", "hamap"]
@@ -703,5 +704,88 @@ SELECT r.dom_id AS ida_id, r.ida, r.rep_protein, r.rep_length,
         FROM elems e LEFT JOIN names n ON e.acc = n.acc
         WHERE e.dom_id = r.dom_id) AS domains_str
 FROM rep1 r
+    """,
+))
+
+
+def _synth_site_merged(spark: SparkSession, sf: str):
+    """merge_uniparc_matches-shaped rows with nested sites: every even
+    order key carries one site with two siteLocations."""
+    k = F.col("o_orderkey")
+    start = (k % 300 + 1).cast("long")
+    end = start + 50
+    site = F.struct(
+        F.concat(F.lit("site "), k % 5).alias("description"),
+        F.lit(2).cast("int").alias("numLocations"),
+        F.array(
+            F.struct(
+                (start + 1).alias("res_start"),
+                (start + 1).alias("res_end"),
+                F.lit("H").alias("residue"),
+            ),
+            F.struct(
+                (start + 5).alias("res_start"),
+                (start + 6).alias("res_end"),
+                F.lit("C").alias("residue"),
+            ),
+        ).alias("siteLocations"),
+    )
+    sites = F.when(k % 2 == 0, F.array(site)).otherwise(
+        F.expr(f"CAST(array() AS {_SITES_T})")
+    )
+    loc = F.struct(start.alias("start"), end.alias("end"), sites.alias("sites"))
+    libs = ["CATH-FunFam", "CATH-Gene3D", "PROSITE patterns", "SFLD"]
+    return t(spark, sf, "orders").select(
+        F.concat(F.lit("UPI"), F.col("o_custkey")).alias("upi"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in libs]), (k % 4 + 1).cast("int")
+        ).alias("library"),
+        F.lit("v1").alias("version"),
+        F.concat(F.lit("SIG"), k % 50).alias("signature_acc"),
+        F.array(loc).alias("locations"),
+    )
+
+
+def _synth_sequences(spark: SparkSession, sf: str):
+    return (
+        t(spark, sf, "orders")
+        .select(F.concat(F.lit("UPI"), F.col("o_custkey")).alias("upi"))
+        .distinct()
+        .withColumn("md5", F.md5("upi"))
+    )
+
+
+register(QuerySpec(
+    name="z_lookup_sites",
+    tags=("S14", "F3", "J1", "X4"),
+    description="LOOKUP_SITE rows (reference insert_sites, interpro/"
+    "oracle/lookup.py:280-326): the matches -> locations -> sites -> "
+    "siteLocations 4-level explode over the typed uniparc merge output, "
+    "keyed by sequence md5 + 3-char list-partition prefix with the I5 "
+    "analysis-name mapping (FUNFAM/GENE3D renames, space->underscore).",
+    build=lambda spark, sf: lookup_site_rows(
+        _synth_site_merged(spark, sf), _synth_sequences(spark, sf)
+    ),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, 'UPI' || o_custkey AS upi,
+         CAST(o_orderkey % 300 + 1 AS BIGINT) AS loc_start,
+         CAST(o_orderkey % 300 + 51 AS BIGINT) AS loc_end,
+         'SIG' || (o_orderkey % 50) AS signature_acc,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 'FUNFAM' WHEN 1 THEN 'GENE3D'
+           WHEN 2 THEN 'PROSITE_PATTERNS' ELSE 'SFLD' END AS analysis
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT md5(b.upi) AS md5,
+       substring(md5(b.upi), 1, 3) AS md5_prefix,
+       b.analysis, 'v1' AS version, b.signature_acc,
+       b.loc_start, b.loc_end,
+       2 AS num_sites,
+       CASE sl.i WHEN 1 THEN 'H' ELSE 'C' END AS residue,
+       CASE sl.i WHEN 1 THEN b.loc_start + 1 ELSE b.loc_start + 5 END AS res_start,
+       CASE sl.i WHEN 1 THEN b.loc_start + 1 ELSE b.loc_start + 6 END AS res_end,
+       'site ' || (b.k % 5) AS description
+FROM base b, LATERAL unnest([1, 2]) AS sl(i)
     """,
 ))
