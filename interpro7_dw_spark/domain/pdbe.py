@@ -164,3 +164,61 @@ def structure_protein_segments(segments: DataFrame) -> DataFrame:
             F.count("*").alias("n_segments"),
         )
     )
+
+
+def cath_scop_structure_json(
+    cath: DataFrame, scop: DataFrame
+) -> DataFrame:
+    """The webfront_protein ``structure`` column (reference
+    interpro/mysql/proteins.py:448-461 + pdbe.py:385-446): per protein
+    a nested JSON {"cath": {dom_id: {"domain_id": <superfamily id>,
+    "coordinates": [{start, end}...]}}, "scop": {...}} — families
+    absent for the protein are omitted, proteins in neither family
+    produce no row (jsonify empty->NULL upstream). Coordinates sorted
+    by (start, end) like the reference's load-time sort
+    (pdbe.py:443-444); dom keys sorted (reference dict order is
+    cursor order — documented canonicalization).
+
+    Inputs are long-format domain rows: protein_acc, dom_id,
+    superfamily_id, start, end.
+    """
+    both = cath.withColumn("family", F.lit("cath")).unionByName(
+        scop.withColumn("family", F.lit("scop"))
+    )
+    per_dom = both.groupBy("protein_acc", "family", "dom_id").agg(
+        # the reference keeps the FIRST cursor row's superfamily per
+        # dom (pdbe.py:427-436, cursor order) — min() is the
+        # deterministic canonical pick
+        F.min("superfamily_id").alias("superfamily_id"),
+        F.concat(
+            F.lit("["),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(start, end))),"
+                " x -> concat('{\"start\":', x.start, ',\"end\":', x.end, '}')), ',')"
+            ),
+            F.lit("]"),
+        ).alias("coords_json"),
+    )
+    per_family = per_dom.groupBy("protein_acc", "family").agg(
+        F.concat(
+            F.lit("{"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(dom_id,"
+                " superfamily_id, coords_json))),"
+                " x -> concat('\"', x.dom_id, '\":{\"domain_id\":\"',"
+                " x.superfamily_id, '\",\"coordinates\":', x.coords_json, '}')), ',')"
+            ),
+            F.lit("}"),
+        ).alias("family_json"),
+    )
+    return per_family.groupBy("protein_acc").agg(
+        F.concat(
+            F.lit("{"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(family,"
+                " family_json))), x -> concat('\"', x.family, '\":',"
+                " x.family_json)), ',')"
+            ),
+            F.lit("}"),
+        ).alias("structure_json")
+    )

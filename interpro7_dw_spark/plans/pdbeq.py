@@ -228,3 +228,83 @@ FROM norm
 GROUP BY 1, 2, 3
     """,
 ))
+
+
+def _synth_cath_scop(spark: SparkSession, sf: str):
+    from ..domain.pdbe import cath_scop_structure_json
+
+    li = t(spark, sf, "lineitem")
+    k = F.col("l_orderkey")
+    base = li.select(
+        (k % 900).cast("string").alias("protein_acc"),
+        k,
+        F.col("l_partkey"),
+        (F.col("l_linenumber") * 11 + k % 13 + 1).cast("int").alias("start"),
+        (F.col("l_linenumber") * 11 + k % 13 + 1 + F.col("l_partkey") % 60)
+        .cast("int")
+        .alias("end"),
+    )
+    cath = base.filter(k % 3 == 0).select(
+        "protein_acc",
+        F.concat(F.lit("C"), F.col("l_partkey") % 12).alias("dom_id"),
+        F.concat(F.lit("1.10."), F.col("l_partkey") % 5).alias("superfamily_id"),
+        "start",
+        "end",
+    )
+    scop = base.filter(k % 3 == 1).select(
+        "protein_acc",
+        F.concat(F.lit("S"), F.col("l_partkey") % 12).alias("dom_id"),
+        F.concat(F.lit("b.1."), F.col("l_partkey") % 5).alias("superfamily_id"),
+        "start",
+        "end",
+    )
+    return cath_scop_structure_json(cath, scop)
+
+
+register(QuerySpec(
+    name="z_protein_cathscop",
+    tags=("A8", "F8", "U1"),
+    description="webfront_protein structure column (reference "
+    "interpro/mysql/proteins.py:448-461 + pdbe.py:385-446): per-protein "
+    "{cath: {dom: {domain_id, coordinates}}, scop: {...}} nested JSON "
+    "with (start, end)-sorted coordinates, families omitted when "
+    "absent; a three-level bottom-up JSON fold.",
+    build=lambda spark, sf: _synth_cath_scop(spark, sf),
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_orderkey % 900 AS VARCHAR) AS protein_acc,
+         l_orderkey AS k, l_partkey,
+         CAST(l_linenumber * 11 + l_orderkey % 13 + 1 AS INT) AS s,
+         CAST(l_linenumber * 11 + l_orderkey % 13 + 1 + l_partkey % 60 AS INT) AS e
+  FROM lineitem
+),
+doms AS (
+  SELECT protein_acc, 'cath' AS family, 'C' || (l_partkey % 12) AS dom_id,
+         '1.10.' || (l_partkey % 5) AS superfamily_id, s, e
+  FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT protein_acc, 'scop', 'S' || (l_partkey % 12),
+         'b.1.' || (l_partkey % 5), s, e
+  FROM base WHERE k % 3 = 1
+),
+per_dom AS (
+  SELECT protein_acc, family, dom_id,
+         min(superfamily_id) AS superfamily_id,
+         '[' || string_agg('{"start":' || s || ',"end":' || e || '}',
+                           ',' ORDER BY s, e) || ']' AS coords_json
+  FROM doms GROUP BY 1, 2, 3
+),
+per_family AS (
+  SELECT protein_acc, family,
+         '{' || string_agg(
+           '"' || dom_id || '":{"domain_id":"' || superfamily_id
+             || '","coordinates":' || coords_json || '}',
+           ',' ORDER BY dom_id) || '}' AS family_json
+  FROM per_dom GROUP BY 1, 2
+)
+SELECT protein_acc,
+       '{' || string_agg('"' || family || '":' || family_json,
+                         ',' ORDER BY family) || '}' AS structure_json
+FROM per_family GROUP BY 1
+    """,
+))
