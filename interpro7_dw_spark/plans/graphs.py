@@ -216,3 +216,70 @@ register(QuerySpec(
         GROUP BY a.anc
     """,
 ))
+
+
+def _flat_dfs_df(spark: SparkSession, sf: str):
+    """ParentChildTreeFile rows (G3): the driver-side DFS (the
+    hierarchy is a dimension, like the reference's collected entries
+    dict, ftp/flatfiles.py:70-86) re-materialized as an indexed
+    DataFrame so the rendering is value-checked against a recursive
+    CTE."""
+    from ..operators.graph import hierarchy_flat_dfs
+
+    edges = t(spark, sf, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+    ).unionByName(
+        t(spark, sf, "region").select(
+            F.concat(F.lit("R"), F.col("r_regionkey")).alias("child"),
+            F.lit("ROOT").alias("parent"),
+        )
+    )
+    labels = t(spark, sf, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node"),
+        F.col("n_name").alias("name"),
+    ).unionByName(
+        t(spark, sf, "region").select(
+            F.concat(F.lit("R"), F.col("r_regionkey")).alias("node"),
+            F.col("r_name").alias("name"),
+        )
+    )
+    lines = hierarchy_flat_dfs(edges, labels)
+    return spark.createDataFrame(
+        list(enumerate(lines)), "pos int, line string"
+    )
+
+
+register(QuerySpec(
+    name="z_hierarchy_flat_dfs",
+    tags=("G3", "O1"),
+    description="ParentChildTreeFile indented DFS rendering (reference "
+    "interpro/ftp/flatfiles.py:20-27,70-86): depth-first walk over the "
+    "ROOT->region->nation hierarchy with '--'-per-depth indentation and "
+    "node::name labels, position-indexed; the oracle replays the DFS "
+    "as a path-ordered recursive CTE.",
+    build=_flat_dfs_df,
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT 'N' || n_nationkey AS child, 'R' || n_regionkey AS parent FROM nation
+  UNION ALL
+  SELECT 'R' || r_regionkey, 'ROOT' FROM region
+),
+labels AS (
+  SELECT 'N' || n_nationkey AS node, n_name AS name FROM nation
+  UNION ALL
+  SELECT 'R' || r_regionkey, r_name FROM region
+),
+walk AS (
+  SELECT 'ROOT' AS node, 'ROOT' AS path, 0 AS depth
+  UNION ALL
+  SELECT e.child, w.path || '/' || e.child, w.depth + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT CAST(row_number() OVER (ORDER BY w.path) - 1 AS INT) AS pos,
+       repeat('--', w.depth)
+         || CASE WHEN l.name IS NOT NULL
+                 THEN w.node || '::' || l.name ELSE w.node END AS line
+FROM walk w LEFT JOIN labels l ON w.node = l.node
+    """,
+))
