@@ -130,3 +130,38 @@ def parse_hmm_models(models: DataFrame, id_col: str = "model_id", text_col: str 
             yield pd.DataFrame(rows)
 
     return models.select(id_col, text_col).mapInPandas(run, HMM_SCHEMA)
+
+
+def occupancy_col(trans_col: str) -> "Column":
+    """Match-state occupancy of an HMM (reference hmmlogo indel math,
+    interpro/oracle/hmms.py:342-354): the first-order recurrence
+    ``occ[1] = t0.mi + t0.mm``,
+    ``occ[k] = occ[k-1]*(t[k-1].mm + t[k-1].mi)
+               + (1 - occ[k-1])*t[k-1].dm``
+    expressed as a JVM-side ``aggregate`` fold over the transitions
+    array — one row per model, whole-stage codegen, no Python and no
+    per-position shuffle. ``trans_col`` is an
+    ``array<struct<mm double, mi double, dm double>>`` ordered by
+    model position (0-based); returns the occupancy array for
+    positions 1..M (reference's ``occupancy[1:]``).
+
+    This is the W4 "frame-free sequential recurrence" of SURVEY §2.5:
+    windows can't express it, but a fold over the per-model array can
+    — the model length (hundreds of positions) bounds the array, so
+    the scale axis (number of models) stays fully parallel.
+    """
+    from pyspark.sql import functions as F
+
+    t = trans_col
+    return F.expr(
+        f"""
+        aggregate(
+          slice({t}, 2, size({t}) - 1),
+          array({t}[0].mi + {t}[0].mm),
+          (acc, tr) -> array_append(
+            acc,
+            element_at(acc, -1) * (tr.mm + tr.mi)
+              + (CAST(1.0 AS DOUBLE) - element_at(acc, -1)) * tr.dm)
+        )
+        """
+    )

@@ -789,3 +789,62 @@ SELECT md5(b.upi) AS md5,
 FROM base b, LATERAL unnest([1, 2]) AS sl(i)
     """,
 ))
+
+
+def _hmm_occupancy(spark: SparkSession, sf: str):
+    from ..domain.hmm import occupancy_col
+
+    trans = (
+        t(spark, sf, "part")
+        .select(
+            F.col("p_partkey").alias("m"),
+            (F.col("p_partkey") % 18 + 2).alias("mlen"),
+        )
+        .select(
+            "m",
+            F.expr(
+                "transform(sequence(0, CAST(mlen - 1 AS INT)), pos -> struct("
+                " CAST(((m*31 + pos*17) % 80 + 10) / 100.0 AS DOUBLE) AS mm,"
+                " CAST(((m*13 + pos*7) % 10) / 100.0 AS DOUBLE) AS mi,"
+                " CAST(((m*7 + pos*3) % 10) / 100.0 AS DOUBLE) AS dm))"
+            ).alias("trans"),
+        )
+    )
+    occ = trans.select("m", occupancy_col("trans").alias("occ"))
+    return occ.select(
+        F.concat(F.lit("M"), F.col("m")).alias("model_id"),
+        F.posexplode("occ").alias("k0", "occ"),
+    ).select("model_id", (F.col("k0") + 1).cast("int").alias("k"), "occ")
+
+
+register(QuerySpec(
+    name="z_hmm_occupancy",
+    tags=("W4", "F9", "X2"),
+    description="HMM match-state occupancy (reference hmmlogo indel "
+    "math, interpro/oracle/hmms.py:342-354): the frame-free first-order "
+    "recurrence occ[k] = occ[k-1]*(mm+mi) + (1-occ[k-1])*dm computed as "
+    "a JVM aggregate fold over the per-model transitions array — "
+    "windows cannot express it, the bounded per-model array can; the "
+    "oracle replays the recurrence as a recursive CTE with identical "
+    "IEEE operation order (bit-exact doubles).",
+    build=_hmm_occupancy,
+    oracle="""
+WITH RECURSIVE models AS (
+  SELECT p_partkey AS m, p_partkey % 18 + 2 AS mlen FROM part
+),
+trans AS (
+  SELECT m, s.pos,
+         ((m*31 + s.pos*17) % 80 + 10) / 100.0 AS mm,
+         ((m*13 + s.pos*7) % 10) / 100.0 AS mi,
+         ((m*7 + s.pos*3) % 10) / 100.0 AS dm
+  FROM models, LATERAL unnest(generate_series(0, mlen - 1)) AS s(pos)
+),
+occ AS (
+  SELECT m, 1 AS k, mi + mm AS occ FROM trans WHERE pos = 0
+  UNION ALL
+  SELECT o.m, o.k + 1, o.occ * (tr.mm + tr.mi) + (1.0 - o.occ) * tr.dm
+  FROM occ o JOIN trans tr ON tr.m = o.m AND tr.pos = o.k
+)
+SELECT 'M' || m AS model_id, CAST(k AS INT) AS k, occ FROM occ
+    """,
+))
