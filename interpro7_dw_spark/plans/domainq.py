@@ -848,3 +848,81 @@ occ AS (
 SELECT 'M' || m AS model_id, CAST(k AS INT) AS k, occ FROM occ
     """,
 ))
+
+
+def _toad_reassembly(spark: SparkSession, sf: str):
+    from ..domain.fragments import reassemble_toad_fragments
+
+    li = t(spark, sf, "lineitem")
+    pf = (F.col("l_orderkey") * 7 + F.col("l_suppkey") * 3) % 500 + 1
+    toad = li.select(
+        F.concat(F.lit("P"), F.col("l_orderkey") % 2000).alias("protein_acc"),
+        F.concat(F.lit("S"), F.col("l_partkey") % 50).alias("signature_acc"),
+        (F.col("l_linenumber") % 3).cast("int").alias("group_id"),
+        pf.cast("long").alias("pos_from"),
+        (pf + F.col("l_partkey") % 40 + 1).cast("long").alias("pos_to"),
+        # score functionally dependent on the group key (the reference
+        # groups fragments of ONE model hit, which share a score)
+        (
+            (
+                (F.col("l_orderkey") % 2000) * 13
+                + (F.col("l_partkey") % 50) * 7
+                + F.col("l_linenumber") % 3
+            )
+            % 97
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    out = reassemble_toad_fragments(toad)
+    return out.select(
+        "protein_acc",
+        "signature_acc",
+        "group_id",
+        "score",
+        F.expr(
+            "array_join(transform(fragments, f -> concat(f.start, '-',"
+            " f.end, ':', f.dc_status)), ',')"
+        ).alias("frags_str"),
+    )
+
+
+register(QuerySpec(
+    name="z_toad_reassembly",
+    tags=("X3", "F1", "A4", "O3"),
+    description="TOAD discontinuous-fragment reassembly (reference "
+    "_merge_toad_matches, interpro/oracle/matches.py:692-746): rows "
+    "sharing (protein, signature, group) become one location whose "
+    "sorted fragments carry N/C/NC terminal-discontinuity statuses "
+    "(lone fragment CONTINUOUS); the oracle replays the status "
+    "assignment with windowed row indexes.",
+    build=_toad_reassembly,
+    oracle="""
+WITH rows0 AS (
+  SELECT 'P' || (l_orderkey % 2000) AS protein_acc,
+         'S' || (l_partkey % 50) AS signature_acc,
+         CAST(l_linenumber % 3 AS INT) AS group_id,
+         CAST((l_orderkey * 7 + l_suppkey * 3) % 500 + 1 AS BIGINT) AS s,
+         CAST((l_orderkey * 7 + l_suppkey * 3) % 500 + 1
+              + l_partkey % 40 + 1 AS BIGINT) AS e,
+         CAST(((l_orderkey % 2000) * 13 + (l_partkey % 50) * 7
+               + l_linenumber % 3) % 97 AS BIGINT) AS score
+  FROM lineitem
+),
+g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY protein_acc, signature_acc, group_id
+                            ORDER BY s, e) AS i,
+         count(*) OVER (PARTITION BY protein_acc, signature_acc, group_id) AS n
+  FROM rows0
+)
+SELECT protein_acc, signature_acc, group_id, score,
+       string_agg(s || '-' || e || ':' ||
+         CASE WHEN n = 1 THEN 'CONTINUOUS'
+              WHEN i = 1 THEN 'C_TERMINAL_DISC'
+              WHEN i = n THEN 'N_TERMINAL_DISC'
+              ELSE 'NC_TERMINAL_DISC' END,
+         ',' ORDER BY s, e) AS frags_str
+FROM g GROUP BY 1, 2, 3, 4
+    """,
+))
