@@ -91,3 +91,82 @@ def test_interval_union_and_condense_consistency(spark):
         for s, e in merged:
             covered.update(range(s, e + 1))
         assert covered == brute
+
+
+def test_occupancy_matches_python_reference_and_bounds(spark):
+    # occupancy fold (domain/hmm.py::occupancy_col) vs a brute-force
+    # restatement of interpro/oracle/hmms.py:346-353, on randomized
+    # probability-shaped transitions; values stay in [0, 1]
+    from interpro7_dw_spark.domain.hmm import occupancy_col
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for m in range(50):
+        M = rng.randint(2, 30)
+        trans = []
+        for _ in range(M):
+            mm = rng.uniform(0.1, 0.8)
+            mi = rng.uniform(0.0, 1.0 - mm - 0.05)
+            dm = rng.uniform(0.0, 1.0)
+            trans.append((mm, mi, dm))
+        occ = [0.0] * (M + 1)
+        occ[1] = trans[0][1] + trans[0][0]
+        for k in range(2, M + 1):
+            mm, mi, dm = trans[k - 1]
+            occ[k] = occ[k - 1] * (mm + mi) + (1.0 - occ[k - 1]) * dm
+        expected[m] = occ[1:]
+        rows.append((m, [tuple(t) for t in trans]))
+    df = spark.createDataFrame(
+        rows, "m int, trans array<struct<mm double, mi double, dm double>>"
+    )
+    got = {
+        r["m"]: r["occ"]
+        for r in df.select("m", occupancy_col("trans").alias("occ")).collect()
+    }
+    for m, exp in expected.items():
+        assert len(got[m]) == len(exp)
+        for a, b in zip(got[m], exp):
+            assert abs(a - b) < 1e-12
+            assert -1e-12 <= a <= 1.0 + 1e-12
+
+
+def test_toad_statuses_invariant(spark):
+    # every multi-fragment group has exactly one C-terminal-disc
+    # (first) and one N-terminal-disc (last); singletons CONTINUOUS
+    from interpro7_dw_spark.domain.fragments import reassemble_toad_fragments
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(80):
+        n = rng.randint(1, 5)
+        for _ in range(n):
+            s = rng.randint(1, 400)
+            rows.append((f"P{g % 9}", f"S{g % 7}", g, s, s + rng.randint(1, 60), 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "protein_acc string, signature_acc string, group_id int,"
+        " pos_from long, pos_to long, score double",
+    )
+    for r in reassemble_toad_fragments(df).collect():
+        statuses = [f["dc_status"] for f in r["fragments"]]
+        starts = [f["start"] for f in r["fragments"]]
+        assert starts == sorted(starts)
+        if len(statuses) == 1:
+            assert statuses == ["CONTINUOUS"]
+        else:
+            assert statuses[0] == "C_TERMINAL_DISC"
+            assert statuses[-1] == "N_TERMINAL_DISC"
+            assert all(x == "NC_TERMINAL_DISC" for x in statuses[1:-1])
+
+
+def test_near_dup_threshold_monotonicity(spark):
+    # pairs at a higher cosine threshold are a subset of pairs at a
+    # lower one, and every pair is a<b canonical
+    from interpro7_dw_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = {(r["a_id"], r["b_id"]) for r in cosine_near_dup_pairs(emb, 0.20).collect()}
+    hi = {(r["a_id"], r["b_id"]) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
+    assert hi <= lo
+    assert all(a < b for a, b in lo)
