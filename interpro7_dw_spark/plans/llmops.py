@@ -420,3 +420,145 @@ register(QuerySpec(
         FROM comp
     """,
 ))
+
+
+def _corpus_curation(spark: SparkSession, sf: str):
+    from ..operators.graph import connected_components
+    from ..operators.text import language_scores, quality_features
+
+    docs = t(spark, sf, "documents")
+    base = (
+        docs.select("doc_id", "text")
+        .join(
+            language_scores(docs).select("doc_id", "pred_lang"), "doc_id"
+        )
+        .join(
+            quality_features(docs).select("doc_id", "n_tokens"), "doc_id"
+        )
+        .withColumn("passed_lang", F.col("pred_lang") == "en")
+        .withColumn("passed_quality", F.col("n_tokens") >= 10)
+    )
+    stage1 = base.filter(F.col("passed_lang") & F.col("passed_quality"))
+
+    ex = D.exact_dedup(stage1).select(
+        "text_hash", F.col("keep_id").alias("doc_id"),
+        F.lit(True).alias("exact_keep"),
+    )
+    base2 = base.withColumn(
+        "text_hash", F.md5(F.col("text").cast("binary"))
+    ).join(ex, ["text_hash", "doc_id"], "left").withColumn(
+        "exact_canonical",
+        F.col("passed_lang") & F.col("passed_quality")
+        & F.coalesce("exact_keep", F.lit(False)),
+    )
+
+    survivors = base2.filter("exact_canonical").select("doc_id", "text")
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(D.shingles(survivors)))
+    cc = connected_components(pairs.select("da", "db"), src="da", dst="db")
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("neardup_dropped")
+    )
+    return (
+        base2.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_tokens",
+            "passed_lang",
+            "passed_quality",
+            "exact_canonical",
+            (
+                F.col("exact_canonical")
+                & ~F.coalesce("neardup_dropped", F.lit(False))
+            ).alias("kept"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="z_corpus_curation",
+    tags=("DD1", "DD3", "G1", "TXT1", "TXT2"),
+    description="End-to-end training-corpus curation over documents: "
+    "marker-token language id -> token-count quality gate -> exact "
+    "content-hash dedup (min-id survivor) -> MinHash+LSH near-dup "
+    "clustering with connected-component canonical survivors; one row "
+    "per input doc with every stage verdict and the final kept flag — "
+    "the composition a 100 TB data pipeline actually ships, each stage "
+    "a single shuffle.",
+    build=_corpus_curation,
+    oracle=f"""
+WITH RECURSIVE tokd AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+),
+feats AS (
+  SELECT doc_id, text, len(ts) AS n_tokens,
+         len(list_intersect(list_distinct(ts), ['the','and','of','to','a','in','is'])) AS s_en,
+         len(list_intersect(list_distinct(ts), ['el','la','de','que','y','los','es'])) AS s_es,
+         len(list_intersect(list_distinct(ts), ['le','la','de','et','les','des','est'])) AS s_fr,
+         len(list_intersect(list_distinct(ts), ['der','die','und','das','ist','ein','zu'])) AS s_de
+  FROM tokd
+),
+base AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+              WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+              WHEN s_fr >= s_de THEN 'fr'
+              ELSE 'de' END AS pred_lang
+  FROM feats
+),
+flags AS (
+  SELECT *, pred_lang = 'en' AS passed_lang, n_tokens >= 10 AS passed_quality
+  FROM base
+),
+ex AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+  FROM flags WHERE passed_lang AND passed_quality GROUP BY 1
+),
+flags2 AS (
+  SELECT f.*,
+         f.passed_lang AND f.passed_quality
+           AND e.keep_id IS NOT NULL AS exact_canonical
+  FROM flags f
+  LEFT JOIN ex e ON md5(f.text) = e.text_hash AND f.doc_id = e.keep_id
+),
+surv AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM flags2 WHERE exact_canonical
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS shingle
+  FROM surv, LATERAL unnest(generate_series(0, greatest(len(ts) - 3, 0))) AS g(i)
+),
+seeded AS (
+  SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) AS s(seed)
+),
+minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+  FROM minh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION SELECT db, da FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+dropped AS (
+  SELECT doc_id FROM comp WHERE doc_id <> component
+)
+SELECT f.doc_id, f.pred_lang, CAST(f.n_tokens AS INT) AS n_tokens,
+       f.passed_lang, f.passed_quality, f.exact_canonical,
+       f.exact_canonical AND d.doc_id IS NULL AS kept
+FROM flags2 f LEFT JOIN dropped d ON f.doc_id = d.doc_id
+    """,
+))
