@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         entrymartq,
         entryrowsq,
         graphs,
+        intactq,
         llmops,
         marts,
         pdbeq,
