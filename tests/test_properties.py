@@ -170,3 +170,97 @@ def test_near_dup_threshold_monotonicity(spark):
     hi = {(r["a_id"], r["b_id"]) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
     assert hi <= lo
     assert all(a < b for a, b in lo)
+
+
+def test_intact_extraction_matches_python_reference(spark):
+    """Randomized PSI-MI rows: the JVM regex pipeline
+    (domain/intact.py) vs an independent Python-re restatement of the
+    reference rules (intact.py:24-133) — a third engine next to the
+    DuckDB oracle."""
+    import re
+
+    from interpro7_dw_spark.domain.intact import interpro_interactions
+
+    rng = random.Random(7)
+
+    def maybe(p, s):
+        return s if rng.random() < p else ""
+
+    rows = []
+    for ord_ in range(400):
+        iprs = [f"IPR{rng.randint(0, 30):06d}" for _ in range(rng.randint(0, 3))]
+        feat_a = "|".join(
+            [f"binding region:{x}(t)" for x in iprs[:2]] + ["mutation:-"]
+        )
+        feat_b = "|".join([f"sufficient:{x}" for x in iprs[2:]]) or "-"
+        ids_a = maybe(0.9, f"uniprotkb:P{rng.randint(0, 40):05d}|") + "intact:EBI-A"
+        ids_b = maybe(0.9, f"UniProtKB:Q{rng.randint(0, 40):05d}")
+        alias_core = f"nm{rng.randint(0, 20)}"
+        aliases_a = maybe(0.5, f"psi-mi:{alias_core}(display_long)|") + maybe(
+            0.8, f"uniprotkb:g{alias_core}(gene name)"
+        )
+        aliases_b = maybe(0.6, f"psi-mi:{alias_core}b(display_long)") or maybe(
+            0.7, f"uniprotkb:gb{rng.randint(0, 20)}(gene name)"
+        )
+        pubs = maybe(0.85, f"pubmed:{rng.randint(1, 99999)}|") + "doi:10.1/x"
+        inter = maybe(0.85, f"intact:EBI-{rng.randint(0, 50)}|") + "imex:IM-1"
+        n_types = rng.randint(1, 2)
+        type_a = "|".join(
+            f'psi-mi:"MI:{rng.randint(0, 9)}"(t{j})' for j in range(n_types)
+        )
+        type_b = 'psi-mi:"MI:0328"(small molecule)'
+        rows.append(
+            (ord_, ids_a, ids_b, aliases_a, aliases_b, pubs, inter,
+             type_a, type_b, feat_a, feat_b)
+        )
+
+    # independent restatement of the reference parse
+    def interactor(ids, aliases, types):
+        acc = name = typ = None
+        m = re.search(r"uniprotkb:([A-Z0-9]+)", ids, flags=re.I)
+        acc = m.group(1) if m else None
+        m = re.search(r"psi-mi:([^(]+)\(display_long\)", aliases, flags=re.I)
+        if m:
+            name = m.group(1).upper()
+        else:
+            m = re.search(r"uniprotkb:([^(|]+)", aliases, flags=re.I)
+            name = m.group(1) if m else None
+        parts = types.split("|")
+        if len(parts) == 1:
+            m = re.search(r'psi-mi:"MI:\d+"\(([^)]+)\)', types, flags=re.I)
+            typ = m.group(1) if m else None
+        return acc, name, typ
+
+    expected = {}
+    for (ord_, ids_a, ids_b, aliases_a, aliases_b, pubs, inter,
+         type_a, type_b, feat_a, feat_b) in rows:
+        accs = set(re.findall(r"IPR\d{6}", feat_a)) | set(
+            re.findall(r"IPR\d{6}", feat_b)
+        )
+        if not accs:
+            continue
+        m = re.search(r"intact:(EBI-\d+)", inter, flags=re.I)
+        iid = m.group(1) if m else None
+        m = re.search(r"pubmed:(\d+)", pubs, flags=re.I)
+        pmid = int(m.group(1)) if m else None
+        a1, n1, t1 = interactor(ids_a, aliases_a, type_a)
+        a2, n2, t2 = interactor(ids_b, aliases_b, type_b)
+        if iid and pmid and a1 and n1 and t1 and a2 and n2 and t2:
+            for acc in accs:
+                expected[(acc, iid)] = (pmid, a1, n1, t1, a2, n2, t2)
+
+    schema = (
+        "ord bigint, ids_a string, ids_b string, aliases_a string, "
+        "aliases_b string, publication_ids string, interaction_ids string, "
+        "type_a string, type_b string, feature_a string, feature_b string"
+    )
+    got = {
+        (r.entry_acc, r.intact_id): (
+            r.pubmed_id, r.acc_1, r.name_1, r.type_1,
+            r.acc_2, r.name_2, r.type_2,
+        )
+        for r in interpro_interactions(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert got == expected
