@@ -169,15 +169,55 @@ register(QuerySpec(
     """,
 ))
 
+def _lsh_bucket_sql(planes: int, dim: int) -> str:
+    """The Spark-side lsh_bucket replayed in SQL: the md5-derived
+    hyperplanes are pure constants (operators/similarity._hyperplane),
+    so they embed as literal DOUBLE lists — repr(float) round-trips to
+    the identical double in DuckDB, and both engines fold the dot
+    product left-to-right, so the sign tests agree bit-exactly."""
+    from ..operators.similarity import _hyperplane
+
+    terms = []
+    for p, row in enumerate(_hyperplane(planes, dim)):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        terms.append(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{lit}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 register(QuerySpec(
     name="z_embedding_lsh_topk",
     tags=("NN2", "F9"),
-    description="ANN top-5 via random-hyperplane LSH buckets (approximate; "
-    "rows-only check — the bucketing is the point, not SQL parity).",
+    description="ANN top-5 via random-hyperplane LSH buckets: candidates "
+    "restricted to the query's bucket before the exact cosine rank. The "
+    "oracle replays the bucketing itself — the deterministic md5-derived "
+    "hyperplanes embedded as literal vectors — so the approximation is "
+    "value-checked end-to-end, not just recall-checked "
+    "(tests/test_operators.py keeps the recall@5 floor vs brute force).",
     build=lambda spark, sf: S.lsh_topk(
         t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, planes=6
     ),
-    oracle=None,
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                 {_lsh_bucket_sql(6, 64)} AS bucket
+          FROM embeddings
+        ),
+        sims AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+          FROM n q JOIN n c
+            ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.bucket = c.bucket
+        )
+        SELECT qid, rank, vid, sim FROM (
+          SELECT qid, vid, sim,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS INT) AS rank
+          FROM sims
+        ) WHERE rank <= 5
+    """,
 ))
 
 register(QuerySpec(
