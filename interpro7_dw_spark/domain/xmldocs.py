@@ -158,6 +158,7 @@ def match_complete_proteins(
     signatures: DataFrame,
     entries: DataFrame,
     proteins: DataFrame,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Compose ``<protein>`` elements for match_complete.xml from the
     merge pipeline output (reference _export_matches,
@@ -168,6 +169,18 @@ def match_complete_proteins(
     reviewed (boolean). Returns (protein_acc, xml) sorted composition-
     ready; feed to ``sources.sinks.write_xml`` with root
     ``interpromatch``.
+
+    ``features`` (optional): the sequence-features store (reference
+    fs, xmlfiles.py:467-513) — one row per (protein_acc, accession)
+    with ``name``, ``database``, ``evidence`` and ``locations``
+    (array<struct<pos_start int, pos_end int, seq_feature string>>,
+    kept in array order). Each becomes an extra ``<match>`` element
+    (create_extra_match, xmlfiles.py:821-843: id/name/dbname/
+    status="T"/model/evd attrs, NO type attr, bare start/end lcns
+    with the optional sequence-feature attr) appended AFTER every
+    signature match, extra matches sorted by accession (the
+    reference emits the features list in store order, which the
+    features export builds accession-sorted).
 
     Isoforms (reference xmlfiles.py:517-551: variant elements follow
     their master, ``XXXX-1`` before ``XXXX-2``): union variant-keyed
@@ -213,6 +226,44 @@ def match_complete_proteins(
         ).alias("matches_xml")
     )
 
+    per_protein_extra = None
+    if features is not None:
+        extra_lcn = (
+            "concat('    <lcn start=\"', l.pos_start, '\" end=\"', "
+            "l.pos_end, '\"', if(l.seq_feature is not null, "
+            f"concat(' sequence-feature=\"', {_esc_sql('l.seq_feature')}, "
+            "'\"'), ''), '/>')"
+        )
+        extra = features.select(
+            "protein_acc",
+            "accession",
+            F.concat(
+                F.lit("<match"),
+                _attr("id", F.col("accession")),
+                _attr("name", F.col("name")),
+                _attr("dbname", F.col("database")),
+                F.lit(' status="T"'),
+                _attr("model", F.col("accession")),
+                _attr("evd", F.col("evidence")),
+                F.lit(">\n"),
+                F.expr(
+                    f"array_join(transform(locations, l -> {extra_lcn}), '\\n')"
+                ),
+                F.lit("\n  </match>"),
+            ).alias("xml"),
+        )
+        per_protein_extra = extra.groupBy("protein_acc").agg(
+            F.expr(
+                """
+                array_join(
+                  transform(
+                    array_sort(collect_list(struct(accession, xml))),
+                    x -> concat('  ', x.xml)),
+                  '\\n')
+                """
+            ).alias("extra_xml")
+        )
+
     prot = proteins.select(
         "protein_acc",
         F.col("name").alias("p_name"),
@@ -237,15 +288,23 @@ def match_complete_proteins(
             F.concat(_attr("taxid", F.col("p_taxid")), _attr("status", F.col("p_status")))
         ),
     )
+    joined = prot.join(per_protein, "protein_acc", "left")
+    if per_protein_extra is not None:
+        joined = joined.join(per_protein_extra, "protein_acc", "left")
+        # extra matches follow every signature match (reference
+        # appends them after the create_matches loop, xmlfiles.py:505-513);
+        # concat_ws skips whichever side is absent
+        body = F.concat_ws("\n", F.col("matches_xml"), F.col("extra_xml"))
+        empty = F.col("matches_xml").isNull() & F.col("extra_xml").isNull()
+    else:
+        body = F.col("matches_xml")
+        empty = F.col("matches_xml").isNull()
     return (
-        prot.join(per_protein, "protein_acc", "left")
-        .select(
+        joined.select(
             "protein_acc",
-            F.when(
-                F.col("matches_xml").isNull(), F.concat(open_tag, F.lit("/>"))
-            )
+            F.when(empty, F.concat(open_tag, F.lit("/>")))
             .otherwise(
-                F.concat(open_tag, F.lit(">\n"), F.col("matches_xml"), F.lit("\n</protein>"))
+                F.concat(open_tag, F.lit(">\n"), body, F.lit("\n</protein>"))
             )
             .alias("xml"),
         )
@@ -689,13 +748,16 @@ def export_match_complete(
     path: str,
     databases: list[dict] | None = None,
     compression: str | None = "gzip",
+    features: DataFrame | None = None,
 ) -> None:
     """match_complete.xml.gz end-to-end (xmlfiles.py:556-659): XML
     declaration + DOCTYPE header, ``<release>`` prolog, sorted
     per-protein elements, ``</interpromatch>`` close."""
     from ..sources.sinks import write_xml
 
-    df = match_complete_proteins(merged, signatures, entries, proteins)
+    df = match_complete_proteins(
+        merged, signatures, entries, proteins, features=features
+    )
     prolog = release_dbinfo_xml(
         databases or [], ("dbname", "version", "entry_count", "file_date")
     ) if databases else None

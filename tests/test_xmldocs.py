@@ -537,3 +537,88 @@ def test_toad_matches_framing_and_no_ipr_children(spark, fixture, tmp_path):
     )
     assert "This is not an official Google product.\n-->" in text
     assert "<interpromatch>" in text and text.rstrip("\n").endswith("</interpromatch>")
+
+
+def test_match_complete_extra_feature_matches(spark, fixture):
+    """Sequence-feature extra <match> elements (create_extra_match,
+    xmlfiles.py:821-843): appended after every signature match, no
+    type attr, bare start/end lcns with the optional sequence-feature
+    attr; a feature-only protein still gets a non-self-closed element."""
+    matches, signatures, entries, proteins = fixture
+    merged = merge_protein_matches(matches, signatures, entries)
+    features = spark.createDataFrame(
+        [
+            ("P1", "MOBIDB_LITE", "disorder_prediction", "MOBIDB_LITE",
+             "Consensus disorder prediction",
+             [(1, 30, "Polar"), (40, 60, None)]),
+            # accession sorts BEFORE the signature matches but must
+            # still render after them
+            ("P1", "COILS", "Coil", "COILS", "Coiled-coils",
+             [(5, 25, None)]),
+            # feature-only protein
+            ("P3", "SIGNALP_E", "SignalP", "SIGNALP_EUK", "SignalP",
+             [(1, 19, None)]),
+        ],
+        "protein_acc string, accession string, name string, "
+        "database string, evidence string, "
+        "locations array<struct<pos_start int, pos_end int, seq_feature string>>",
+    )
+    got = {
+        r.protein_acc: r.xml
+        for r in match_complete_proteins(
+            merged, signatures, entries, proteins, features=features
+        ).collect()
+    }
+
+    doc = getDOMImplementation().createDocument(None, None, None)
+
+    def extra_elem(acc, name, db, evd, locs):
+        m = doc.createElement("match")
+        m.setAttribute("id", acc)
+        m.setAttribute("name", name)
+        m.setAttribute("dbname", db)
+        m.setAttribute("status", "T")
+        m.setAttribute("model", acc)
+        m.setAttribute("evd", evd)
+        for start, end, seq_feature in locs:
+            lcn = doc.createElement("lcn")
+            lcn.setAttribute("start", str(start))
+            lcn.setAttribute("end", str(end))
+            if seq_feature:
+                lcn.setAttribute("sequence-feature", seq_feature)
+            m.appendChild(lcn)
+        return m.toprettyxml(indent="  ", newl="\n").rstrip("\n")
+
+    def indent(block):
+        return "\n".join("  " + line for line in block.split("\n"))
+
+    # P1: signature matches unchanged, then COILS + MOBIDB_LITE sorted
+    base = {
+        r.protein_acc: r.xml
+        for r in match_complete_proteins(
+            merged, signatures, entries, proteins
+        ).collect()
+    }
+    expected_extra = "\n".join(
+        indent(x)
+        for x in [
+            extra_elem("COILS", "Coil", "COILS", "Coiled-coils",
+                       [(5, 25, None)]),
+            extra_elem("MOBIDB_LITE", "disorder_prediction", "MOBIDB_LITE",
+                       "Consensus disorder prediction",
+                       [(1, 30, "Polar"), (40, 60, None)]),
+        ]
+    )
+    assert got["P1"] == base["P1"].replace(
+        "\n</protein>", "\n" + expected_extra + "\n</protein>"
+    )
+    # P2 has no features: byte-identical to the featureless render
+    assert got["P2"] == base["P2"]
+    # P3 was self-closed; with a feature it opens
+    assert got["P3"] == (
+        '<protein id="P3" name="PROT3_YEAST" length="100" '
+        'crc64="FFFF0000FFFF0000" taxid="4932" status="unreviewed">\n'
+        + indent(extra_elem("SIGNALP_E", "SignalP", "SIGNALP_EUK",
+                            "SignalP", [(1, 19, None)]))
+        + "\n</protein>"
+    )
