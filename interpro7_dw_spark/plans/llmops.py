@@ -10,6 +10,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import sampling as SM
 from ..operators import similarity as S
 from ..operators import text as X
 from .spec import QuerySpec, register, t
@@ -600,5 +601,78 @@ SELECT f.doc_id, f.pred_lang, CAST(f.n_tokens AS INT) AS n_tokens,
        f.passed_lang, f.passed_quality, f.exact_canonical,
        f.exact_canonical AND d.doc_id IS NULL AS kept
 FROM flags2 f LEFT JOIN dropped d ON f.doc_id = d.doc_id
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_sample_stratified",
+    tags=("TX5", "W1", "F3"),
+    description="Deterministic stratified downsampling "
+    "(operators/sampling.py): per-source caps applied by md5(doc_id) "
+    "rank — a reproducible uniform sample with no RNG state, so "
+    "reruns and engines agree bit-for-bit (DataFrame.sample cannot "
+    "promise that: its draw depends on partitioning). Three explicit "
+    "caps plus a default cap for every other source.",
+    build=lambda spark, sf: SM.stratified_sample(
+        t(spark, sf, "documents").select("doc_id", "source"),
+        caps={"src1": 10, "src3": 15, "src7": 5},
+        default_cap=18,
+    ),
+    oracle="""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS INT) AS sample_rank
+          FROM documents
+        )
+        SELECT doc_id, source, sample_rank
+        FROM ranked
+        WHERE sample_rank <= CASE source
+          WHEN 'src1' THEN 10 WHEN 'src3' THEN 15 WHEN 'src7' THEN 5
+          ELSE 18 END
+    """,
+))
+
+register(QuerySpec(
+    name="z_token_shards",
+    tags=("TX5", "W4", "A1"),
+    description="Token-budget shard chunking (operators/sampling.py): "
+    "documents laid out per source in md5(doc_id) order, shard id = "
+    "floor((running token total - own tokens) / budget) — the stream "
+    "cut at fixed budget marks as one running-sum window instead of a "
+    "sequential loop; each shard covers exactly one budget of stream "
+    "mass, straddling documents belong where they start. The oracle "
+    "replays the running sum and both windows.",
+    build=lambda spark, sf: SM.pack_token_shards(
+        t(spark, sf, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ),
+        budget=1000,
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) - n_tokens) / 1000) AS BIGINT) AS shard_id
+          FROM toks
+        )
+        SELECT doc_id, source, n_tokens, shard_id,
+               CAST(row_number() OVER (
+                 PARTITION BY source, shard_id
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS shard_pos
+        FROM packed
     """,
 ))

@@ -385,3 +385,59 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark):
     assert set(approx) <= set(exact)
     assert all(exact[p] == s for p, s in approx.items())
     assert len(approx) / len(exact) >= 0.2, (len(approx), len(exact))
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    from interpro7_dw_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b") for i in range(30)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(docs, caps={"a": 5}, stratum_col="source")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # capped stratum cut to 5; uncapped stratum kept whole (no default)
+    assert len(by_src["a"]) == 5
+    assert len(by_src["b"]) == 10
+    assert all(r.sample_rank <= 5 for r in by_src["a"])
+    # deterministic: a rerun picks the identical ids
+    again = {r.doc_id for r in stratified_sample(
+        docs, caps={"a": 5}, stratum_col="source").collect()}
+    assert {r.doc_id for r in rows} == again
+    # default_cap applies to strata missing from caps
+    out2 = stratified_sample(
+        docs, caps={"a": 5}, stratum_col="source", default_cap=3
+    )
+    assert out2.where("source = 'b'").count() == 3
+
+
+def test_pack_token_shards_budget_and_oversize(spark):
+    from interpro7_dw_spark.operators.sampling import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, 400), (2, 400), (3, 400), (4, 2500), (5, 100), (6, 100)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_token_shards(docs, budget=1000, stratum_col=None).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard_id, r.shard_pos)):
+        by_shard.setdefault(r.shard_id, []).append(r)
+    # every shard's documents are contiguous in the hash order:
+    # positions are 0..n-1 within each shard
+    for rows in by_shard.values():
+        assert [r.shard_pos for r in rows] == list(range(len(rows)))
+    # fixed-mark semantics: shard_id == floor(preceding-tokens/budget),
+    # i.e. a document belongs to the shard where its first token falls
+    ordered = sorted(out, key=lambda r: (r.shard_id, r.shard_pos))
+    cum = 0
+    for r in ordered:
+        assert r.shard_id == cum // 1000
+        cum += r.n_tokens
+    # the oversized doc (2500) consumes several marks: the next doc
+    # starts at least 2 shard ids later
+    big_idx = [i for i, r in enumerate(ordered) if r.doc_id == 4][0]
+    if big_idx + 1 < len(ordered):
+        assert ordered[big_idx + 1].shard_id >= ordered[big_idx].shard_id + 2
