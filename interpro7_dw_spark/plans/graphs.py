@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..domain.clans import clan_alignment_graph
 from ..operators.graph import lineage_rollup, transitive_closure
 from .spec import QuerySpec, register, t
 
@@ -281,5 +282,65 @@ SELECT CAST(row_number() OVER (ORDER BY w.path) - 1 AS INT) AS pos,
          || CASE WHEN l.name IS NOT NULL
                  THEN w.node || '::' || l.name ELSE w.node END AS line
 FROM walk w LEFT JOIN labels l ON w.node = l.node
+    """,
+))
+
+
+def _clan_members(spark: SparkSession, sf: str):
+    s = F.col("s_suppkey")
+    return t(spark, sf, "supplier").select(
+        F.concat(F.lit("SIG"), s.cast("string")).alias("signature_acc"),
+        F.concat(F.lit("CL"), (s % 40).cast("string")).alias("clan_acc"),
+    )
+
+
+def _clan_alignments(spark: SparkSession, sf: str):
+    k = F.col("o_orderkey")
+    return t(spark, sf, "orders").select(
+        F.concat(F.lit("SIG"), (F.lit(1) + k % 200).cast("string")).alias(
+            "query_acc"
+        ),
+        F.concat(
+            F.lit("SIG"), (F.lit(1) + F.col("o_custkey") % 200).cast("string")
+        ).alias("target_acc"),
+        ((k % 1000).cast("double") / F.lit(5000.0)).alias("evalue"),
+    )
+
+
+register(QuerySpec(
+    name="z_clan_graph",
+    tags=("G6", "J2", "A1"),
+    description="Clan alignment graph (reference interpro/oracle/"
+    "clans.py:89-162, domain/clans.py): e-value threshold, query must "
+    "belong to a clan (inner broadcast join), target may not (left "
+    "join + same-clan filter), unordered pair canonicalized with "
+    "least/greatest, best (min) e-value per edge. Alignments reference "
+    "twice as many signatures as exist, so the membership drops are "
+    "exercised; min over doubles is order-independent, so the score is "
+    "engine-exact.",
+    build=lambda spark, sf: clan_alignment_graph(
+        _clan_members(spark, sf), _clan_alignments(spark, sf), threshold=0.05
+    ),
+    oracle="""
+        WITH members AS (
+          SELECT 'SIG' || CAST(s_suppkey AS VARCHAR) AS sig,
+                 'CL' || CAST(s_suppkey % 40 AS VARCHAR) AS clan
+          FROM supplier
+        ),
+        al AS (
+          SELECT 'SIG' || CAST(1 + o_orderkey % 200 AS VARCHAR) AS query_acc,
+                 'SIG' || CAST(1 + o_custkey % 200 AS VARCHAR) AS target_acc,
+                 CAST(o_orderkey % 1000 AS DOUBLE) / 5000.0 AS evalue
+          FROM orders
+        )
+        SELECT q.clan AS clan_acc,
+               least(query_acc, target_acc) AS source,
+               greatest(query_acc, target_acc) AS target,
+               min(evalue) AS score
+        FROM al
+        JOIN members q ON al.query_acc = q.sig
+        LEFT JOIN members tm ON al.target_acc = tm.sig
+        WHERE evalue <= 0.05 AND q.clan = tm.clan
+        GROUP BY 1, 2, 3
     """,
 ))

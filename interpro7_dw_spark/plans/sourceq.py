@@ -220,3 +220,68 @@ register(QuerySpec(
         FROM supplier
     """,
 ))
+
+
+def _hmm_text_fixture(spark: SparkSession, sf: str):
+    """HMMER3/f text models synthesized per nation row: 3 + key%5
+    nodes, four match-emission scores per node with deterministic
+    digits and a '*' (impossible) sprinkled in, plus the insert/
+    transition continuation lines the parser must skip."""
+    n = "n_nationkey"
+    score = (
+        f"if(({n} + i + j) % 7 = 0, '*', "
+        f"concat('0.', lpad(cast(({n}*7 + i*3 + j) % 90 + 10 as string), 2, '0')))"
+    )
+    node_block = f"""
+      array_join(transform(sequence(1, 3 + {n} % 5), i -> concat(
+        '      ', i, '   ',
+        array_join(transform(sequence(0, 3), j -> {score}), '  '),
+        '  ', i, ' - - - -',
+        '\\n          0.11111  0.22222  0.33333  0.44444',
+        '\\n          0.00000  *        *        0.00000  *        0.00000  *'
+      )), '\\n')
+    """
+    return t(spark, sf, "nation").selectExpr(
+        f"concat('M', {n}) AS model_id",
+        f"""concat(
+          'HMMER3/f [synth]\\nNAME  NAT', {n},
+          '\\nACC   IPRH', {n},
+          '\\nLENG  ', 3 + {n} % 5,
+          '\\nALPH  DNA',
+          '\\nHMM          A        C        G        T',
+          '\\n            m->m     m->i     m->d     i->m     i->i     d->m     d->d\\n',
+          {node_block},
+          '\\n//') AS hmm_text""",
+    )
+
+
+def _hmm_parse_roundtrip(spark: SparkSession, sf: str):
+    from ..domain.hmm import parse_hmm_models
+
+    return parse_hmm_models(_hmm_text_fixture(spark, sf)).select(
+        "model_id", "name", "acc", "length", "alphabet"
+    )
+
+
+register(QuerySpec(
+    name="z_hmm_parse",
+    tags=("X2", "S5"),
+    description="HMMER3 text-model parse round-trip (reference "
+    "interpro/oracle/hmms.py:93-438, domain/hmm.py): models "
+    "synthesized from the nation dim — header tags, per-node emission "
+    "lines with '*' impossibles, skippable insert/transition "
+    "continuation rows — parsed by the REAL Arrow-batched parser; the "
+    "oracle recomputes the expected header fields and node count from "
+    "the dim directly, so tag parsing, node-line detection and the "
+    "LENG consistency check are value-verified. The float logo stays "
+    "under pytest goldens (exp/log2 are not engine-exact).",
+    build=_hmm_parse_roundtrip,
+    oracle="""
+        SELECT 'M' || CAST(n_nationkey AS VARCHAR) AS model_id,
+               'NAT' || CAST(n_nationkey AS VARCHAR) AS name,
+               'IPRH' || CAST(n_nationkey AS VARCHAR) AS acc,
+               CAST(3 + n_nationkey % 5 AS INT) AS length,
+               'dna' AS alphabet
+        FROM nation
+    """,
+))
