@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..domain.clans import clan_alignment_graph
+from ..domain.xrefs import sim_entries
 from ..operators.graph import lineage_rollup, transitive_closure
 from .spec import QuerySpec, register, t
 
@@ -342,5 +343,128 @@ register(QuerySpec(
         LEFT JOIN members tm ON al.target_acc = tm.sig
         WHERE evalue <= 0.05 AND q.clan = tm.clan
         GROUP BY 1, 2, 3
+    """,
+))
+
+
+def _simentry_fixture(spark: SparkSession, sf: str):
+    """(protein, entry) location sets: protein keyed off custkey,
+    entry off orderkey, so each protein carries many entries; k =
+    min(orderkey) seeds 1-2 deterministic fragments; entry type cycles
+    through superfamily/domain/family/site (site being outside the
+    similarity type rule)."""
+    seed = (
+        t(spark, sf, "orders")
+        .select(
+            F.concat(
+                F.lit("P"), (F.col("o_custkey") % 300).cast("string")
+            ).alias("protein_acc"),
+            F.concat(
+                F.lit("E"), (F.col("o_orderkey") % 40).cast("string")
+            ).alias("entry_acc"),
+            (F.col("o_orderkey") % 40).cast("int").alias("eid"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .groupBy("protein_acc", "entry_acc", "eid")
+        .agg(F.min("k").alias("k"))
+    )
+    return seed.selectExpr(
+        "protein_acc",
+        "entry_acc",
+        "CASE WHEN eid % 4 = 0 THEN 'homologous_superfamily' "
+        "WHEN eid % 4 = 1 THEN 'domain' "
+        "WHEN eid % 4 = 2 THEN 'family' ELSE 'site' END AS entry_type",
+        """CASE WHEN k % 3 = 0 THEN array(
+             named_struct('start', CAST(k % 60 + 1 AS INT),
+                          'end', CAST(k % 60 + 5 + k % 40 AS INT)),
+             named_struct('start', CAST(k % 60 + 31 AS INT),
+                          'end', CAST(k % 60 + 35 + k % 25 AS INT)))
+           ELSE array(
+             named_struct('start', CAST(k % 60 + 1 AS INT),
+                          'end', CAST(k % 60 + 5 + k % 40 AS INT)))
+           END AS locations""",
+    )
+
+
+register(QuerySpec(
+    name="z_sim_entries",
+    tags=("G7", "J8", "A1", "F9"),
+    description="Similar-entries graph (reference interpro/xrefs/"
+    "entries.py:15,28-136, domain/xrefs.py::sim_entries): per-protein "
+    "entry-pair self-join, the exists-any-location-overlapping-half "
+    "flags as nested array HOFs, per-pair flag sums, Jaccard-style "
+    "coefficient + containment indices over the 0.75 threshold, and "
+    "the homologous-superfamily type rule. The oracle replays the "
+    "nested existence checks with DuckDB list_filter lambdas and the "
+    "identical double arithmetic.",
+    build=lambda spark, sf: sim_entries(_simentry_fixture(spark, sf)),
+    oracle="""
+        WITH seed AS (
+          SELECT 'P' || CAST(o_custkey % 300 AS VARCHAR) AS protein_acc,
+                 'E' || CAST(o_orderkey % 40 AS VARCHAR) AS entry_acc,
+                 CAST(o_orderkey % 40 AS INT) AS eid,
+                 min(o_orderkey) AS k
+          FROM orders GROUP BY 1, 2, 3
+        ),
+        el AS (
+          SELECT protein_acc, entry_acc,
+                 CASE WHEN eid % 4 = 0 THEN 'homologous_superfamily'
+                      WHEN eid % 4 = 1 THEN 'domain'
+                      WHEN eid % 4 = 2 THEN 'family'
+                      ELSE 'site' END AS entry_type,
+                 CASE WHEN k % 3 = 0 THEN
+                   [{'start': CAST(k % 60 + 1 AS INT),
+                     'end': CAST(k % 60 + 5 + k % 40 AS INT)},
+                    {'start': CAST(k % 60 + 31 AS INT),
+                     'end': CAST(k % 60 + 35 + k % 25 AS INT)}]
+                 ELSE
+                   [{'start': CAST(k % 60 + 1 AS INT),
+                     'end': CAST(k % 60 + 5 + k % 40 AS INT)}]
+                 END AS locations
+          FROM seed
+        ),
+        np AS (SELECT entry_acc, count(*) AS n FROM el GROUP BY 1),
+        pairs AS (
+          SELECT hi.entry_acc AS hi, lo.entry_acc AS lo,
+                 CAST(len(list_filter(hi.locations, l1 ->
+                   len(list_filter(lo.locations, l2 ->
+                     least(l1['end'], l2['end'])
+                       - greatest(l1['start'], l2['start']) + 1
+                       >= (l1['end'] - l1['start'] + 1) * 0.5)) > 0)) > 0
+                   AS INT) AS f_hi,
+                 CAST(len(list_filter(lo.locations, l1 ->
+                   len(list_filter(hi.locations, l2 ->
+                     least(l1['end'], l2['end'])
+                       - greatest(l1['start'], l2['start']) + 1
+                       >= (l1['end'] - l1['start'] + 1) * 0.5)) > 0)) > 0
+                   AS INT) AS f_lo
+          FROM el hi
+          JOIN el lo ON hi.protein_acc = lo.protein_acc
+                    AND lo.entry_acc < hi.entry_acc
+        ),
+        agg AS (
+          SELECT hi, lo, CAST(sum(f_hi) AS BIGINT) AS cnt_hi,
+                 CAST(sum(f_lo) AS BIGINT) AS cnt_lo
+          FROM pairs GROUP BY 1, 2
+        ),
+        typ AS (SELECT DISTINCT entry_acc, entry_type FROM el)
+        SELECT a.hi AS entry_acc, a.lo AS other_acc
+        FROM agg a
+        JOIN np nh ON a.hi = nh.entry_acc
+        JOIN np nl ON a.lo = nl.entry_acc
+        JOIN typ th ON a.hi = th.entry_acc
+        JOIN typ tl ON a.lo = tl.entry_acc
+        WHERE (
+          ((cnt_hi / (nh.n + nl.n - cnt_hi))
+            + (cnt_lo / (nh.n + nl.n - cnt_lo))) * 0.5 >= 0.75
+          OR cnt_hi / nh.n >= 0.75
+          OR cnt_lo / nl.n >= 0.75
+        )
+        AND ((th.entry_type = 'homologous_superfamily'
+              AND tl.entry_type IN ('homologous_superfamily',
+                                    'domain', 'family', 'repeat'))
+          OR (tl.entry_type = 'homologous_superfamily'
+              AND th.entry_type IN ('homologous_superfamily',
+                                    'domain', 'family', 'repeat')))
     """,
 ))
