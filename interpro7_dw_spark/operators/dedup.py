@@ -248,3 +248,45 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFr
         .select("da", "db", "hamming")
         .distinct()
     )
+
+
+def repeated_passage_stats(
+    docs: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-passage statistics — the substring-dedup
+    / contamination signal: what fraction of a document's distinct
+    ``window``-token passages also occurs in at least one OTHER
+    document.
+
+    Shape: :func:`shingles` at passage width builds the inverted
+    index; one groupBy marks passages with document frequency >= 2;
+    a broadcast-able semi-set join flags each document's passages; a
+    final per-document aggregate emits ``n_passages`` (distinct),
+    ``n_shared`` and ``shared_frac``. Two shuffles total (passage key,
+    then doc key), candidates never materialize as pairs — at 100 TB
+    this stays linear where pairwise substring dedup would explode;
+    apply :func:`drop_hot_shingles` first if boilerplate passages
+    (headers, licenses) dominate the index.
+    """
+    sh = shingles(docs, n=window, id_col=id_col, text_col=text_col)
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    flagged = sh.join(shared, "shingle", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_passages"))
+    return totals.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "n_passages",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)) / F.col("n_passages"), 4
+        ).alias("shared_frac"),
+    )

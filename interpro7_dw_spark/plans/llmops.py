@@ -676,3 +676,44 @@ register(QuerySpec(
         FROM packed
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_repeated_passages",
+    tags=("DD2", "TX4", "A5"),
+    description="Per-document repeated-passage statistics "
+    "(operators/dedup.py::repeated_passage_stats): the fraction of a "
+    "document's distinct 5-token passages that occur in at least one "
+    "other document — the substring-dedup / contamination signal, "
+    "computed on the passage inverted index without ever "
+    "materializing document pairs.",
+    build=lambda spark, sf: D.repeated_passage_stats(
+        t(spark, sf, "documents"), window=5
+    ),
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ts[i + 1 : i + 5], ' ') AS shingle
+          FROM tok, LATERAL unnest(
+            generate_series(0, greatest(len(ts) - 5, 0))) AS g(i)
+        ),
+        shared AS (
+          SELECT shingle FROM sh GROUP BY 1
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        flagged AS (
+          SELECT doc_id, count(*) AS n_shared
+          FROM sh JOIN shared USING (shingle)
+          GROUP BY 1
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_passages FROM sh GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(t.n_passages AS BIGINT) AS n_passages,
+               CAST(coalesce(f.n_shared, 0) AS BIGINT) AS n_shared,
+               round(coalesce(f.n_shared, 0) / t.n_passages, 4) AS shared_frac
+        FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+    """,
+))

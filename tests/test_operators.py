@@ -441,3 +441,25 @@ def test_pack_token_shards_budget_and_oversize(spark):
     big_idx = [i for i, r in enumerate(ordered) if r.doc_id == 4][0]
     if big_idx + 1 < len(ordered):
         assert ordered[big_idx + 1].shard_id >= ordered[big_idx].shard_id + 2
+
+
+def test_repeated_passage_stats(spark):
+    from interpro7_dw_spark.operators.dedup import repeated_passage_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # passages: 'a b c d e', 'b c d e f'
+            (2, "x a b c d e y"),      # shares 'a b c d e' with doc 1
+            (3, "p q r s t u"),        # nothing shared
+            (4, "tiny doc"),           # < window -> one whole-text passage
+            (5, "tiny doc"),           # identical short doc -> shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repeated_passage_stats(docs, window=5).collect()}
+    assert (got[1].n_passages, got[1].n_shared) == (2, 1)
+    assert got[1].shared_frac == 0.5
+    assert got[2].n_shared == 1 and got[2].n_passages == 3
+    assert got[3].n_shared == 0 and got[3].shared_frac == 0.0
+    assert (got[4].n_passages, got[4].n_shared, got[4].shared_frac) == (1, 1, 1.0)
+    assert got[5].n_shared == 1
