@@ -178,9 +178,13 @@ def match_complete_proteins(
     (create_extra_match, xmlfiles.py:821-843: id/name/dbname/
     status="T"/model/evd attrs, NO type attr, bare start/end lcns
     with the optional sequence-feature attr) appended AFTER every
-    signature match, extra matches sorted by accession (the
-    reference emits the features list in store order, which the
-    features export builds accession-sorted).
+    signature match. Locations are sorted by (pos_start, pos_end) and
+    extra matches by the leftmost location (pos_start, pos_end of
+    locations[0], accession tiebreak) — the store order the reference
+    builds in _merge_feature_matches (oracle/matches.py:576-580) and
+    emits verbatim. The sequence-feature attr follows the reference's
+    truthiness check (xmlfiles.py:837): omitted for NULL *and* for
+    empty-string seq_feature.
 
     Isoforms (reference xmlfiles.py:517-551: variant elements follow
     their master, ``XXXX-1`` before ``XXXX-2``): union variant-keyed
@@ -230,13 +234,23 @@ def match_complete_proteins(
     if features is not None:
         extra_lcn = (
             "concat('    <lcn start=\"', l.pos_start, '\" end=\"', "
-            "l.pos_end, '\"', if(l.seq_feature is not null, "
+            "l.pos_end, '\"', if(l.seq_feature is not null "
+            "and l.seq_feature != '', "
             f"concat(' sequence-feature=\"', {_esc_sql('l.seq_feature')}, "
             "'\"'), ''), '/>')"
         )
-        extra = features.select(
+        loc_sorted = (
+            "array_sort(locations, (a, b) -> CASE "
+            "WHEN a.pos_start < b.pos_start THEN -1 "
+            "WHEN a.pos_start > b.pos_start THEN 1 "
+            "WHEN a.pos_end < b.pos_end THEN -1 "
+            "WHEN a.pos_end > b.pos_end THEN 1 ELSE 0 END)"
+        )
+        extra = features.withColumn("locations", F.expr(loc_sorted)).select(
             "protein_acc",
             "accession",
+            F.expr("locations[0].pos_start").alias("l0_start"),
+            F.expr("locations[0].pos_end").alias("l0_end"),
             F.concat(
                 F.lit("<match"),
                 _attr("id", F.col("accession")),
@@ -257,7 +271,8 @@ def match_complete_proteins(
                 """
                 array_join(
                   transform(
-                    array_sort(collect_list(struct(accession, xml))),
+                    array_sort(collect_list(
+                      struct(l0_start, l0_end, accession, xml))),
                     x -> concat('  ', x.xml)),
                   '\\n')
                 """

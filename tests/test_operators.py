@@ -443,6 +443,54 @@ def test_pack_token_shards_budget_and_oversize(spark):
         assert ordered[big_idx + 1].shard_id >= ordered[big_idx].shard_id + 2
 
 
+def test_sampling_two_phase_splits_stratum_across_tasks(spark):
+    """Scale-safety property: the two-phase range-split rank spreads a
+    SINGLE stratum over many range tasks (no single-task-per-stratum
+    window) while producing the exact ranks of the naive global
+    window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from interpro7_dw_spark.operators.sampling import (
+        _hash_order,
+        _range_annotated,
+        pack_token_shards,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web", (i * 37) % 90 + 10) for i in range(500)],
+        "doc_id long, source string, n_tokens long",
+    )
+    annotated = _range_annotated(docs, ["source"], "doc_id", 8, token_col="n_tokens")
+    # the lone stratum spans several range tasks...
+    assert annotated.select("__pid").distinct().count() > 1
+    # ...yet rank and running sum equal the naive single-window values
+    w = Window.partitionBy("source").orderBy(_hash_order("doc_id"), F.col("doc_id"))
+    naive = docs.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run"),
+    )
+    joined = annotated.select("doc_id", "__rank", "__run").join(naive, "doc_id")
+    assert joined.where("__rank != rank OR __run != run").count() == 0
+
+    # the public operators agree with themselves across range widths
+    s1 = {r.doc_id for r in stratified_sample(
+        docs, caps={"web": 50}, num_ranges=1).collect()}
+    s8 = {r.doc_id for r in stratified_sample(
+        docs, caps={"web": 50}, num_ranges=8).collect()}
+    assert s1 == s8 and len(s8) == 50
+    p1 = {(r.doc_id, r.shard_id, r.shard_pos) for r in pack_token_shards(
+        docs, budget=1000, num_ranges=1).collect()}
+    p8 = {(r.doc_id, r.shard_id, r.shard_pos) for r in pack_token_shards(
+        docs, budget=1000, num_ranges=8).collect()}
+    assert p1 == p8
+
+
 def test_repeated_passage_stats(spark):
     from interpro7_dw_spark.operators.dedup import repeated_passage_stats
 

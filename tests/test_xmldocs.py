@@ -550,11 +550,12 @@ def test_match_complete_extra_feature_matches(spark, fixture):
         [
             ("P1", "MOBIDB_LITE", "disorder_prediction", "MOBIDB_LITE",
              "Consensus disorder prediction",
-             [(1, 30, "Polar"), (40, 60, None)]),
-            # accession sorts BEFORE the signature matches but must
-            # still render after them
+             # out-of-order locations: the render sorts them and the
+             # feature's leftmost location (1, 30) places it FIRST
+             # among the extras despite its late accession
+             [(40, 60, None), (1, 30, "Polar")]),
             ("P1", "COILS", "Coil", "COILS", "Coiled-coils",
-             [(5, 25, None)]),
+             [(5, 25, "")]),  # empty seq_feature: attr omitted (truthiness)
             # feature-only protein
             ("P3", "SIGNALP_E", "SignalP", "SIGNALP_EUK", "SignalP",
              [(1, 19, None)]),
@@ -592,7 +593,9 @@ def test_match_complete_extra_feature_matches(spark, fixture):
     def indent(block):
         return "\n".join("  " + line for line in block.split("\n"))
 
-    # P1: signature matches unchanged, then COILS + MOBIDB_LITE sorted
+    # P1: signature matches unchanged, then extras by leftmost location
+    # (MOBIDB_LITE starts at 1, before COILS at 5 — store order,
+    # oracle/matches.py:576-580), locations position-sorted
     base = {
         r.protein_acc: r.xml
         for r in match_complete_proteins(
@@ -602,11 +605,11 @@ def test_match_complete_extra_feature_matches(spark, fixture):
     expected_extra = "\n".join(
         indent(x)
         for x in [
-            extra_elem("COILS", "Coil", "COILS", "Coiled-coils",
-                       [(5, 25, None)]),
             extra_elem("MOBIDB_LITE", "disorder_prediction", "MOBIDB_LITE",
                        "Consensus disorder prediction",
                        [(1, 30, "Polar"), (40, 60, None)]),
+            extra_elem("COILS", "Coil", "COILS", "Coiled-coils",
+                       [(5, 25, "")]),
         ]
     )
     assert got["P1"] == base["P1"].replace(
