@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from interpro7_dw_spark.plans.spec import all_specs
 from interpro7_dw_spark.session import get_spark
 
+# The first 21 names are the headline set as it stood through r5 —
+# kept as a stable drift anchor: the bench JSON emits a "carried21"
+# subtotal over exactly these so round-over-round comparison survives
+# growth of the full set (r6 grew it 21 -> 27 and made totals
+# incomparable).
+CARRIED21_COUNT = 21
+
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -49,8 +56,9 @@ HEADLINE = [
     "domain_match_summary",
     "z_xml_uniparc_proteins",
     # r6 continuation: the heaviest of the new webfront row marts
-    # (three-level nested JSON assembly over lineitem)
-    "z_structure_mart",
+    # (three-level nested JSON assembly over lineitem; renamed from
+    # z_structure_mart in the r7 driver-window rotation)
+    "mart_structure",
 ]
 
 
@@ -93,11 +101,13 @@ def main() -> None:
             spark.catalog.clearCache()
     times = {k: round(v, 3) for k, v in times.items()}
 
+    carried = [n for n in HEADLINE[:CARRIED21_COUNT]]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "carried21": round(sum(times[n] for n in carried), 3),
         "sf": sf,
     }))
 

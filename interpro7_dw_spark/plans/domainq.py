@@ -637,7 +637,7 @@ def _ida_documents(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_ida_documents",
+    name="ida_documents",
     tags=("J9", "A6", "A12", "F3"),
     description="IDA search documents, one per distinct domain "
     "architecture (reference gen_ida_docs, elastic/export.py:296-316,"

@@ -51,7 +51,7 @@ register(QuerySpec(
 _STATUSES = ["F", "O", "P"]
 
 register(QuerySpec(
-    name="pivot_status_by_year",
+    name="z_pivot_status_by_year",
     tags=("A8", "A2"),
     description="Pivot long->wide (explicit value list keeps the plan "
     "single-pass; output columns n_F/n_O/n_P).",
@@ -157,7 +157,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="percentile_prices",
+    name="z_percentile_prices",
     tags=("A13", "F9"),
     description="Exact interpolated percentiles per group.",
     build=lambda spark, sf: (
@@ -181,7 +181,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="array_ops",
+    name="z_array_ops",
     tags=("F11", "O3"),
     description="Array utilities over tokenized text: indexing, slice, "
     "distinct size, contains.",

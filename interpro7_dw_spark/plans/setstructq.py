@@ -229,7 +229,7 @@ LEFT JOIN structs st ON d.clan_acc = st.clan_acc
 
 
 register(QuerySpec(
-    name="z_structure_mart",
+    name="mart_structure",
     tags=("X5", "A8", "J2", "F8", "O3"),
     description="webfront_structure one-row-per-PDB mart (reference "
     "interpro/mysql/structures.py:91-160): dim columns, sorted chains "

@@ -213,7 +213,7 @@ LEFT JOIN base_agg b ON e.tax_id = b.tax_id
 
 
 register(QuerySpec(
-    name="z_taxonomy_mart",
+    name="mart_taxonomy",
     tags=("A8", "A9", "G1", "F12", "F8"),
     description="webfront_taxonomy one-row-per-taxon mart (reference "
     "interpro/mysql/taxa.py:164-183): space-framed lineage string, "
