@@ -178,6 +178,18 @@ def ivf_centroids(
     driver, so the corpus side scales; this mirrors k-means|| minus
     the sampling rounds, acceptable because IVF needs a usable coarse
     partition, not an optimal clustering.
+
+    Cell means are NOT ``avg`` (whose float summation order is
+    engine/partitioning-dependent): each (cell, dimension) mean is a
+    sequential left fold over the members sorted by id, divided by the
+    count. The order is pinned, so any IEEE-754 engine replays the
+    centroids bit-for-bit — DuckDB does exactly that in the
+    ``z_embedding_ivf_topk`` value oracle via
+    ``list_reduce(list(x ORDER BY id))``. Group sizes are ~N/nlist per
+    fold at one struct per member, so the collect_list stays bounded
+    by the cell size; at extreme scale swap the in-group fold for a
+    two-level fold (per-partition folds combined in partition-range
+    order), which preserves the pinned order.
     """
     n = with_norm(emb, vec_col)
     seeds = (
@@ -188,11 +200,24 @@ def ivf_centroids(
     )
     centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = n.select(_nearest_centroid(F.col("__v"), centroids).alias("cid"), "__v")
+        assigned = n.select(
+            F.col(id_col).alias("__vid"),
+            _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+            "__v",
+        )
         means = (
-            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            assigned.select("cid", "__vid", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("__vid", "x"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["x"],
+                    )
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.col("pm.m").alias("vec"))

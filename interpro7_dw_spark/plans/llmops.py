@@ -226,11 +226,90 @@ register(QuerySpec(
     tags=("NN2", "F9"),
     description="ANN top-5 via a deterministic IVF coarse quantizer "
     "(md5-seeded Lloyd, nprobe cell scan; approximate — recall vs the "
-    "exact brute force is machine-checked in tests/test_operators.py).",
+    "exact brute force is machine-checked in tests/test_operators.py). "
+    "Full value oracle: the Lloyd recursion itself is replayed in SQL "
+    "— cell means are a PINNED sequential fold over members in vec_id "
+    "order (list_reduce over an ordered list, the exact fold "
+    "ivf_centroids runs via aggregate(array_sort(collect_list))), so "
+    "both engines produce bit-identical centroids, assignments, "
+    "probes and similarities; no avg() whose summation order an "
+    "engine could pick differently.",
     build=lambda spark, sf: S.ivf_topk(
         t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, nlist=8, nprobe=3
     ),
-    oracle=None,
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, v
+  FROM n QUALIFY row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, s.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, s.v), s.cid) AS rn
+    FROM n CROSS JOIN seeds s) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, pos,
+         list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM a1, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+  GROUP BY cid, pos
+),
+c1v AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+c1 AS (SELECT s.cid, coalesce(c.v, s.v) AS v
+       FROM seeds s LEFT JOIN c1v c USING (cid)),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+    FROM n CROSS JOIN c1 c) WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, pos,
+         list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM a2, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+  GROUP BY cid, pos
+),
+c2v AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
+c2 AS (SELECT c1.cid, coalesce(c.v, c1.v) AS v
+       FROM c1 LEFT JOIN c2v c USING (cid)),
+corpus AS (
+  SELECT vec_id AS vid, v AS cv, nrm AS cn, cid FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+    FROM n CROSS JOIN c2 c) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, nrm AS qn, cid FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+    FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rn <= 3
+),
+sims AS (
+  SELECT q.qid, c.vid,
+         round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) AS sim
+  FROM probes q JOIN corpus c USING (cid)
+  WHERE q.qid <> c.vid
+)
+SELECT qid, rank, vid, sim FROM (
+  SELECT qid, vid, sim,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, vid) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 5
+    """,
 ))
 
 register(QuerySpec(

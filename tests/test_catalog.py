@@ -32,7 +32,6 @@ def test_entry_contract(spark):
     # every oracle-less query is a deliberate exception, listed here
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "z_embedding_ivf_topk",
         "z_domain_merge_matches",
     }
 
