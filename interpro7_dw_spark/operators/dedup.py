@@ -165,19 +165,33 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document SimHash over distinct whitespace tokens.
 
-    Token hash = first 4 hex chars of md5 (16 bits), engine-portable.
+    Token hash = first ``bits // 4`` hex chars of md5, engine-portable.
     Bit b of the fingerprint is the sign of sum(+-1) of token bit b.
+
+    ``bits=64`` is the production shape (each pigeonhole segment in
+    :func:`simhash_pairs` then carries 16 bits — 65k buckets,
+    AQE-splittable). The 64-bit token hash is composed from two 32-bit
+    conv() halves because conv's unsigned decimal string for values >=
+    2^63 does not survive a long cast; shiftleft wraps into the signed
+    top bit, which is fine — fingerprint longs are bit patterns, not
+    magnitudes (the DuckDB oracle maps the same unsigned value into
+    signed BIGINT range explicitly, z_dedup_simhash64).
     """
+    if bits % 4 != 0 or not 4 <= bits <= 64:
+        raise ValueError("bits must be a multiple of 4 in [4, 64]")
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
-    hashed = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, bits // 4), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    md5_col = F.md5(F.col("token").cast("binary"))
+    if bits == 64:
+        hi = F.conv(F.substring(md5_col, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md5_col, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        # up to 60 bits a single conv fits a signed long exactly
+        h = F.conv(F.substring(md5_col, 1, bits // 4), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h.alias("h"))
     bit = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),

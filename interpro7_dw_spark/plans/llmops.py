@@ -120,6 +120,67 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
+    name="z_dedup_simhash64",
+    tags=("DD4", "F3"),
+    description="64-bit SimHash near-dup pairs (hamming <= 3) — the "
+    "production fingerprint width: each pigeonhole segment carries 16 "
+    "bits (65k buckets, AQE-splittable). The oracle rebuilds the full "
+    "64-bit fingerprint in HUGEINT (DuckDB's signed BIGINT shifts "
+    "overflow at bit 63) and maps it into signed-long range to match "
+    "Spark's wrapping shiftleft; also checks the fingerprints "
+    "themselves, not just the pair set.",
+    build=lambda spark, sf: D.simhash_pairs(
+        D.simhash(t(spark, sf, "documents"), bits=64), 3, bits=64
+    ).join(
+        D.simhash(t(spark, sf, "documents"), bits=64)
+        .withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("simhash", "fingerprint_a"),
+        "da",
+    ),
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT
+                      ELSE hu END AS BIGINT) AS h
+          FROM (
+            SELECT doc_id,
+                   (('0x' || substring(md5(token), 1, 8))::UBIGINT)::HUGEINT
+                     * 4294967296::HUGEINT
+                   + (('0x' || substring(md5(token), 9, 8))::UBIGINT)::HUGEINT AS hu
+            FROM tok
+          )
+        ),
+        bit AS (
+          SELECT doc_id, b.b AS b, sum(((h >> b.b) & 1) * 2 - 1) AS s
+          FROM hashed, LATERAL unnest(generate_series(0, 63)) AS b(b)
+          GROUP BY 1, 2
+        ),
+        simhash AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                      THEN su - 18446744073709551616::HUGEINT
+                      ELSE su END AS BIGINT) AS simhash
+          FROM (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+                       ELSE 0::HUGEINT END) AS su
+            FROM bit GROUP BY 1
+          )
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming,
+               a.simhash AS fingerprint_a
+        FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+))
+
+register(QuerySpec(
     name="embedding_topk",
     tags=("NN1", "F9", "O5"),
     description="Exact brute-force cosine top-5 neighbors for query ids < 5 "

@@ -150,6 +150,39 @@ def test_simhash_pigeonhole_matches_bruteforce(spark):
     assert got == brute
 
 
+def test_simhash_64bit_production_shape(spark):
+    """bits=64 end-to-end: fingerprints occupy the full signed-long
+    range (bit 63 exercised -> negative longs appear), the pigeonhole
+    join at 16-bit segments matches brute-force hamming, and identical
+    docs still collide at distance 0."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 11 + j) % 29}" for j in range(12)))
+         for i in range(30)] + [(97, "dup dup dup"), (98, "dup dup dup")],
+        "doc_id long, text string",
+    )
+    fp = simhash(docs, bits=64).persist()
+    vals = [r.simhash for r in fp.collect()]
+    # 64-bit width actually used: some fingerprint has the sign bit set
+    assert any(v < 0 for v in vals), "bit 63 never set — not 64-bit"
+    got = {
+        (r["da"], r["db"], r["hamming"])
+        for r in simhash_pairs(fp, max_hamming=3, bits=64).collect()
+    }
+    a = fp.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["da"], r["db"], r["hamming"])
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert (97, 98, 0) in got
+
+
 def test_hot_shingle_guard_bounds_candidates(spark):
     from interpro7_dw_spark.operators.dedup import drop_hot_shingles
 
