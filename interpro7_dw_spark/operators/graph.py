@@ -16,11 +16,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _Materializer:
+    """Lineage-truncation seam for iterative fixpoint loops.
+
+    Default: ``localCheckpoint`` — executor-storage blocks, zero extra
+    I/O config, right for a single app run. At cluster scale executor
+    loss invalidates localCheckpoint blocks and forces recompute of an
+    unbounded lineage; pass ``checkpoint_dir`` to materialize each
+    round to parquet instead (durable across executor loss, readable
+    by a resumed job, reclaimable by deleting the directory). One
+    directory per call site; rounds get numbered subdirs.
+    """
+
+    def __init__(self, checkpoint_dir: str | None, tag: str) -> None:
+        self._dir = checkpoint_dir
+        self._tag = tag
+        self._n = 0
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self._dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{self._dir}/{self._tag}_{self._n:04d}"
+        self._n += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+
 def transitive_closure(
     edges: DataFrame,
     child_col: str = "child",
     parent_col: str = "parent",
     max_rounds: int = 40,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All (node, ancestor, depth) pairs reachable via child->parent
     edges, including (node, node, 0). Equivalent to a recursive CTE.
@@ -33,7 +60,13 @@ def transitive_closure(
     D — the distributed substitute for the reference's driver-side
     dict walk. Paths of length L in (2^j, 2^(j+1)] split uniquely into
     (first 2^j edges) + (remainder), so no dedup shuffle is needed.
+
+    ``checkpoint_dir``: round materialization target — ``None`` uses
+    ``localCheckpoint`` (executor storage); a path switches to parquet
+    checkpoints, the durable choice on a real cluster
+    (see :class:`_Materializer`).
     """
+    mat = _Materializer(checkpoint_dir, "closure")
     nodes = (
         edges.select(F.col(child_col).alias("node"))
         .union(edges.select(F.col(parent_col).alias("node")))
@@ -47,7 +80,8 @@ def transitive_closure(
             F.col(parent_col).alias("anc"),
             F.lit(1).cast("long").alias("depth"),
         )
-    ).localCheckpoint(eager=True)
+    )
+    closure = mat(closure)
 
     for j in range(max_rounds):
         pow2 = 2 ** j
@@ -59,10 +93,11 @@ def transitive_closure(
         )
         new = heads.join(tails, heads["mid"] == tails["mid2"]).select(
             "node", "anc", (F.col("dh") + F.col("dt")).alias("depth")
-        ).localCheckpoint(eager=True)  # materialize once: reused by isEmpty + union
+        )
+        new = mat(new)  # materialize once: reused by isEmpty + union
         if new.isEmpty():
             return closure
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        closure = mat(closure.unionByName(new))
     raise RuntimeError(f"transitive_closure: no fixpoint after {max_rounds} doubling rounds (cycle?)")
 
 
@@ -162,6 +197,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list: (node,
     component) where component = the lexicographically smallest node id
@@ -174,17 +210,19 @@ def connected_components(
     are dense (LSH pairs approximate cliques), so 2-3 rounds in
     practice. For adversarial long-chain graphs swap in large-star/
     small-star (Kiveris et al.) — same join shape per round.
-    localCheckpoint truncates lineage like transitive_closure above;
-    at cluster scale prefer parquet checkpoints (same seam).
+    Per-round materialization truncates lineage like
+    transitive_closure above; ``checkpoint_dir=None`` uses
+    ``localCheckpoint``, a path switches to durable parquet
+    checkpoints for cluster runs (see :class:`_Materializer`).
     """
+    mat = _Materializer(checkpoint_dir, "cc")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
+    sym = mat(sym.distinct())
+    labels = mat(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         nbr_min = (
@@ -198,8 +236,8 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = mat(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -76,6 +76,47 @@ def test_transitive_closure_chain(spark):
     assert len(out) == 12
 
 
+def test_iterative_ops_parquet_checkpoint_seam(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization from
+    localCheckpoint to durable parquet (the cluster-scale choice);
+    results must be identical and the directory must actually hold
+    the round files."""
+    import os
+
+    from interpro7_dw_spark.operators.graph import (
+        connected_components,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "a")], "child string, parent string"
+    )
+    ckpt = str(tmp_path / "ckpt_closure")
+    got = {
+        (r["node"], r["anc"]): r["depth"]
+        for r in transitive_closure(edges, checkpoint_dir=ckpt).collect()
+    }
+    base = {
+        (r["node"], r["anc"]): r["depth"] for r in transitive_closure(edges).collect()
+    }
+    assert got == base
+    rounds = [d for d in os.listdir(ckpt) if d.startswith("closure_")]
+    assert len(rounds) >= 2, rounds  # initial frontier + >=1 doubling round
+
+    und = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(6)] + [("p", "q")],
+        "src string, dst string",
+    )
+    ckpt2 = str(tmp_path / "ckpt_cc")
+    got_cc = {
+        r.node: r.component
+        for r in connected_components(und, checkpoint_dir=ckpt2).collect()
+    }
+    base_cc = {r.node: r.component for r in connected_components(und).collect()}
+    assert got_cc == base_cc
+    assert any(d.startswith("cc_") for d in os.listdir(ckpt2))
+
+
 def test_exact_dedup_and_fingerprints(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "hello world"), (3, "other text")], "doc_id long, text string"
