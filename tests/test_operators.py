@@ -224,6 +224,69 @@ def test_simhash_64bit_production_shape(spark):
     assert (97, 98, 0) in got
 
 
+def test_lsh_band_join_survives_hot_bucket_with_aqe_skew_split(spark):
+    """A deliberately hot band bucket (30% of the corpus shares one
+    band_sig) still completes and stays correct with AQE skew-join
+    active, and the executed plan actually applied the skew split
+    (skew=true on the sort-merge join) — the documented AQE path for
+    degenerate buckets; the salt fallback in the dedup.py docstring is
+    only needed where AQE is unavailable."""
+    import io
+    from contextlib import redirect_stdout
+
+    from interpro7_dw_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        shingles,
+    )
+
+    n, hot = 300, 90  # 30% of docs identical -> one hot bucket per band
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(hot)]
+    rows += [(i, f"unique u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(hot, n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # thresholds tiny so the hot bucket qualifies as skewed at
+        # fixture scale; broadcast off so the join stays sort-merge
+        # (the strategy a 100 TB corpus side would get)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        pairs = lsh_candidate_pairs(minhash_bands(shingles(docs)))
+        got = {(r.da, r.db) for r in pairs.collect()}
+        # all hot-bucket pairs found, none of the unique docs paired
+        expected = {(a, b) for a in range(hot) for b in range(a + 1, hot)}
+        assert got == expected
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+        assert "skew=true" in plan, "AQE skew split did not engage"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_hot_shingle_guard_bounds_candidates(spark):
     from interpro7_dw_spark.operators.dedup import drop_hot_shingles
 

@@ -1,0 +1,153 @@
+"""End-to-end warehouse build over the InterPro-shaped fixtures
+(interpro7_dw_spark/warehouse.py — the Spark analogue of the
+reference's mundone task DAG, cli.py:101-986): every mart family plus
+flat/XML/JSON sinks in one dependency-ordered run, with
+skip-if-exists resume, snapshot-compared as a directory tree."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import re
+
+import pytest
+
+from interpro7_dw_spark.fixtures import write_warehouse_fixtures
+from interpro7_dw_spark.warehouse import build_warehouse
+
+ALL_STEPS = [
+    "merged_matches", "lookup_matches", "mart_entry", "mart_taxonomy",
+    "mart_proteome", "mart_set", "mart_structure", "mart_entry_xrefs",
+    "search_documents", "ida_documents", "ebisearch", "flat_files",
+    "match_complete_xml", "interpro_xml", "release_notes",
+]
+
+# the snapshot: every output directory the build must produce
+EXPECTED_TREE = sorted([
+    "merged_matches",
+    "lookup_matches",            # + __hp=xx partition dirs below
+    "mart_entry",
+    "mart_taxonomy/per_taxon",
+    "mart_taxonomy/per_entry",
+    "mart_taxonomy/per_db",
+    "mart_proteome/per_proteome",
+    "mart_proteome/per_entry",
+    "mart_proteome/per_db",
+    "mart_set",
+    "mart_structure",
+    "mart_entry_xrefs",
+    "search_documents",
+    "ida_documents",
+    "ebisearch",
+    "flat/entry.list",
+    "flat/names.dat",
+    "flat/short_names.dat",
+    "flat/interpro2go",
+    "flat/protein2ipr.dat",
+    "xml/match_complete.xml.gz",
+    "xml/interpro.xml.gz",
+    "notes",
+])
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wh")
+    fx, out = str(root / "fixtures"), str(root / "warehouse")
+    write_warehouse_fixtures(spark, fx)
+    status = build_warehouse(spark, fx, out)
+    return spark, fx, out, status
+
+
+def _leaf_dirs(out: str) -> list[str]:
+    """Output directories that directly hold data files, relative to
+    the warehouse root; hive-style partition subdirs (__hp=..,
+    entry_type=../chunk=..) and the resume markers are folded away."""
+    leaves = set()
+    for dirpath, _dirnames, filenames in os.walk(out):
+        if not any(not f.startswith(".") for f in filenames):
+            continue
+        rel = os.path.relpath(dirpath, out)
+        if rel == "_done":
+            continue
+        while re.search(r"/[^/=]+=[^/]+$", rel):
+            rel = re.sub(r"/[^/=]+=[^/]+$", "", rel)
+        leaves.add(rel)
+    return sorted(leaves)
+
+
+def test_all_steps_built_and_tree_snapshot(warehouse):
+    _, _, out, status = warehouse
+    assert status == {s: "built" for s in ALL_STEPS}
+    assert _leaf_dirs(out) == EXPECTED_TREE
+    # resume markers, one per step
+    assert sorted(os.listdir(os.path.join(out, "_done"))) == sorted(ALL_STEPS)
+
+
+def test_resume_skips_everything(warehouse):
+    spark, fx, out, _ = warehouse
+    again = build_warehouse(spark, fx, out)
+    assert again == {s: "skipped" for s in ALL_STEPS}
+    # and a targeted overwrite rebuilds just that step
+    third = build_warehouse(spark, fx, out, steps=["release_notes"],
+                            overwrite=True)
+    assert third == {"release_notes": "built"}
+
+
+def test_mart_contents(warehouse):
+    spark, _, out, _ = warehouse
+    merged = spark.read.parquet(os.path.join(out, "merged_matches"))
+    assert merged.columns == [
+        "protein_acc", "accession", "source_database", "type",
+        "entry_acc", "locations",
+    ]
+    assert merged.count() > 100
+    entry = spark.read.parquet(os.path.join(out, "mart_entry"))
+    assert entry.count() > 0
+    tax = spark.read.parquet(os.path.join(out, "mart_taxonomy", "per_taxon"))
+    counts = {r.tax_id: json.loads(r.counts) for r in tax.collect()}
+    # the root aggregates every protein-bearing subtree
+    assert counts["1"]["proteins"] == max(c["proteins"] for c in counts.values())
+
+
+def test_flat_and_xml_sinks(warehouse):
+    _, _, out, _ = warehouse
+    [p2i] = glob.glob(os.path.join(out, "flat", "protein2ipr.dat", "part-*.txt.gz"))
+    lines = gzip.open(p2i, "rt", encoding="utf-8").read().splitlines()
+    assert len(lines) > 50
+    assert all(len(line.split("\t")) == 6 for line in lines)
+    # globally sorted by the full tuple
+    assert lines == sorted(lines)
+
+    [mc] = glob.glob(os.path.join(out, "xml", "match_complete.xml.gz", "part-*.txt.gz"))
+    text = gzip.open(mc, "rt", encoding="utf-8").read()
+    assert text.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert "<release>" in text and "<dbinfo" in text
+    assert text.rstrip("\n").endswith("</interpromatch>")
+
+    [ix] = glob.glob(os.path.join(out, "xml", "interpro.xml.gz", "part-*.txt.gz"))
+    itext = gzip.open(ix, "rt", encoding="utf-8").read()
+    assert "<interprodb>" in itext and itext.rstrip("\n").endswith("</interprodb>")
+
+    notes = open(os.path.join(out, "notes", "release_notes.txt")).read()
+    assert "105.0" in notes and "UniProtKB" in notes
+
+
+def test_search_and_ebisearch_documents(warehouse):
+    _, _, out, _ = warehouse
+    docs = []
+    for f in glob.glob(os.path.join(out, "search_documents", "part-*.json")):
+        with open(f, encoding="utf-8") as fh:
+            docs += [json.loads(line) for line in fh if line.strip()]
+    types = {d["doc_type"] for d in docs}
+    assert {"relationship", "taxon"} <= types
+    eb_files = sorted(glob.glob(
+        os.path.join(out, "ebisearch", "entry_type=*", "chunk=*", "part-*.txt")
+    ))
+    assert eb_files
+    payload = json.loads(open(eb_files[0], encoding="utf-8").read())
+    assert payload["name"] == "InterPro"
+    assert payload["release"] == "105.0"
+    assert payload["entry_count"] == len(payload["entries"])
