@@ -99,6 +99,8 @@ def write_tsv(
     interpro/ftp/flatfiles.py:29-123). ``header_lines`` are comment
     lines prepended ahead of the column header; single ordered file
     (coalesce(1)) because the reference's flat files are one stream.
+    At cluster scale use :func:`write_tsv_ranged` — the same stream
+    split across range-ordered part files, no single-task stage.
     ``include_header=False`` for headerless files like protein2ipr.dat
     (flatfiles.py:90-118 writes data lines only)."""
     cols = df.columns
@@ -116,6 +118,50 @@ def write_tsv(
 
     framed = rows.rdd.coalesce(1).mapPartitions(frame).toDF(["value"])
     writer = framed.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def write_tsv_ranged(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int,
+    header_lines: list[str] | None = None,
+    compression: str | None = None,
+    include_header: bool = True,
+) -> None:
+    """The 100 TB shape of :func:`write_tsv`: the single logical
+    stream split across ``num_files`` range-ordered part files —
+    partition i holds keys strictly before partition i+1's
+    (``repartitionByRange`` + in-partition sort), the header rides in
+    partition 0, and part filenames (part-00000, part-00001, ...)
+    preserve partition order, so ``cat part-* `` (name order) IS the
+    byte stream :func:`write_tsv` would have produced. No single-task
+    stage anywhere; each range sorts independently.
+
+    This is the same two-phase range plan the sampling operators use
+    (operators/sampling.py) and the Spark analogue of the reference's
+    range fan-out (interpro/xrefs/utils.py:6-19).
+    """
+    cols = df.columns
+    ranged = df.repartitionByRange(
+        num_files, *[F.col(c) for c in sort_cols]
+    ).sortWithinPartitions(*sort_cols)
+    line = F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
+    rows = ranged.select(line.alias("value"))
+    head = (header_lines or []) + (["\t".join(cols)] if include_header else [])
+
+    def frame(idx, lines):
+        if idx == 0:
+            for h in head:
+                yield (h,)
+        for r in lines:
+            yield (r.value,)
+
+    framed = rows.rdd.mapPartitionsWithIndex(frame, preservesPartitioning=True)
+    writer = framed.toDF(["value"]).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
@@ -146,7 +192,9 @@ def write_xml(
     an optional ``prolog`` block right after the root opens — e.g. the
     ``<release>`` dbinfo section) is prepended/appended inside the
     single partition's iterator so the final concatenated stream is
-    well-formed. Single file to preserve framing order."""
+    well-formed. Single file to preserve framing order; at cluster
+    scale use :func:`write_xml_ranged` (range-split part files whose
+    name-order concatenation is the same document)."""
     body = df.rdd.mapPartitions(lambda rows: (row_to_xml(r) for r in rows))
     open_tag, close_tag = f"<{root_tag}>", f"</{root_tag}>"
 
@@ -162,6 +210,48 @@ def write_xml(
         yield (close_tag,)
 
     framed = body.coalesce(1).mapPartitions(frame)
+    writer = framed.toDF(["value"]).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def write_xml_ranged(
+    df: DataFrame,
+    path: str,
+    row_to_xml,  # Callable[[Row], str]
+    root_tag: str,
+    sort_cols: list[str],
+    num_files: int,
+    header: str = '<?xml version="1.0" encoding="UTF-8"?>',
+    prolog: str | None = None,
+    compression: str | None = None,
+) -> None:
+    """The 100 TB shape of :func:`write_xml`: elements split across
+    ``num_files`` range-ordered part files — header/root-open (and the
+    optional prolog) ride in partition 0, the root close in the last
+    partition, so concatenating part files in name order is the exact
+    well-formed document :func:`write_xml` produces in one. Empty
+    ranges still emit their framing (mapPartitionsWithIndex runs on
+    empty partitions), so the close tag cannot be lost."""
+    ranged = df.repartitionByRange(
+        num_files, *[F.col(c) for c in sort_cols]
+    ).sortWithinPartitions(*sort_cols)
+    open_tag, close_tag = f"<{root_tag}>", f"</{root_tag}>"
+    last = num_files - 1
+
+    def frame(idx, rows):
+        if idx == 0:
+            yield (header,)
+            yield (open_tag,)
+            if prolog is not None:
+                yield (prolog,)
+        for r in rows:
+            yield (row_to_xml(r),)
+        if idx == last:
+            yield (close_tag,)
+
+    framed = ranged.rdd.mapPartitionsWithIndex(frame, preservesPartitioning=True)
     writer = framed.toDF(["value"]).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
