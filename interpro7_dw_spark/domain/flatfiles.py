@@ -37,14 +37,22 @@ def names_rows(entries: DataFrame, short: bool = False) -> DataFrame:
     ).orderBy("entry_acc")
 
 
-def interpro2go_rows(entry_go_terms: DataFrame) -> DataFrame:
+def interpro2go_rows(
+    entry_go_terms: DataFrame, with_keys: bool = False
+) -> DataFrame:
     """interpro2go body lines (flatfiles.py:57-69):
     ``InterPro:ACC NAME > GO:GO_NAME ; GO_ID`` sorted by accession.
-    Input: (entry_acc, name, go_name, go_id)."""
+    Input: (entry_acc, name, go_name, go_id). ``with_keys`` keeps the
+    (entry_acc, go_id) sort key alongside ``line`` so the ranged sink
+    can range-partition on the raw key while rendering only the line
+    (sort-by-line is NOT the reference order: within an entry it would
+    sort by go_name, not go_id)."""
     line = F.concat(
         F.lit("InterPro:"), F.col("entry_acc"), F.lit(" "), F.col("name"),
         F.lit(" > GO:"), F.col("go_name"), F.lit(" ; "), F.col("go_id"),
     )
+    if with_keys:
+        return entry_go_terms.select("entry_acc", "go_id", line.alias("line"))
     return (
         entry_go_terms.orderBy("entry_acc", "go_id")
         .select(line.alias("line"))

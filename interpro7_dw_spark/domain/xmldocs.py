@@ -764,11 +764,15 @@ def export_match_complete(
     databases: list[dict] | None = None,
     compression: str | None = "gzip",
     features: DataFrame | None = None,
+    num_files: int | None = None,
 ) -> None:
     """match_complete.xml.gz end-to-end (xmlfiles.py:556-659): XML
     declaration + DOCTYPE header, ``<release>`` prolog, sorted
-    per-protein elements, ``</interpromatch>`` close."""
-    from ..sources.sinks import write_xml
+    per-protein elements, ``</interpromatch>`` close. ``num_files``
+    switches to the range-split sink (cluster scale: part files whose
+    name-order concatenation is the same document, no single-task
+    stage)."""
+    from ..sources.sinks import write_xml, write_xml_ranged
 
     df = match_complete_proteins(
         merged, signatures, entries, proteins, features=features
@@ -776,13 +780,27 @@ def export_match_complete(
     prolog = release_dbinfo_xml(
         databases or [], ("dbname", "version", "entry_count", "file_date")
     ) if databases else None
+    header = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<!DOCTYPE interpromatch SYSTEM "match_complete.dtd">')
+    if num_files is not None:
+        write_xml_ranged(
+            df.select("protein_acc", "xml"),
+            path,
+            row_to_xml=lambda r: r.xml,
+            root_tag="interpromatch",
+            sort_cols=["protein_acc"],
+            num_files=num_files,
+            header=header,
+            prolog=prolog,
+            compression=compression,
+        )
+        return
     write_xml(
         df.select("xml"),
         path,
         row_to_xml=lambda r: r.xml,
         root_tag="interpromatch",
-        header='<?xml version="1.0" encoding="UTF-8"?>\n'
-        '<!DOCTYPE interpromatch SYSTEM "match_complete.dtd">',
+        header=header,
         prolog=prolog,
         compression=compression,
     )

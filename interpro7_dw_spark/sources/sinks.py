@@ -131,6 +131,7 @@ def write_tsv_ranged(
     header_lines: list[str] | None = None,
     compression: str | None = None,
     include_header: bool = True,
+    out_cols: list[str] | None = None,
 ) -> None:
     """The 100 TB shape of :func:`write_tsv`: the single logical
     stream split across ``num_files`` range-ordered part files —
@@ -144,8 +145,13 @@ def write_tsv_ranged(
     This is the same two-phase range plan the sampling operators use
     (operators/sampling.py) and the Spark analogue of the reference's
     range fan-out (interpro/xrefs/utils.py:6-19).
+
+    ``out_cols`` restricts the rendered line to a subset of columns
+    while still range-sorting on ``sort_cols`` — for files whose line
+    is a pre-rendered string but whose order is keyed on raw columns
+    (e.g. interpro2go, ordered by (entry_acc, go_id), not by line).
     """
-    cols = df.columns
+    cols = out_cols or df.columns
     ranged = df.repartitionByRange(
         num_files, *[F.col(c) for c in sort_cols]
     ).sortWithinPartitions(*sort_cols)

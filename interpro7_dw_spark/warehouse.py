@@ -56,7 +56,9 @@ from .sources.sinks import (
     write_lookup_mart,
     write_mart,
     write_tsv,
+    write_tsv_ranged,
     write_xml,
+    write_xml_ranged,
 )
 
 RELEASE_VERSION = "105.0"
@@ -229,9 +231,21 @@ class _Inputs:
         return self._memo("entry_structures", make)
 
 
-def _steps(inp: _Inputs, out_dir: str):
-    """Ordered (name, runner) list — dependency order."""
+def _steps(inp: _Inputs, out_dir: str, ranged_files: int | None = None):
+    """Ordered (name, runner) list — dependency order.
+
+    ``ranged_files`` switches the flat/XML single-stream sinks to
+    their range-split variants (that many part files per export whose
+    name-order concatenation is the identical byte stream) — the
+    cluster-scale shape with no single-task write stage."""
     p = lambda *parts: os.path.join(out_dir, *parts)  # noqa: E731
+
+    def tsv(rows, path, sort_cols, out_cols=None, **kw):
+        if ranged_files is None:
+            write_tsv(rows, path, **kw)
+        else:
+            write_tsv_ranged(rows, path, sort_cols=sort_cols,
+                             num_files=ranged_files, out_cols=out_cols, **kw)
 
     def merged_matches() -> None:
         write_mart(inp.merged(), p("merged_matches"),
@@ -424,19 +438,24 @@ def _steps(inp: _Inputs, out_dir: str):
 
     def flat_files() -> None:
         e = inp.ipr_entries()
-        write_tsv(flatfiles.entry_list_rows(e), p("flat", "entry.list"))
-        write_tsv(flatfiles.names_rows(e), p("flat", "names.dat"),
-                  include_header=False)
-        write_tsv(flatfiles.names_rows(e, short=True),
-                  p("flat", "short_names.dat"), include_header=False)
+        tsv(flatfiles.entry_list_rows(e), p("flat", "entry.list"),
+            sort_cols=["ENTRY_TYPE", "ENTRY_AC"])
+        tsv(flatfiles.names_rows(e), p("flat", "names.dat"),
+            sort_cols=["entry_acc"], include_header=False)
+        tsv(flatfiles.names_rows(e, short=True),
+            p("flat", "short_names.dat"), sort_cols=["entry_acc"],
+            include_header=False)
         go = inp.table("entry_go").join(
             e.select("entry_acc", "name"), "entry_acc"
         ).select("entry_acc", "name", "go_name", "go_id")
-        write_tsv(flatfiles.interpro2go_rows(go), p("flat", "interpro2go"),
-                  include_header=False)
-        write_tsv(
+        tsv(flatfiles.interpro2go_rows(go, with_keys=ranged_files is not None),
+            p("flat", "interpro2go"), sort_cols=["entry_acc", "go_id"],
+            out_cols=["line"], include_header=False)
+        tsv(
             flatfiles.protein2ipr_rows(inp.classified(), e),
             p("flat", "protein2ipr.dat"),
+            sort_cols=["protein_acc", "entry_acc", "entry_name",
+                       "signature_acc", "pos_start", "pos_end"],
             include_header=False, compression="gzip",
         )
 
@@ -462,6 +481,7 @@ def _steps(inp: _Inputs, out_dir: str):
             inp.merged(), inp.table("signature"), inp.ipr_entries(), prot,
             p("xml", "match_complete.xml.gz"),
             databases=dbs, features=inp.table("features"),
+            num_files=ranged_files,
         )
 
     def interpro_xml() -> None:
@@ -483,11 +503,19 @@ def _steps(inp: _Inputs, out_dir: str):
               "file_date": RELEASE_DATE.isoformat()}],
             ("version", "dbname", "entry_count", "file_date"),
         )
-        write_xml(df.select("xml"), p("xml", "interpro.xml.gz"),
-                  lambda r: r.xml, "interprodb",
-                  header='<?xml version="1.0" encoding="UTF-8"?>\n'
-                  '<!DOCTYPE interprodb SYSTEM "interpro.dtd">',
-                  prolog=prolog, compression="gzip")
+        hdr = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<!DOCTYPE interprodb SYSTEM "interpro.dtd">')
+        if ranged_files is not None:
+            write_xml_ranged(df.select("entry_acc", "xml"),
+                             p("xml", "interpro.xml.gz"),
+                             lambda r: r.xml, "interprodb",
+                             sort_cols=["entry_acc"],
+                             num_files=ranged_files,
+                             header=hdr, prolog=prolog, compression="gzip")
+        else:
+            write_xml(df.select("xml"), p("xml", "interpro.xml.gz"),
+                      lambda r: r.xml, "interprodb",
+                      header=hdr, prolog=prolog, compression="gzip")
 
     def release_notes() -> None:
         dim = inp.table("entry_dim").withColumn(
@@ -551,17 +579,20 @@ def build_warehouse(
     out_dir: str,
     steps: list[str] | None = None,
     overwrite: bool = False,
+    ranged_files: int | None = None,
 ) -> dict[str, str]:
     """Run the full warehouse build; returns {step: 'built'|'skipped'}.
 
     ``steps`` restricts the run to a subset (still in DAG order);
-    ``overwrite`` ignores the resume markers and rebuilds.
+    ``overwrite`` ignores the resume markers and rebuilds;
+    ``ranged_files`` switches flat/XML exports to the range-split
+    multi-file sinks (cluster scale — no single-task write stage).
     """
     inp = _Inputs(spark, fixtures_dir)
     marker_dir = os.path.join(out_dir, "_done")
     os.makedirs(marker_dir, exist_ok=True)
     status: dict[str, str] = {}
-    for name, run in _steps(inp, out_dir):
+    for name, run in _steps(inp, out_dir, ranged_files=ranged_files):
         if steps is not None and name not in steps:
             continue
         marker = os.path.join(marker_dir, name)

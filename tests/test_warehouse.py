@@ -151,3 +151,39 @@ def test_search_and_ebisearch_documents(warehouse):
     assert payload["name"] == "InterPro"
     assert payload["release"] == "105.0"
     assert payload["entry_count"] == len(payload["entries"])
+
+
+def test_ranged_build_matches_single_stream(warehouse):
+    """ranged_files=3: every flat/XML export is split into
+    range-ordered part files whose name-order concatenation is
+    byte-identical to the single-file build — the no-single-task
+    cluster shape, end-to-end through build_warehouse."""
+    spark, fx, out, _ = warehouse
+    out_r = out + "_ranged"
+    status = build_warehouse(
+        spark, fx, out_r, steps=["flat_files", "match_complete_xml",
+                                 "interpro_xml"],
+        ranged_files=3,
+    )
+    assert status == {s: "built" for s in
+                      ["flat_files", "match_complete_xml", "interpro_xml"]}
+
+    def cat(path, gz):
+        parts = sorted(glob.glob(os.path.join(path, "part-*")))
+        opener = (lambda f: gzip.open(f, "rt", encoding="utf-8")) if gz \
+            else (lambda f: open(f, encoding="utf-8"))
+        return parts, "".join(opener(f).read() for f in parts)
+
+    for rel, gz in [
+        (os.path.join("flat", "entry.list"), False),
+        (os.path.join("flat", "names.dat"), False),
+        (os.path.join("flat", "short_names.dat"), False),
+        (os.path.join("flat", "interpro2go"), False),
+        (os.path.join("flat", "protein2ipr.dat"), True),
+        (os.path.join("xml", "match_complete.xml.gz"), True),
+        (os.path.join("xml", "interpro.xml.gz"), True),
+    ]:
+        parts, ranged_text = cat(os.path.join(out_r, rel), gz)
+        assert len(parts) == 3, rel  # genuinely range-split
+        _, single_text = cat(os.path.join(out, rel), gz)
+        assert ranged_text == single_text, rel
