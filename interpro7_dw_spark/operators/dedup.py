@@ -304,3 +304,54 @@ def repeated_passage_stats(
             F.coalesce("n_shared", F.lit(0)) / F.col("n_passages"), 4
         ).alias("shared_frac"),
     )
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination tagging: for each corpus document, how
+    many of its distinct ``window``-token passages appear anywhere in
+    the benchmark set — the n-gram membership decontamination test LLM
+    pipelines run against their eval sets (13-gram in the well-known
+    production recipes; any width works here).
+
+    Scale shape: the benchmark side is an eval set — thousands of
+    examples against billions of corpus documents — so its distinct
+    passage set broadcasts and the corpus stream is tested MAP-SIDE
+    (broadcast left-semi join); the only corpus shuffle is the final
+    per-document aggregate. The corpus never joins itself, so cost is
+    linear in corpus passages at any scale. If a benchmark is too big
+    to broadcast, the same plan degrades gracefully to a shuffled
+    semi-join on the passage key — still linear, never pairwise.
+
+    Returns (doc_id, n_passages, n_contaminated, contaminated_frac).
+    """
+    corpus_sh = shingles(corpus, n=window, id_col=id_col, text_col=text_col)
+    bench_sh = (
+        shingles(benchmark, n=window, id_col=bench_id_col,
+                 text_col=bench_text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages")
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_passages",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_passages"), 4
+        ).alias("contaminated_frac"),
+    )

@@ -41,12 +41,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _hash_order(id_col: str) -> Column:
-    """Deterministic pseudo-random sort key: md5 of the id. NOT a
-    total order on its own — md5 collisions are possible in
-    principle — so every caller appends the id column itself as the
-    tiebreak when ordering by this."""
-    return F.md5(F.col(id_col).cast("string").cast("binary"))
+def _hash_order(id_col: str, seed: str | None = None) -> Column:
+    """Deterministic pseudo-random sort key: md5 of the id (prefixed
+    with ``seed + ':'`` when a seed is given, so different epochs
+    draw different orders from the same ids). NOT a total order on
+    its own — md5 collisions are possible in principle — so every
+    caller appends the id column itself as the tiebreak when ordering
+    by this."""
+    key = F.col(id_col).cast("string")
+    if seed is not None:
+        key = F.concat_ws(":", F.lit(seed), key)
+    return F.md5(key.cast("binary"))
 
 
 def _num_ranges(df: DataFrame, num_ranges: int | None) -> int:
@@ -61,6 +66,7 @@ def _range_annotated(
     id_col: str,
     num_ranges: int | None,
     token_col: str | None = None,
+    seed: str | None = None,
 ) -> DataFrame:
     """Two-phase global rank (and, with ``token_col``, global running
     token sum) per ``keys`` group in md5(id) order, with every group
@@ -78,7 +84,7 @@ def _range_annotated(
     therefore the exact global rank.
     """
     n = _num_ranges(df, num_ranges)
-    keyed = df.withColumn("__h", _hash_order(id_col))
+    keyed = df.withColumn("__h", _hash_order(id_col, seed=seed))
     order = [F.col(c) for c in (*keys, "__h", id_col)]
     ranged = keyed.repartitionByRange(n, *order).withColumn(
         "__pid", F.spark_partition_id()
@@ -200,4 +206,109 @@ def pack_token_shards(
             "shard_pos", (F.row_number().over(w_shard) - 1).cast("long")
         )
         .drop("__h", "__pid", "__rank", "__run")
+    )
+
+
+def corpus_mix(
+    docs: DataFrame,
+    parts: dict[str, int],
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Weighted corpus mixing: draw a ``total``-document epoch whose
+    per-source composition follows integer weights ``parts`` (a source
+    s gets ``total * parts[s] / sum(parts)`` documents) — the domain-
+    mixture step of LLM pretraining-data assembly (fixed-weight
+    variant of the mixtures tuned in the Pile / DoReMi line of work).
+
+    Quotas use the largest-remainder method in PURE INTEGER arithmetic
+    (base = total*parts // partsum; the ``total - sum(base)`` leftover
+    units go to the sources with the largest ``total*parts % partsum``
+    remainders, ties broken by source name) so every engine computes
+    the identical mix — no float weight drift. A quota is clipped to
+    the source's available count (the shortfall is NOT redistributed;
+    re-run with renormalized parts if under-supplied sources must be
+    made up elsewhere). Sources absent from ``parts`` are excluded
+    (weight 0).
+
+    Within each source, selection is the deterministic md5(id) rank of
+    :func:`stratified_sample` — computed by the same two-phase
+    range-split plan, so no stratum is ever a single task. The quota
+    table is #sources rows: computed with tiny-DF windows and
+    broadcast back onto the ranked corpus.
+
+    Returns (id, stratum, sample_rank, quota) for the selected epoch.
+    """
+    spark = docs.sparkSession
+    partsum = sum(parts.values())
+    parts_df = spark.createDataFrame(
+        sorted(parts.items()), [stratum_col, "parts"]
+    )
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    q0 = counts.join(parts_df, stratum_col).select(
+        stratum_col,
+        "__n",
+        (F.lit(total) * F.col("parts")).alias("__scaled"),
+    ).select(
+        stratum_col,
+        "__n",
+        F.floor(F.col("__scaled") / partsum).cast("long").alias("__base"),
+        (F.col("__scaled") % partsum).cast("long").alias("__rem"),
+    )
+    w_all = Window.partitionBy()
+    w_rem = Window.partitionBy().orderBy(F.desc("__rem"), F.col(stratum_col))
+    quota = q0.withColumn(
+        "__left", F.lit(total) - F.sum("__base").over(w_all)
+    ).withColumn("__rr", F.row_number().over(w_rem)).select(
+        stratum_col,
+        F.least(
+            F.col("__base")
+            + F.when(F.col("__rr") <= F.col("__left"), 1).otherwise(0),
+            F.col("__n"),
+        ).cast("long").alias("quota"),
+    )
+    ranked = _range_annotated(
+        docs.join(F.broadcast(parts_df.select(stratum_col)), stratum_col),
+        [stratum_col], id_col, num_ranges,
+    )
+    return (
+        ranked.withColumn("sample_rank", F.col("__rank").cast("integer"))
+        .join(F.broadcast(quota), stratum_col)
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "sample_rank", "quota")
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    num_shards: int,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: documents are laid
+    out in seeded-hash order (md5(seed ':' id), id tiebreak) and dealt
+    round-robin into ``num_shards`` shards — shard sizes balanced
+    within one document, every shard a uniform subsample, and a new
+    ``seed`` (epoch number) draws a fresh order with zero RNG state to
+    carry between runs or engines.
+
+    ``shard_id`` = (global position) mod num_shards, ``shard_pos`` =
+    (global position) div num_shards: reading shards 0..n-1 round-robin
+    at each position replays the exact shuffled stream, while reading
+    one shard sequentially is the standard per-worker training shard.
+
+    Scale: the global position comes from the two-phase range-split
+    rank over the WHOLE corpus (module docstring; keys=[] — the ranges
+    alone bound task size), one full shuffle total; the modulo deal is
+    map-side arithmetic on the rank.
+    """
+    ranked = _range_annotated(docs, [], id_col, num_ranges, seed=seed)
+    pos = F.col("__rank") - 1
+    return (
+        ranked.withColumn("shard_id", (pos % num_shards).cast("long"))
+        .withColumn("shard_pos", F.floor(pos / num_shards).cast("long"))
+        .drop("__h", "__pid", "__rank")
     )

@@ -90,3 +90,51 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         id_col,
         F.md5(normalized.cast("binary")).alias("fp"),
     )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB,
+# Go scrubbers) accept — no backrefs, no lookaround — so one pattern
+# table serves the whole stack. Order matters: email before ipv4 so a
+# dotted-quad inside an email host is consumed as part of the email.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}-\d{3}-\d{4}",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mask PII spans in document text and count them per category —
+    the standard pre-training scrub pass (emails, bare IPv4s,
+    international-format phone numbers by default; pass ``patterns``
+    to extend).
+
+    Each category's occurrences are counted on the ORIGINAL text
+    (``n_<kind>`` columns), then masked as ``[<KIND>]`` by chained
+    ``regexp_replace`` in dict order — so overlapping categories
+    resolve deterministically (the email pattern consumes its host
+    before the ipv4 pattern can see it).
+
+    Scale: pure map-side column expressions (``regexp_count`` +
+    ``regexp_replace`` inside whole-stage codegen) — zero shuffles,
+    zero Python; throughput is regex-engine-bound and embarrassingly
+    parallel at any corpus size.
+
+    Returns (doc_id, scrubbed, n_<kind>...).
+    """
+    pats = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in pats.items():
+        counts.append(
+            F.regexp_count(text_col, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
+    )

@@ -857,3 +857,199 @@ register(QuerySpec(
         FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_corpus_mix",
+    tags=("TX5", "A1", "W1"),
+    description="Weighted corpus mixing (operators/sampling.py::"
+    "corpus_mix): an 81-document epoch drawn 3:2:1:7 from four "
+    "sources by largest-remainder integer quotas (clipped to "
+    "availability, exercised by src9's over-ask), selection by the "
+    "deterministic md5 rank. Quotas are computed on a #sources-row "
+    "side table and broadcast; ranking is the two-phase range-split "
+    "plan — no stratum is ever one task.",
+    build=lambda spark, sf: SM.corpus_mix(
+        t(spark, sf, "documents").select("doc_id", "source"),
+        parts={"src1": 3, "src2": 2, "src5": 1, "src9": 7},
+        total=81,
+    ),
+    oracle="""
+        WITH parts(source, parts) AS (
+          VALUES ('src1', 3), ('src2', 2), ('src5', 1), ('src9', 7)
+        ),
+        counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        q0 AS (
+          SELECT p.source, c.n,
+                 (81 * p.parts) // 13 AS base,
+                 (81 * p.parts) % 13 AS rem
+          FROM parts p JOIN counts c USING (source)
+        ),
+        q1 AS (
+          SELECT *, (SELECT 81 - sum(base) FROM q0) AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rr
+          FROM q0
+        ),
+        quota AS (
+          SELECT source,
+                 least(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END,
+                       n) AS quota
+          FROM q1
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rnk
+          FROM documents
+          WHERE source IN (SELECT source FROM parts)
+        )
+        SELECT r.doc_id, r.source, CAST(r.rnk AS INT) AS sample_rank,
+               CAST(q.quota AS BIGINT) AS quota
+        FROM ranked r JOIN quota q USING (source)
+        WHERE r.rnk <= q.quota
+    """,
+))
+
+register(QuerySpec(
+    name="z_global_shuffle",
+    tags=("TX5", "O2", "F3"),
+    description="Deterministic global training-order shuffle "
+    "(operators/sampling.py::global_shuffle): the whole corpus laid "
+    "out in seeded-hash order (seed = epoch id) and dealt round-robin "
+    "into 7 shards — shard sizes balanced within one document, every "
+    "shard a uniform subsample, re-seedable per epoch with no RNG "
+    "state. The global position is the keys=[] two-phase range-split "
+    "rank: one shuffle, no single-task sort.",
+    build=lambda spark, sf: SM.global_shuffle(
+        t(spark, sf, "documents").select("doc_id"),
+        num_shards=7,
+        seed="epoch1",
+    ),
+    oracle="""
+        WITH ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS pos
+          FROM documents
+        )
+        SELECT doc_id, CAST(pos % 7 AS BIGINT) AS shard_id,
+               CAST(pos // 7 AS BIGINT) AS shard_pos
+        FROM ranked
+    """,
+))
+
+register(QuerySpec(
+    name="z_contamination",
+    tags=("DD2", "TX4", "J4"),
+    description="Benchmark-contamination tagging (operators/dedup.py::"
+    "contamination_stats): every 97th document plays the eval set; "
+    "each remaining document is scored by how many of its distinct "
+    "5-token passages appear anywhere in that set — the n-gram "
+    "membership decontamination test (13-gram in production recipes). "
+    "The benchmark passage set broadcasts; the corpus is tested "
+    "map-side and never joins itself.",
+    build=lambda spark, sf: D.contamination_stats(
+        t(spark, sf, "documents").filter(F.col("doc_id") % 97 != 0),
+        t(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0),
+        window=5,
+    ),
+    oracle="""
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        ctok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+        csh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ts[i + 1 : i + 5], ' ') AS shingle
+          FROM ctok, LATERAL unnest(
+            generate_series(0, greatest(len(ts) - 5, 0))) AS g(i)
+        ),
+        btok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bench),
+        bsh AS (
+          SELECT DISTINCT array_to_string(ts[i + 1 : i + 5], ' ') AS shingle
+          FROM btok, LATERAL unnest(
+            generate_series(0, greatest(len(ts) - 5, 0))) AS g(i)
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_passages FROM csh GROUP BY 1),
+        hit AS (
+          SELECT doc_id, count(*) AS n_contaminated
+          FROM csh WHERE shingle IN (SELECT shingle FROM bsh)
+          GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_passages,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               round(coalesce(h.n_contaminated, 0) / t.n_passages, 4)
+                 AS contaminated_frac
+        FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+))
+
+register(QuerySpec(
+    name="z_scrub_pii",
+    tags=("TX2", "F7", "P3"),
+    description="PII scrubbing (operators/text.py::scrub_pii): "
+    "deterministically planted emails / bare IPv4s / intl phone "
+    "numbers are counted on the original text and masked by chained "
+    "regexp_replace in a fixed category order (email first, so an "
+    "address host never double-matches as an IP). Patterns are "
+    "RE2-and-Java-compatible; the whole pass is map-side codegen — "
+    "zero shuffles, zero Python.",
+    build=lambda spark, sf: X.scrub_pii(
+        t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit(" contact agent"),
+                             (F.col("doc_id") % 5).cast("string"),
+                             F.lit("@mail.example.com")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.concat(F.lit(" from 10.0."),
+                             (F.col("doc_id") % 256).cast("string"),
+                             F.lit(".1")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.lit(" call +1-555-01"),
+                             (F.col("doc_id") % 90 + 10).cast("string")),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    ),
+    oracle=r"""
+        WITH enriched AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact agent' || CAST(doc_id % 5 AS VARCHAR)
+                         || '@mail.example.com' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.1' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                    THEN ' call +1-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+                 '\+\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                 AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone
+        FROM enriched
+    """,
+))

@@ -648,3 +648,110 @@ def test_repeated_passage_stats(spark):
     assert got[3].n_shared == 0 and got[3].shared_frac == 0.0
     assert (got[4].n_passages, got[4].n_shared, got[4].shared_frac) == (1, 1, 1.0)
     assert got[5].n_shared == 1
+
+
+def test_corpus_mix_quotas_and_clipping(spark):
+    from interpro7_dw_spark.operators.sampling import corpus_mix
+
+    # a: 30 docs, b: 10, c: 10 (plus an unweighted source d)
+    rows = [(i, "a") for i in range(30)] + \
+           [(100 + i, "b") for i in range(10)] + \
+           [(200 + i, "c") for i in range(10)] + \
+           [(300 + i, "d") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # total=25, parts 3:1:3 (partsum 7): base a=10 rem 5, b=3 rem 4,
+    # c=10 rem 5 -> clipped to 10; leftover = 25-23 = 2 -> +1 to the two
+    # biggest remainders in (rem desc, source) order: a and c (c stays
+    # clipped at 10), so quotas a=11, b=3, c=10
+    out = corpus_mix(docs, parts={"a": 3, "b": 1, "c": 3}, total=25)
+    got = {(r.source, r.quota) for r in out.select("source", "quota").distinct().collect()}
+    assert got == {("a", 11), ("b", 3), ("c", 10)}
+    by_src = {s: 0 for s, _ in got}
+    for r in out.collect():
+        by_src[r.source] += 1
+        assert r.sample_rank <= r.quota
+    assert by_src == {"a": 11, "b": 3, "c": 10}
+    # unweighted source excluded entirely
+    assert out.where("source = 'd'").count() == 0
+    # deterministic rerun
+    again = {r.doc_id for r in corpus_mix(
+        docs, parts={"a": 3, "b": 1, "c": 3}, total=25).collect()}
+    assert {r.doc_id for r in out.collect()} == again
+
+
+def test_global_shuffle_balance_and_seeding(spark):
+    from interpro7_dw_spark.operators.sampling import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = global_shuffle(docs, num_shards=7, seed="e1").collect()
+    assert len(out) == 100
+    sizes = {}
+    for r in out:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + 1
+    # round-robin deal: sizes balanced within one document
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # (shard_id, shard_pos) is a bijection onto 0..99
+    assert len({(r.shard_id, r.shard_pos) for r in out}) == 100
+    # a different seed draws a different order (same membership)
+    other = global_shuffle(docs, num_shards=7, seed="e2").collect()
+    assert {r.doc_id for r in other} == {r.doc_id for r in out}
+    pos1 = {r.doc_id: (r.shard_id, r.shard_pos) for r in out}
+    pos2 = {r.doc_id: (r.shard_id, r.shard_pos) for r in other}
+    assert pos1 != pos2
+    # and the same seed replays bit-for-bit
+    replay = global_shuffle(docs, num_shards=7, seed="e1").collect()
+    assert {(r.doc_id, r.shard_id, r.shard_pos) for r in replay} == \
+        {(r.doc_id, r.shard_id, r.shard_pos) for r in out}
+
+
+def test_contamination_stats_counts_and_broadcast(spark):
+    from interpro7_dw_spark.operators.dedup import contamination_stats
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # "alpha beta" contaminated
+            (2, "gamma delta epsilon zeta"),     # no benchmark bigram
+            (3, "alpha beta alpha beta"),        # distinct passages, 2 hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "alpha beta"), (901, "beta alpha")], "doc_id long, text string"
+    )
+    out = contamination_stats(corpus, bench, window=2)
+    got = {r.doc_id: (r.n_passages, r.n_contaminated, r.contaminated_frac)
+           for r in out.collect()}
+    assert got[1] == (3, 1, 0.3333)
+    assert got[2] == (3, 0, 0.0)
+    # doc 3's distinct bigrams: {alpha beta, beta alpha} — both hit
+    assert got[3] == (2, 2, 1.0)
+    # the benchmark side is broadcast: corpus never shuffles for the probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from interpro7_dw_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org then call +44-020-7946"),
+            (2, "server at 192.168.0.1 and 10.0.0.7 online"),
+            (3, "nothing sensitive here"),
+            # the email host contains a dotted quad: email masks first,
+            # but per-category counts run on the ORIGINAL text, so the
+            # embedded quad still counts as an ipv4 sighting
+            (4, "x@10.0.0.1.example.com and separately 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].scrubbed == "mail [EMAIL] then call [PHONE]"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 1)
+    assert got[2].scrubbed == "server at [IPV4] and [IPV4] online"
+    assert got[2].n_ipv4 == 2
+    assert got[3].scrubbed == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+    assert got[4].scrubbed == "[EMAIL] and separately [IPV4]"
+    assert (got[4].n_email, got[4].n_ipv4) == (1, 2)
