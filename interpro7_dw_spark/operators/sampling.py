@@ -11,27 +11,31 @@ bit-for-bit (same property the MinHash/LSH operators rely on), unlike
 Scale design — NO single-task-per-stratum window anywhere. A naive
 ``Window.partitionBy(stratum).orderBy(md5(id))`` serializes each
 stratum into one task: at 100 TB with a "web" stratum holding 90% of
-the corpus that is a terabyte sort on one core. Both operators
-instead run the two-phase range-split plan (the same shape as the
+the corpus that is a terabyte sort on one core. All operators instead
+run a two-phase bucket-split plan (the same renumbering shape as the
 flat-file sinks' per-range framing, and the reference's
 range-partitioned fan-out in interpro/xrefs/utils.py:6-19):
 
-1. ``repartitionByRange(n, stratum, md5(id), id)`` — every stratum is
-   SPLIT across many ordered ranges (range partition i's keys all
-   precede partition i+1's, per stratum, because the stratum is the
-   range key prefix);
-2. a window keyed by ``(range_id, stratum)`` computes LOCAL ranks /
-   running token sums — each window group is bounded by the range
-   size, never by the stratum size;
-3. a tiny per-``(range_id, stratum)`` aggregate (#ranges × #strata
-   rows) is prefix-summed and broadcast back: global value =
-   range offset + local value.
+1. every row gets an ORDER-PRESERVING bucket id computed from the
+   first 4 hex digits of its md5 sort key — equal-width cuts of the
+   uniform hash space, so buckets are balanced by construction (no
+   sampling pass, unlike ``repartitionByRange``) and every stratum
+   spreads ~evenly over all buckets, hot strata included; bucket i's
+   keys all precede bucket i+1's in ``__h`` order, rows sharing the
+   4-digit prefix share a bucket;
+2. a window keyed by ``(bucket, stratum)`` computes LOCAL ranks /
+   running token sums — each window group is bounded by the bucket
+   size, never by the stratum size; the window's own exchange is the
+   ONLY full-data shuffle in the plan (the bucket id is a plain
+   deterministic column, so no physical-partition bookkeeping and no
+   preliminary range exchange);
+3. a tiny per-``(bucket, stratum)`` aggregate (#buckets × #strata
+   rows, map-side partial aggregation) is prefix-summed and broadcast
+   back: global value = bucket offset + local value.
 
-The range exchange is shared by the local-window branch and the
-counts branch (ReusedExchange in the physical plan), so the corpus is
-shuffled once. ``pack_token_shards``'s final ``shard_pos`` window
-partitions by ``(stratum, shard_id)`` — safe at any scale because a
-shard holds at most ``budget`` documents.
+``pack_token_shards``'s final ``shard_pos`` window partitions by
+``(stratum, shard_id)`` — safe at any scale because a shard holds at
+most ``budget`` documents.
 """
 
 from __future__ import annotations
@@ -70,24 +74,48 @@ def _range_annotated(
 ) -> DataFrame:
     """Two-phase global rank (and, with ``token_col``, global running
     token sum) per ``keys`` group in md5(id) order, with every group
-    split across up to ``num_ranges`` tasks.
+    split across up to ``num_ranges`` buckets.
 
-    Adds ``__h`` (the md5 sort key), ``__pid`` (ordered range id —
-    kept so tests can assert a stratum spans >1 range), ``__rank``
-    (1-based global rank within the group) and, when ``token_col`` is
-    given, ``__run`` (inclusive global running sum of ``token_col``).
+    Adds ``__h`` (the md5 sort key), ``__pid`` (ordered hash-prefix
+    bucket id — kept so tests can assert a stratum spans >1 bucket),
+    ``__rank`` (1-based global rank within the group) and, when
+    ``token_col`` is given, ``__run`` (inclusive global running sum of
+    ``token_col``).
 
-    Correctness of the renumbering rests on range partitioning: rows
-    are ranged on ``(*keys, __h, id)``, so within one group every row
-    of range i precedes every row of range i+1 in ``(__h, id)``
-    order; local rank + (sum of earlier ranges' group counts) is
-    therefore the exact global rank.
+    Correctness of the renumbering rests on the bucket id being
+    MONOTONE in ``__h``: ``__pid = (prefix16(__h) * n) div 65536``
+    where prefix16 is the integer value of the first 4 hex digits, so
+    within one group every row of bucket i precedes every row of
+    bucket i+1 in ``(__h, id)`` order (rows sharing the 4-digit
+    prefix share a bucket); local rank + (sum of earlier buckets'
+    group counts) is therefore the exact global rank. Because md5 is
+    uniform, buckets are balanced with no sampling pass, and the
+    bucket id is a deterministic COLUMN — the local window's own
+    ``(bucket, keys)`` exchange is the plan's only full-data shuffle,
+    and no result depends on physical partition placement.
     """
-    n = _num_ranges(df, num_ranges)
+    n = min(_num_ranges(df, num_ranges), 65536)
     keyed = df.withColumn("__h", _hash_order(id_col, seed=seed))
-    order = [F.col(c) for c in (*keys, "__h", id_col)]
-    ranged = keyed.repartitionByRange(n, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    # explicit repartition on (bucket, keys): the local-rank window and
+    # the counts branch both read THIS exchange (ReusedExchange — one
+    # scan, one full shuffle for the whole two-phase plan), the window
+    # adds no exchange of its own, and the counts aggregate runs as a
+    # single complete-mode pass on already-clustered data
+    # deliberate physical shape (verified in PLANS.md): the window
+    # below triggers the plan's ONLY full-row exchange, on
+    # (__pid, keys); the counts branch re-scans the source column-
+    # pruned to the hash inputs and reduces map-side (partial
+    # HashAggregate) to #buckets × #strata rows before its exchange —
+    # a second cheap columnar scan instead of a second full-row
+    # shuffle. Do NOT pre-repartition here: an explicit repartition
+    # would force the counts branch to shuffle every row's bucket id
+    # instead of its per-bucket partial counts.
+    ranged = keyed.withColumn(
+        "__pid",
+        F.expr(
+            "CAST((CAST(conv(substring(__h, 1, 4), 16, 10) AS BIGINT)"
+            f" * {n}) DIV 65536 AS INT)"
+        ),
     )
     w_local = Window.partitionBy("__pid", *keys).orderBy("__h", F.col(id_col))
     local = ranged.withColumn("__lrank", F.row_number().over(w_local))
