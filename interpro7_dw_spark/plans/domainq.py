@@ -1,10 +1,12 @@
 """Domain-pipeline catalog entries: run the InterPro match-merge
 pipeline (domain/pipeline.py — the reference's X1 task) over
 match-shaped data synthesized deterministically from the star schema,
-so its throughput shows up in bench and its plumbing in the
-correctness run (rows-only: the pipeline's repr-selection search is
-not SQL-expressible; its semantics are covered by golden + property
-tests in tests/test_domain.py).
+so its throughput shows up in bench and its correctness under the
+differ gate. The repr-selection DFS is replayed in DuckDB as
+subset-mask enumeration and the condensation as a list_reduce fold
+(shared _PIPELINE_CTES below), so BOTH the numeric summary AND the
+full byte-exact locations-JSON output carry value oracles; goldens +
+property tests live in tests/test_domain.py.
 """
 
 from __future__ import annotations
@@ -72,78 +74,19 @@ def synth_entries(spark: SparkSession, sf: str):
     )
 
 
-register(QuerySpec(
-    name="z_domain_merge_matches",
-    tags=("X1", "G5", "W3", "F1", "J2"),
-    description="Full InterPro match-merge pipeline (classify -> repr "
-    "selection -> signature grouping -> entry condensation) on synthesized "
-    "matches; rows-only (search not SQL-expressible; goldens in tests/).",
-    build=lambda spark, sf: merge_protein_matches(
-        synth_matches(spark, sf), synth_signatures(spark, sf), synth_entries(spark, sf)
-    ),
-    oracle=None,
-))
-
-
-_LOC_SCHEMA = (
-    "array<struct<fragments: array<struct<start: bigint, `end`: bigint, "
-    "`dc-status`: string>>, representative: boolean, model: string, score: double>>"
-)
-
-
-def _domain_match_summary(spark: SparkSession, sf: str):
-    """Numeric projection of the FULL merge pipeline output — parsed
-    back from the emitted locations JSON, so JSON shape, representative
-    flags, per-signature grouping and entry condensation all feed the
-    hash. Integer-only measures sidestep float/JSON-format brittleness."""
-    merged = merge_protein_matches(
-        synth_matches(spark, sf), synth_signatures(spark, sf), synth_entries(spark, sf)
-    )
-    # parse the JSON once into a column — repeating from_json per
-    # measure re-parses the string five times (measured 6x slower)
-    return merged.withColumn("locs", F.from_json("locations", _LOC_SCHEMA)).select(
-        "protein_acc",
-        "accession",
-        "source_database",
-        "type",
-        "entry_acc",
-        F.expr("cast(size(locs) as bigint)").alias("n_locations"),
-        F.expr("aggregate(locs, 0L, (acc, l) -> acc + if(l.representative, 1L, 0L))").alias(
-            "n_repr"
-        ),
-        F.expr(
-            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.start))"
-        ).alias("frag_start_sum"),
-        F.expr(
-            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.end))"
-        ).alias("frag_end_sum"),
-        F.expr(
-            "aggregate(locs, 0L, (acc, l) -> acc + coalesce(cast(round(l.score * 100) as bigint), 0L))"
-        ).alias("score_cents_sum"),
-    )
-
-
-register(QuerySpec(
-    name="domain_match_summary",
-    tags=("X1", "G5", "W3", "F1", "J2", "A9"),
-    description="Value-level oracle for the X1 match-merge pipeline "
-    "(reference interpro/oracle/matches.py:287-393): the representative-"
-    "selection DFS (matches.py:106-232) is replayed in DuckDB as "
-    "conflict-free subset-mask enumeration — the include-first DFS "
-    "tie-break equals argmax(coverage, pfam_count, mask) with candidate 0 "
-    "as the most significant bit — and entry condensation (matches.py:"
-    "60-103) as a list_reduce fold. Single-fragment fixture keeps the "
-    "mask space <= 2^7 per chain-group.",
-    build=_domain_match_summary,
-    oracle="""
-WITH m0 AS (
+# Shared DuckDB replay of the full merge pipeline (classify -> repr-
+# selection DFS as subset-mask enumeration -> entry condensation fold);
+# consumed by BOTH the domain_match_summary numeric oracle and the
+# z_domain_merge_matches byte-exact JSON oracle.
+_PIPELINE_CTES = """m0 AS (
   SELECT 'P' || l_orderkey AS protein_acc,
          l_partkey % 200 AS sig_num,
          'SIG' || (l_partkey % 200) AS signature_acc,
          CAST((l_partkey * 13 + l_linenumber * 7) % 400 + 1 AS BIGINT) AS s,
          CAST((l_partkey * 13 + l_linenumber * 7) % 400 + 1
               + CAST(l_quantity * 3 AS BIGINT) + 10 AS BIGINT) AS e,
-         CAST(round(l_discount * 100) AS BIGINT) AS score_cents
+         CAST(round(l_discount * 100) AS BIGINT) AS score_cents,
+         l_discount AS score
   FROM lineitem
 ),
 m AS (
@@ -263,17 +206,6 @@ selected AS (
 reprs AS (
   SELECT * FROM singles UNION ALL SELECT * FROM selected
 ),
-sigsum AS (
-  SELECT m.protein_acc, m.signature_acc AS accession, m.db AS source_database,
-         m.typ AS "type", any_value(m.entry_acc) AS entry_acc,
-         count(*) AS n_locations,
-         CAST(sum(CASE WHEN r.domain_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repr,
-         CAST(sum(m.s) AS BIGINT) AS frag_start_sum,
-         CAST(sum(m.e) AS BIGINT) AS frag_end_sum,
-         CAST(sum(m.score_cents) AS BIGINT) AS score_cents_sum
-  FROM m LEFT JOIN reprs r ON m.protein_acc = r.protein_acc AND m.domain_id = r.domain_id
-  GROUP BY m.protein_acc, m.signature_acc, m.db, m.typ
-),
 ent AS (
   SELECT protein_acc, entry_acc,
          list_sort(list({s: s, e: e})) AS spans
@@ -297,6 +229,131 @@ entfold AS (
     ) AS st
   FROM ent
 ),
+condensed AS (
+  SELECT protein_acc, entry_acc,
+         list_append(st.done, {s: st.cs, e: st.ce}) AS condensed
+  FROM entfold
+)"""
+
+
+register(QuerySpec(
+    name="z_domain_merge_matches",
+    tags=("X1", "G5", "W3", "F1", "J2"),
+    description="Full InterPro match-merge pipeline (classify -> repr "
+    "selection -> signature grouping -> entry condensation) on synthesized "
+    "matches, BYTE-EXACT including the rendered locations JSON: the oracle "
+    "replays the repr-selection DFS (subset-mask enumeration) and the "
+    "condensation fold, then assembles the identical JSON strings — key "
+    "order, dc-status hyphenation, true/false/null literals, and double "
+    "score rendering all reproduced (discount-grid doubles render "
+    "identically under Java shortest-repr and DuckDB VARCHAR casts). "
+    "In-group location order replays Spark's array_sort struct comparator: "
+    "(start, end, fragments==(start,end), representative, model=const, "
+    "score) -> ORDER BY s, e, repr, score.",
+    build=lambda spark, sf: merge_protein_matches(
+        synth_matches(spark, sf), synth_signatures(spark, sf), synth_entries(spark, sf)
+    ),
+    oracle="WITH " + _PIPELINE_CTES + """,
+sigloc AS (
+  SELECT m.protein_acc, m.signature_acc, m.db, m.typ, m.entry_acc,
+         m.s, m.e, m.score,
+         (r.domain_id IS NOT NULL) AS repr
+  FROM m LEFT JOIN reprs r
+    ON m.protein_acc = r.protein_acc AND m.domain_id = r.domain_id
+),
+sigjson AS (
+  SELECT protein_acc, signature_acc AS accession, db AS source_database,
+         typ AS "type", any_value(entry_acc) AS entry_acc,
+         '[' || string_agg(
+           '{"fragments":[{"start":' || CAST(s AS VARCHAR)
+           || ',"end":' || CAST(e AS VARCHAR)
+           || ',"dc-status":"CONTINUOUS"}],"representative":'
+           || CASE WHEN repr THEN 'true' ELSE 'false' END
+           || ',"model":"' || signature_acc || '","score":'
+           || CAST(score AS VARCHAR) || '}',
+           ',' ORDER BY s, e, repr, score) || ']' AS locations
+  FROM sigloc
+  GROUP BY protein_acc, signature_acc, db, typ
+),
+entjson AS (
+  SELECT protein_acc, entry_acc AS accession, 'INTERPRO' AS source_database,
+         'Domain' AS "type", entry_acc,
+         '[' || array_to_string(list_transform(condensed, x ->
+           '{"fragments":[{"start":' || CAST(x.s AS VARCHAR)
+           || ',"end":' || CAST(x.e AS VARCHAR)
+           || ',"dc-status":"CONTINUOUS"}],"representative":false,"model":null,"score":null}'
+         ), ',') || ']' AS locations
+  FROM condensed
+)
+SELECT * FROM sigjson
+UNION ALL
+SELECT * FROM entjson
+    """,
+))
+
+
+_LOC_SCHEMA = (
+    "array<struct<fragments: array<struct<start: bigint, `end`: bigint, "
+    "`dc-status`: string>>, representative: boolean, model: string, score: double>>"
+)
+
+
+def _domain_match_summary(spark: SparkSession, sf: str):
+    """Numeric projection of the FULL merge pipeline output — parsed
+    back from the emitted locations JSON, so JSON shape, representative
+    flags, per-signature grouping and entry condensation all feed the
+    hash. Integer-only measures sidestep float/JSON-format brittleness."""
+    merged = merge_protein_matches(
+        synth_matches(spark, sf), synth_signatures(spark, sf), synth_entries(spark, sf)
+    )
+    # parse the JSON once into a column — repeating from_json per
+    # measure re-parses the string five times (measured 6x slower)
+    return merged.withColumn("locs", F.from_json("locations", _LOC_SCHEMA)).select(
+        "protein_acc",
+        "accession",
+        "source_database",
+        "type",
+        "entry_acc",
+        F.expr("cast(size(locs) as bigint)").alias("n_locations"),
+        F.expr("aggregate(locs, 0L, (acc, l) -> acc + if(l.representative, 1L, 0L))").alias(
+            "n_repr"
+        ),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.start))"
+        ).alias("frag_start_sum"),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + aggregate(l.fragments, 0L, (a, f) -> a + f.end))"
+        ).alias("frag_end_sum"),
+        F.expr(
+            "aggregate(locs, 0L, (acc, l) -> acc + coalesce(cast(round(l.score * 100) as bigint), 0L))"
+        ).alias("score_cents_sum"),
+    )
+
+
+register(QuerySpec(
+    name="domain_match_summary",
+    tags=("X1", "G5", "W3", "F1", "J2", "A9"),
+    description="Value-level oracle for the X1 match-merge pipeline "
+    "(reference interpro/oracle/matches.py:287-393): the representative-"
+    "selection DFS (matches.py:106-232) is replayed in DuckDB as "
+    "conflict-free subset-mask enumeration — the include-first DFS "
+    "tie-break equals argmax(coverage, pfam_count, mask) with candidate 0 "
+    "as the most significant bit — and entry condensation (matches.py:"
+    "60-103) as a list_reduce fold. Single-fragment fixture keeps the "
+    "mask space <= 2^7 per chain-group.",
+    build=_domain_match_summary,
+    oracle="WITH " + _PIPELINE_CTES + """,
+sigsum AS (
+  SELECT m.protein_acc, m.signature_acc AS accession, m.db AS source_database,
+         m.typ AS "type", any_value(m.entry_acc) AS entry_acc,
+         count(*) AS n_locations,
+         CAST(sum(CASE WHEN r.domain_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repr,
+         CAST(sum(m.s) AS BIGINT) AS frag_start_sum,
+         CAST(sum(m.e) AS BIGINT) AS frag_end_sum,
+         CAST(sum(m.score_cents) AS BIGINT) AS score_cents_sum
+  FROM m LEFT JOIN reprs r ON m.protein_acc = r.protein_acc AND m.domain_id = r.domain_id
+  GROUP BY m.protein_acc, m.signature_acc, m.db, m.typ
+),
 entsum AS (
   SELECT protein_acc, entry_acc AS accession, 'INTERPRO' AS source_database,
          'Domain' AS "type", entry_acc,
@@ -305,11 +362,7 @@ entsum AS (
          CAST(list_reduce(list_transform(condensed, x -> x.s), (a, b) -> a + b) AS BIGINT) AS frag_start_sum,
          CAST(list_reduce(list_transform(condensed, x -> x.e), (a, b) -> a + b) AS BIGINT) AS frag_end_sum,
          0::BIGINT AS score_cents_sum
-  FROM (
-    SELECT protein_acc, entry_acc,
-           list_append(st.done, {s: st.cs, e: st.ce}) AS condensed
-    FROM entfold
-  )
+  FROM condensed
 )
 SELECT * FROM sigsum
 UNION ALL

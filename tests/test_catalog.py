@@ -29,11 +29,11 @@ def test_entry_contract(spark):
     assert df.count() >= 0
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is a deliberate exception, listed here
+    # round 7 closed the last deliberate exception
+    # (z_domain_merge_matches now carries a byte-exact JSON oracle):
+    # EVERY catalog query is value-oracle-checked
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "z_domain_merge_matches",
-    }
+    assert rows_only == set()
 
 
 def test_driver_cap_window_holds_all_oracle_queries(spark):
