@@ -96,11 +96,6 @@ def _range_annotated(
     """
     n = min(_num_ranges(df, num_ranges), 65536)
     keyed = df.withColumn("__h", _hash_order(id_col, seed=seed))
-    # explicit repartition on (bucket, keys): the local-rank window and
-    # the counts branch both read THIS exchange (ReusedExchange — one
-    # scan, one full shuffle for the whole two-phase plan), the window
-    # adds no exchange of its own, and the counts aggregate runs as a
-    # single complete-mode pass on already-clustered data
     # deliberate physical shape (verified in PLANS.md): the window
     # below triggers the plan's ONLY full-row exchange, on
     # (__pid, keys); the counts branch re-scans the source column-
@@ -172,9 +167,9 @@ def stratified_sample(
     per stratum — sources/languages number in the hundreds, not
     billions).
 
-    Scale: the rank is computed by the two-phase range-split plan
+    Scale: the rank is computed by the two-phase bucket-split plan
     (module docstring) — one full shuffle, every stratum spread over
-    ``num_ranges`` tasks (default ``spark.sql.shuffle.partitions``).
+    ``num_ranges`` buckets (default ``spark.sql.shuffle.partitions``).
     """
     ranked = _range_annotated(docs, [stratum_col], id_col, num_ranges)
     cap_expr = F.lit(None).cast("long")
@@ -214,7 +209,7 @@ def pack_token_shards(
     Output adds ``shard_id`` and ``shard_pos`` (0-based position
     within the shard).
 
-    Scale: the running sum is two-phase range-split (module
+    Scale: the running sum is two-phase bucket-split (module
     docstring) — local running sums per range plus broadcast
     prefix-sum token offsets, so a stratum (or the whole corpus when
     ``stratum_col=None``) is never one task. The ``shard_pos`` window
@@ -263,7 +258,7 @@ def corpus_mix(
 
     Within each source, selection is the deterministic md5(id) rank of
     :func:`stratified_sample` — computed by the same two-phase
-    range-split plan, so no stratum is ever a single task. The quota
+    bucket-split plan, so no stratum is ever a single task. The quota
     table is #sources rows: computed with tiny-DF windows and
     broadcast back onto the ranked corpus.
 
@@ -328,7 +323,7 @@ def global_shuffle(
     at each position replays the exact shuffled stream, while reading
     one shard sequentially is the standard per-worker training shard.
 
-    Scale: the global position comes from the two-phase range-split
+    Scale: the global position comes from the two-phase bucket-split
     rank over the WHOLE corpus (module docstring; keys=[] — the ranges
     alone bound task size), one full shuffle total; the modulo deal is
     map-side arithmetic on the rank.

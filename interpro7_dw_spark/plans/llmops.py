@@ -867,7 +867,7 @@ register(QuerySpec(
     "sources by largest-remainder integer quotas (clipped to "
     "availability, exercised by src9's over-ask), selection by the "
     "deterministic md5 rank. Quotas are computed on a #sources-row "
-    "side table and broadcast; ranking is the two-phase range-split "
+    "side table and broadcast; ranking is the two-phase bucket-split "
     "plan — no stratum is ever one task.",
     build=lambda spark, sf: SM.corpus_mix(
         t(spark, sf, "documents").select("doc_id", "source"),
@@ -920,7 +920,7 @@ register(QuerySpec(
     "out in seeded-hash order (seed = epoch id) and dealt round-robin "
     "into 7 shards — shard sizes balanced within one document, every "
     "shard a uniform subsample, re-seedable per epoch with no RNG "
-    "state. The global position is the keys=[] two-phase range-split "
+    "state. The global position is the keys=[] two-phase bucket-split "
     "rank: one shuffle, no single-task sort.",
     build=lambda spark, sf: SM.global_shuffle(
         t(spark, sf, "documents").select("doc_id"),
