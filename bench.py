@@ -59,6 +59,9 @@ HEADLINE = [
     # (three-level nested JSON assembly over lineitem; renamed from
     # z_structure_mart in the r7 driver-window rotation)
     "mart_structure",
+    # r7 addition: the bucket-split global rank (single full-row
+    # shuffle) — the sampling family's throughput anchor
+    "z_global_shuffle",
 ]
 
 

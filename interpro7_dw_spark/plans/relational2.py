@@ -267,3 +267,39 @@ register(QuerySpec(
         FROM ranked WHERE rn = 1 AND n_members >= 2
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_approx_distinct_bounds",
+    tags=("A5", "A13"),
+    description="Sketch aggregation with a VERIFIABLE contract: "
+    "per-group HyperLogLog++ distinct counts (approx_count_distinct, "
+    "rsd=0.02 — mergeable, fixed-size state, the 100 TB path where "
+    "exact count-distinct needs a full shuffle of the key universe) "
+    "side-by-side with the exact count, returning the exact value and "
+    "a within-5pct verdict. The sketch estimate itself is engine-"
+    "internal, so the oracle checks the CONTRACT: exact counts must "
+    "match and every group's verdict must be true.",
+    build=lambda spark, sf: (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx") - F.col("exact_orders"))
+                <= F.col("exact_orders") * 0.05
+            ).alias("within_5pct"),
+        )
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+))

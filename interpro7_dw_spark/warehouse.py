@@ -604,3 +604,39 @@ def build_warehouse(
             fh.write("done\n")
         status[name] = "built"
     return status
+
+
+def _main() -> None:
+    """CLI: ``python -m interpro7_dw_spark.warehouse FIXTURES OUT
+    [--steps a,b,...] [--overwrite] [--ranged N]`` — run the full
+    warehouse build (skip-if-exists resume by default), the Spark
+    analogue of the reference's ``interpro7dw`` entry point
+    (cli.py:101-986)."""
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("fixtures_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--steps", default=None,
+                    help="comma-separated subset, still run in DAG order")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="ignore resume markers and rebuild")
+    ap.add_argument("--ranged", type=int, default=None, metavar="N",
+                    help="range-split flat/XML exports into N part files")
+    args = ap.parse_args()
+    status = build_warehouse(
+        get_spark("warehouse-build"),
+        args.fixtures_dir,
+        args.out_dir,
+        steps=args.steps.split(",") if args.steps else None,
+        overwrite=args.overwrite,
+        ranged_files=args.ranged,
+    )
+    for name, state in status.items():
+        print(f"{state:8s} {name}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -91,3 +91,34 @@ def test_lookup_point_read_prunes_partitions(spark, tmp_path):
     seg = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "__hp" in seg  # directory pruning
     assert "PushedFilters: [" in plan and "__h" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_sampling_rank_single_full_shuffle(spark):
+    """The two-phase bucket-split rank (operators/sampling.py) must
+    shuffle full rows exactly ONCE: the local window's (bucket, keys)
+    exchange. The counts branch reduces map-side (partial
+    HashAggregate below its exchange, so only #buckets x #strata rows
+    move) and the offsets come back as a broadcast — and nothing uses
+    a range exchange or a physical-partition-id column."""
+    import pyspark.sql.functions as F
+
+    from interpro7_dw_spark.operators.sampling import global_shuffle
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    df = global_shuffle(docs.select("doc_id"), 7, seed="plan")
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" not in final
+    assert "SPARK_PARTITION_ID" not in final
+    hash_ex = [ln for ln in final.splitlines()
+               if "Exchange hashpartitioning" in ln and "Reused" not in ln]
+    assert len(hash_ex) == 2
+    # the counts-branch exchange sits above a map-side partial agg
+    assert "partial_count" in final
+    lines = final.splitlines()
+    partial_idx = next(i for i, ln in enumerate(lines) if "partial_count" in ln)
+    # the exchange immediately above the partial agg is the tiny one
+    above = next(ln for ln in reversed(lines[:partial_idx]) if "Exchange" in ln)
+    assert "hashpartitioning" in above
+    assert final.count("BroadcastExchange") == 1
