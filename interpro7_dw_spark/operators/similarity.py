@@ -329,3 +329,63 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vid", "sim")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embeddings are bucketed
+    into IVF cells (the deterministic md5-seeded Lloyd quantizer of
+    :func:`ivf_centroids`), pairwise cosine runs only WITHIN a cell,
+    and a row is a duplicate when some lower-id cell-mate sits at
+    cosine >= threshold (min-id survivor — deterministic and
+    engine-replayable, where the published centroid-distance tiebreak
+    is float-order-sensitive). Published recipe: Abbas et al. 2023
+    (SemDeDup) — k-means cells, within-cell pruning.
+
+    Scale: cells bound the candidate count to sum(|cell|^2)/2 — the
+    same complexity cap the LSH bands / simhash segments give the
+    token-level dedupers — and Lloyd cells follow density, so they
+    stay balanced where fixed hyperplane cuts skew. The per-cell join
+    is a plain equi-join on cid (no cross product); at 100 TB write
+    the corpus bucketed by cid once and reruns skip the assignment
+    shuffle entirely.
+
+    Returns (id, cid, is_duplicate) for every input row.
+    """
+    centroids = ivf_centroids(
+        emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    n = with_norm(emb, vec_col)
+    corpus = n.select(
+        F.col(id_col).alias("vid"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+        _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+    )
+    a = corpus.select(F.col("vid").alias("a_id"), F.col("cv").alias("av"),
+                      F.col("cn").alias("an"), "cid")
+    b = corpus.select(F.col("vid").alias("b_id"), F.col("cv").alias("bv"),
+                      F.col("cn").alias("bn"), "cid")
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    dups = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(sim >= threshold)
+        .select(F.col("b_id").alias("vid"))
+        .distinct()
+    )
+    return (
+        corpus.select("vid", "cid")
+        .join(dups.withColumn("__dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
+        )
+    )

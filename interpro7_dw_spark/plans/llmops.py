@@ -282,24 +282,11 @@ register(QuerySpec(
     """,
 ))
 
-register(QuerySpec(
-    name="z_embedding_ivf_topk",
-    tags=("NN2", "F9"),
-    description="ANN top-5 via a deterministic IVF coarse quantizer "
-    "(md5-seeded Lloyd, nprobe cell scan; approximate — recall vs the "
-    "exact brute force is machine-checked in tests/test_operators.py). "
-    "Full value oracle: the Lloyd recursion itself is replayed in SQL "
-    "— cell means are a PINNED sequential fold over members in vec_id "
-    "order (list_reduce over an ordered list, the exact fold "
-    "ivf_centroids runs via aggregate(array_sort(collect_list))), so "
-    "both engines produce bit-identical centroids, assignments, "
-    "probes and similarities; no avg() whose summation order an "
-    "engine could pick differently.",
-    build=lambda spark, sf: S.ivf_topk(
-        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, nlist=8, nprobe=3
-    ),
-    oracle="""
-WITH n AS (
+# Shared DuckDB replay of the deterministic IVF coarse quantizer
+# (md5-seeded Lloyd, 2 iterations, 8 cells, pinned-order cell-mean
+# folds) ending in `corpus` = (vid, cv, cn, cid); consumed by the
+# z_embedding_ivf_topk and z_semantic_dedup oracles.
+_IVF_CTES = """n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
@@ -350,7 +337,26 @@ corpus AS (
            row_number() OVER (PARTITION BY n.vec_id
              ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
     FROM n CROSS JOIN c2 c) WHERE rn = 1
-),
+)"""
+
+
+register(QuerySpec(
+    name="z_embedding_ivf_topk",
+    tags=("NN2", "F9"),
+    description="ANN top-5 via a deterministic IVF coarse quantizer "
+    "(md5-seeded Lloyd, nprobe cell scan; approximate — recall vs the "
+    "exact brute force is machine-checked in tests/test_operators.py). "
+    "Full value oracle: the Lloyd recursion itself is replayed in SQL "
+    "— cell means are a PINNED sequential fold over members in vec_id "
+    "order (list_reduce over an ordered list, the exact fold "
+    "ivf_centroids runs via aggregate(array_sort(collect_list))), so "
+    "both engines produce bit-identical centroids, assignments, "
+    "probes and similarities; no avg() whose summation order an "
+    "engine could pick differently.",
+    build=lambda spark, sf: S.ivf_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, nlist=8, nprobe=3
+    ),
+    oracle="WITH " + _IVF_CTES + """,
 probes AS (
   SELECT vec_id AS qid, v AS qv, nrm AS qn, cid FROM (
     SELECT n.vec_id, n.v, n.nrm, c.cid,
@@ -1051,5 +1057,32 @@ register(QuerySpec(
                CAST(len(regexp_extract_all(text,
                  '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone
         FROM enriched
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_semantic_dedup",
+    tags=("NN2", "DD2", "A5"),
+    description="SemDeDup-style semantic dedup (operators/similarity"
+    ".py::semantic_dedup): embeddings bucketed into the deterministic "
+    "8-cell IVF quantizer, pairwise cosine only WITHIN a cell, "
+    "duplicate = some lower-id cell-mate at cosine >= 0.38 (min-id "
+    "survivor). The oracle replays the full Lloyd recursion (shared "
+    "pinned-fold CTEs) plus the within-cell pair scan — candidate "
+    "count bounded by cell sizes, never all-pairs.",
+    build=lambda spark, sf: S.semantic_dedup(
+        t(spark, sf, "embeddings"), threshold=0.38, nlist=8
+    ),
+    oracle="WITH " + _IVF_CTES + """,
+pairs AS (
+  SELECT a.vid AS va, b.vid AS vb
+  FROM corpus a JOIN corpus b
+    ON a.cid = b.cid AND a.vid < b.vid
+  WHERE round(list_dot_product(a.cv, b.cv) / (a.cn * b.cn), 6) >= 0.38
+),
+dups AS (SELECT DISTINCT vb AS vid FROM pairs)
+SELECT c.vid AS vec_id, c.cid, (d.vid IS NOT NULL) AS is_duplicate
+FROM corpus c LEFT JOIN dups d ON c.vid = d.vid
     """,
 ))

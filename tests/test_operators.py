@@ -755,3 +755,25 @@ def test_scrub_pii_masks_and_counts(spark):
     assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
     assert got[4].scrubbed == "[EMAIL] and separately [IPV4]"
     assert (got[4].n_email, got[4].n_ipv4) == (1, 2)
+
+
+def test_semantic_dedup_min_id_survivor_and_cell_join(spark):
+    from interpro7_dw_spark.operators.similarity import semantic_dedup
+
+    # 1 and 2 are near-identical; 3 is its negation; 4 orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.95, nlist=2, iters=1)
+    got = {r.vec_id: r.is_duplicate for r in out.collect()}
+    assert got[2] is True          # higher id of the near-pair
+    assert got[1] is False         # min-id survivor kept
+    assert got[3] is False and got[4] is False
+    assert len(got) == 4           # every row present exactly once
+    # candidates are generated by a cid equi-join, never a cross product
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
