@@ -92,3 +92,61 @@ def protein2ipr_rows(classified: DataFrame, entries: DataFrame) -> DataFrame:
             "signature_acc", "pos_start", "pos_end",
         )
     )
+
+
+# reference flatfiles.py:11 cites the InterPro flagship paper; the string
+# is part of the interpro2go byte stream
+INTERPRO2GO_CITATION = "Blum et al. (2024) Nucl. Acids Res. 53:D444–D456"
+
+
+def interpro2go_header(date_str: str) -> list[str]:
+    """The interpro2go ``!`` comment block (flatfiles.py:58-63),
+    reproduced byte-for-byte INCLUDING the reference's missing-newline
+    quirk: ``fh.write("!contact:interhelp@ebi.ac.uk")`` has no ``\\n``
+    and the next write is ``"!\\n"``, so the actual emitted line is
+    ``!contact:interhelp@ebi.ac.uk!``. ``date_str`` replaces the
+    reference's ``datetime.now()`` (a deterministic build stamps the
+    release date instead of wall-clock)."""
+    return [
+        f"!date: {date_str}",
+        "!Mapping of InterPro entries to GO",
+        "!external resource: https://www.ebi.ac.uk/interpro",
+        f"!citation: {INTERPRO2GO_CITATION}",
+        "!contact:interhelp@ebi.ac.uk!",
+    ]
+
+
+def parent_child_tree_lines(entries: DataFrame) -> list[str]:
+    """ParentChildTreeFile.txt (flatfiles.py:20-27,70-86), exactly as
+    the reference renders it: iterate entries in accession order and
+    start an indented DFS block at EVERY entry that has children (not
+    only at hierarchy roots — a mid-level parent therefore appears
+    both inside its parent's block and as its own block head, and so
+    do its descendants); each line is ``'-'*2*level`` + ``acc::name::``
+    with the trailing ``::``, children visited in sorted order.
+
+    Driver-side over the collected entry dimension, like the
+    reference's pickled-entries loop (the hierarchy is
+    dimension-sized); ``entries`` needs (entry_acc, name, parent_acc).
+    The roots-only, no-trailing-``::`` rendering used by the
+    ``z_hierarchy_flat_dfs`` catalog query lives in
+    operators/graph.py::hierarchy_flat_dfs.
+    """
+    rows = entries.select("entry_acc", "name", "parent_acc").collect()
+    names = {r.entry_acc: r.name for r in rows}
+    children: dict[str, list[str]] = {}
+    for r in rows:
+        if r.parent_acc is not None:
+            children.setdefault(r.parent_acc, []).append(r.entry_acc)
+
+    lines: list[str] = []
+
+    def walk(acc: str, level: int) -> None:
+        lines.append("-" * 2 * level + f"{acc}::{names[acc]}::")
+        for kid in sorted(children.get(acc, [])):
+            walk(kid, level + 1)
+
+    for acc in sorted(names):
+        if acc in children:
+            walk(acc, 0)
+    return lines

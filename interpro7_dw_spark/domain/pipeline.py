@@ -86,10 +86,17 @@ def classify_matches(matches: DataFrame, signatures: DataFrame) -> DataFrame:
             .otherwise(F.lit(None).cast("int")),
         )
         .withColumn(
+            # score joins the key to make the order TOTAL: without it,
+            # two matches sharing (sig, model, span) but differing in
+            # score tie, and row_number's tie fallback is shuffle-read
+            # order — the representative flag would then land on an
+            # engine/run-dependent location (caught by the sf0.1
+            # byte-exact differ; rows identical in score too are fully
+            # interchangeable, so their tie is harmless)
             "domain_id",
             F.row_number().over(
                 Window.partitionBy("protein_acc").orderBy(
-                    "signature_acc", "model_acc", "pos_from", "pos_to"
+                    "signature_acc", "model_acc", "pos_from", "pos_to", "score"
                 )
             ).cast("long"),
         )

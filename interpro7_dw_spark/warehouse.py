@@ -242,7 +242,7 @@ def _steps(inp: _Inputs, out_dir: str, ranged_files: int | None = None):
 
     def tsv(rows, path, sort_cols, out_cols=None, **kw):
         if ranged_files is None:
-            write_tsv(rows, path, **kw)
+            write_tsv(rows.select(*out_cols) if out_cols else rows, path, **kw)
         else:
             write_tsv_ranged(rows, path, sort_cols=sort_cols,
                              num_files=ranged_files, out_cols=out_cols, **kw)
@@ -450,7 +450,15 @@ def _steps(inp: _Inputs, out_dir: str, ranged_files: int | None = None):
         ).select("entry_acc", "name", "go_name", "go_id")
         tsv(flatfiles.interpro2go_rows(go, with_keys=ranged_files is not None),
             p("flat", "interpro2go"), sort_cols=["entry_acc", "go_id"],
-            out_cols=["line"], include_header=False)
+            out_cols=["line"], include_header=False,
+            header_lines=flatfiles.interpro2go_header(
+                RELEASE_DATE.strftime("%Y/%m/%d %H:%M:%S")))
+        pct = flatfiles.parent_child_tree_lines(e)
+        pct_df = inp.spark.createDataFrame(
+            list(enumerate(pct)), "pos long, line string"
+        ).orderBy("pos")
+        tsv(pct_df, p("flat", "ParentChildTreeFile.txt"),
+            sort_cols=["pos"], out_cols=["line"], include_header=False)
         tsv(
             flatfiles.protein2ipr_rows(inp.classified(), e),
             p("flat", "protein2ipr.dat"),

@@ -45,6 +45,7 @@ EXPECTED_TREE = sorted([
     "flat/names.dat",
     "flat/short_names.dat",
     "flat/interpro2go",
+    "flat/ParentChildTreeFile.txt",
     "flat/protein2ipr.dat",
     "xml/match_complete.xml.gz",
     "xml/interpro.xml.gz",
@@ -179,6 +180,7 @@ def test_ranged_build_matches_single_stream(warehouse):
         (os.path.join("flat", "names.dat"), False),
         (os.path.join("flat", "short_names.dat"), False),
         (os.path.join("flat", "interpro2go"), False),
+        (os.path.join("flat", "ParentChildTreeFile.txt"), False),
         (os.path.join("flat", "protein2ipr.dat"), True),
         (os.path.join("xml", "match_complete.xml.gz"), True),
         (os.path.join("xml", "interpro.xml.gz"), True),
@@ -187,3 +189,29 @@ def test_ranged_build_matches_single_stream(warehouse):
         assert len(parts) == 3, rel  # genuinely range-split
         _, single_text = cat(os.path.join(out, rel), gz)
         assert ranged_text == single_text, rel
+
+
+def test_interpro2go_header_and_parent_child_tree(warehouse):
+    """Byte-fidelity of the two reference quirks: the interpro2go `!`
+    block ends with the glued `!contact:...!` line (reference writes
+    the contact line without a newline), and ParentChildTreeFile
+    starts a block at EVERY entry with children — the mid-level
+    IPR000002 appears both nested under IPR000001 and as its own
+    block head — with trailing `::` labels."""
+    _, _, out, _ = warehouse
+    [go] = glob.glob(os.path.join(out, "flat", "interpro2go", "part-*"))
+    lines = open(go, encoding="utf-8").read().splitlines()
+    assert lines[0] == "!date: 2026/01/15 00:00:00"
+    assert lines[4] == "!contact:interhelp@ebi.ac.uk!"
+    assert lines[5].startswith("InterPro:IPR")
+
+    [pct] = glob.glob(os.path.join(out, "flat", "ParentChildTreeFile.txt",
+                                   "part-*"))
+    tree = open(pct, encoding="utf-8").read().splitlines()
+    assert tree == [
+        "IPR000001::Kinase::",
+        "--IPR000002::Helicase::",
+        "----IPR000003::Kinase site::",
+        "IPR000002::Helicase::",
+        "--IPR000003::Kinase site::",
+    ]
