@@ -138,3 +138,50 @@ def scrub_pii(
     return docs.select(
         F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization chunker for RAG indexing and
+    fixed-context training examples. Chunk i covers tokens
+    ``[i*stride, i*stride + window)`` (whitespace tokens here; swap the
+    splitter for a real tokenizer's offsets at ingest); the last chunk
+    starts at the final stride mark that still has unseen tokens, so
+    every token belongs to >= 1 chunk and documents shorter than
+    ``window`` yield exactly one chunk.
+
+    Scale: posexplode over a per-row ``sequence`` — pure map-side
+    columnar work, no shuffle, no Python; output carries (doc_id,
+    chunk_id) so downstream dedup/packing operators key on the chunk
+    exactly like a document.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if stride > window:
+        raise ValueError("stride > window would drop tokens between chunks")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - window, 0) / stride) + 1
+    n_chunks = (
+        F.floor((F.greatest(n - window, F.lit(0)) + stride - 1) / stride) + 1
+    ).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.slice("__t", F.col("chunk_id") * stride + 1, window))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("__t", F.col("chunk_id") * stride + 1, window)
+        ).alias("chunk_text"),
+    )

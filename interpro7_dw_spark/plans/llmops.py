@@ -1086,3 +1086,35 @@ SELECT c.vid AS vec_id, c.cid, (d.vid IS NOT NULL) AS is_duplicate
 FROM corpus c LEFT JOIN dups d ON c.vid = d.vid
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_chunk_documents",
+    tags=("TX5", "F11"),
+    description="Overlapping token-window chunking (operators/text.py"
+    "::chunk_documents): window 16, stride 12 — the RAG-index / "
+    "fixed-context training-example chunker. Every token lands in at "
+    "least one chunk, short documents yield exactly one, and the "
+    "whole pass is map-side posexplode over a per-row sequence — no "
+    "shuffle, no Python.",
+    build=lambda spark, sf: X.chunk_documents(
+        t(spark, sf, "documents"), window=16, stride=12
+    ),
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        nch AS (
+          SELECT doc_id, ts,
+                 CAST(floor((greatest(len(ts) - 16, 0) + 12 - 1) / 12) + 1
+                      AS INT) AS n
+          FROM tok
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(len(ts[i * 12 + 1 : i * 12 + 16]) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(ts[i * 12 + 1 : i * 12 + 16], ' ')
+                 AS chunk_text
+        FROM nch, LATERAL unnest(generate_series(0, n - 1)) AS g(i)
+    """,
+))

@@ -777,3 +777,30 @@ def test_semantic_dedup_min_id_survivor_and_cell_join(spark):
     # candidates are generated by a cid equi-join, never a cross product
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_coverage_and_short_docs(spark):
+    from interpro7_dw_spark.operators.text import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunk starts at 0,3,6: every token covered, last chunk clamped
+    chunks = sorted((r.chunk_id, r.chunk_text) for r in by_doc[1])
+    assert [c for c, _ in chunks] == [0, 1, 2]
+    covered = set()
+    for _, text in chunks:
+        covered.update(text.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+    # short doc -> exactly one whole-text chunk
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "a b")]
+    # a gap-producing stride is refused
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=5)
