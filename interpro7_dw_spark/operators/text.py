@@ -185,3 +185,49 @@ def chunk_documents(
             " ", F.slice("__t", F.col("chunk_id") * stride + 1, window)
         ).alias("chunk_text"),
     )
+
+
+def token_rarity_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency quality signal (the integer-exact cousin of
+    CCNet's LM-perplexity filter): each token is weighted by the
+    bit-length of its document frequency — ``bitlen(df) - 1 ==
+    floor(log2(df))``, a log-bucketed commonness score computed in
+    pure integer arithmetic, so every engine agrees exactly where a
+    float ``log`` would drift at bucket boundaries. Documents built
+    from rare vocabulary score LOW mean-commonness (like high
+    perplexity); boilerplate built from ubiquitous tokens scores HIGH.
+
+    Shape: one distinct-(doc, token) explode -> token-df aggregate
+    (map-side combine; the df table is vocabulary-sized) -> join back
+    on token -> per-document aggregate. Two shuffles, both on keys
+    that shrink the data (token, then doc); the df side can broadcast
+    when the vocabulary fits, and a DF cap (cf. drop_hot_shingles)
+    bounds the join fan-in if a tokenizer emits pathological tokens.
+
+    Returns (doc_id, n_token_types, df_bits_sum, mean_commonness).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).distinct()
+    df_tab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    bits = (F.length(F.conv(F.col("df"), 10, 2)) - 1).cast("long")
+    return (
+        toks.join(df_tab.select("token", bits.alias("bits")), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_token_types"),
+            F.sum("bits").alias("df_bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_token_types",
+            "df_bits_sum",
+            F.round(F.col("df_bits_sum") / F.col("n_token_types"), 4)
+            .alias("mean_commonness"),
+        )
+    )

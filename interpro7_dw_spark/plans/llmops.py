@@ -1118,3 +1118,33 @@ register(QuerySpec(
         FROM nch, LATERAL unnest(generate_series(0, n - 1)) AS g(i)
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_token_rarity",
+    tags=("TX2", "A2", "F9"),
+    description="Token-rarity quality scoring (operators/text.py::"
+    "token_rarity_stats): per-document mean commonness where each "
+    "distinct token contributes floor(log2(document frequency)) — "
+    "computed as bit-length minus one, INTEGER-exact on every engine "
+    "(a float log would drift at power-of-two bucket edges). The "
+    "integer-exact cousin of CCNet's perplexity filter.",
+    build=lambda spark, sf: X.token_rarity_stats(t(spark, sf, "documents")),
+    oracle="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents,
+               LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        dfr AS (
+          SELECT token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS bits
+          FROM toks GROUP BY token
+        )
+        SELECT doc_id,
+               count(*) AS n_token_types,
+               CAST(sum(bits) AS BIGINT) AS df_bits_sum,
+               round(sum(bits) / count(*), 4) AS mean_commonness
+        FROM toks JOIN dfr USING (token)
+        GROUP BY doc_id
+    """,
+))

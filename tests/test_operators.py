@@ -804,3 +804,26 @@ def test_chunk_documents_coverage_and_short_docs(spark):
     # a gap-producing stride is refused
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=4, stride=5)
+
+
+def test_token_rarity_integer_exact_buckets(spark):
+    from interpro7_dw_spark.operators.text import token_rarity_stats
+
+    # 'common' appears in 4 docs (bits=2), 'mid' in 2 (bits=1),
+    # 'rare' in 1 (bits=0)
+    docs = spark.createDataFrame(
+        [
+            (1, "common mid rare"),
+            (2, "common mid"),
+            (3, "common"),
+            (4, "common common"),  # duplicate token counted once
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_rarity_stats(docs).collect()}
+    assert (got[1].n_token_types, got[1].df_bits_sum) == (3, 3)  # 2+1+0
+    assert got[1].mean_commonness == 1.0
+    assert (got[2].n_token_types, got[2].df_bits_sum) == (2, 3)
+    assert got[2].mean_commonness == 1.5
+    assert (got[3].n_token_types, got[3].df_bits_sum) == (1, 2)
+    assert (got[4].n_token_types, got[4].df_bits_sum) == (1, 2)
