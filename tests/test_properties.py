@@ -264,3 +264,42 @@ def test_intact_extraction_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_bucket_split_rank_matches_python_reference(spark):
+    """Randomized (seeded) differential test: the two-phase
+    bucket-split global rank / running sum (operators/sampling.py)
+    must equal a brute-force Python restatement — per stratum, rows
+    ordered by (md5(id), id), rank = position, run = prefix token
+    sum — across skewed stratum shapes and bucket counts."""
+    import hashlib
+
+    from interpro7_dw_spark.operators.sampling import _range_annotated
+
+    rng = random.Random(7)
+    rows = []
+    # skew: one hot stratum holds most rows; a singleton; a mid one
+    for i in range(400):
+        src = "hot" if i % 10 else ("solo" if i == 0 else "mid")
+        rows.append((i, src, rng.randint(1, 500)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    expect = {}
+    for src in {"hot", "solo", "mid"}:
+        grp = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        run = 0
+        for rank, (i, _, tok) in enumerate(grp, start=1):
+            run += tok
+            expect[i] = (rank, run)
+
+    for n_buckets in (1, 3, 32, 65536):
+        got = {
+            r["doc_id"]: (r["__rank"], r["__run"])
+            for r in _range_annotated(
+                docs, ["source"], "doc_id", n_buckets, token_col="n_tokens"
+            ).collect()
+        }
+        assert got == expect, f"buckets={n_buckets}"
