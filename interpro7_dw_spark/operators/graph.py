@@ -247,3 +247,72 @@ def connected_components(
         if changed.isEmpty():
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_rounds} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank with ENGINE-EXACT arithmetic: the
+    per-node contribution sum — the only order-sensitive float
+    reduction — is a pinned sequential fold over contributors sorted
+    by source id (``aggregate(array_sort(collect_list(...)))``, the
+    same trick the IVF centroid means use), so any IEEE-754 engine
+    replays every iteration bit-for-bit and the oracle can unroll the
+    recursion in SQL. Simplified model: dangling-node mass is not
+    redistributed (ranks sum to < 1 when sinks exist) — the usual
+    within-engine formulation; normalize at the end if mass
+    conservation matters.
+
+    Scale: per iteration, one join of edges to ranks on src (broadcast
+    when ranks fit — node table, not edge table), one groupBy dst with
+    the in-group fold bounded by in-degree; ``iters`` is fixed, so the
+    plan is a finite unrolled chain. Lineage is truncated per
+    iteration via the same localCheckpoint / ``checkpoint_dir``
+    parquet seam as :func:`transitive_closure`.
+
+    Returns (node, pagerank) for every node, rank rounded to 10
+    places.
+    """
+    mat = _Materializer(checkpoint_dir, "pagerank")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; the node dim is collect-safe
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        ranks = mat(
+            nodes.join(
+                summed.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 10).alias("pagerank"))

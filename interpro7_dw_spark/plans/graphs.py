@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..domain.clans import clan_alignment_graph
 from ..domain.xrefs import sim_entries
+from ..operators import graph as G
 from ..operators.graph import lineage_rollup, transitive_closure
 from .spec import QuerySpec, register, t
 
@@ -466,5 +467,75 @@ register(QuerySpec(
           OR (tl.entry_type = 'homologous_superfamily'
               AND th.entry_type IN ('homologous_superfamily',
                                     'domain', 'family', 'repeat')))
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_pagerank",
+    tags=("G1", "F9", "W4"),
+    description="Fixed-iteration PageRank (operators/graph.py::"
+    "pagerank) on a 50-node graph derived from lineitem part->supplier "
+    "residues: 3 damped iterations whose per-node contribution sums "
+    "are PINNED sequential folds in source order, so the oracle "
+    "unrolls the recursion in SQL and both engines produce "
+    "bit-identical doubles at every step (all constants forced to "
+    "DOUBLE — DuckDB would otherwise do 1 - 0.85 in exact DECIMAL and "
+    "diverge from IEEE).",
+    build=lambda spark, sf: G.pagerank(
+        t(spark, sf, "lineitem").select(
+            (F.col("l_partkey") % 50).alias("src"),
+            (F.col("l_suppkey") % 50).alias("dst"),
+        ),
+        iters=3,
+    ),
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_partkey % 50 AS src, l_suppkey % 50 AS dst FROM lineitem
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS r FROM nodes),
+s1 AS (
+  SELECT e.dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(r0.r / deg.d ORDER BY e.src)),
+                     (a, b) -> a + b) AS s
+  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE * coalesce(s1.s, 0.0::DOUBLE) AS r
+  FROM nodes LEFT JOIN s1 USING (node)
+),
+s2 AS (
+  SELECT e.dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(r1.r / deg.d ORDER BY e.src)),
+                     (a, b) -> a + b) AS s
+  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE * coalesce(s2.s, 0.0::DOUBLE) AS r
+  FROM nodes LEFT JOIN s2 USING (node)
+),
+s3 AS (
+  SELECT e.dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(r2.r / deg.d ORDER BY e.src)),
+                     (a, b) -> a + b) AS s
+  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE * coalesce(s3.s, 0.0::DOUBLE) AS r
+  FROM nodes LEFT JOIN s3 USING (node)
+)
+SELECT node, round(r, 10) AS pagerank FROM r3
     """,
 ))

@@ -827,3 +827,24 @@ def test_token_rarity_integer_exact_buckets(spark):
     assert got[2].mean_commonness == 1.5
     assert (got[3].n_token_types, got[3].df_bits_sum) == (1, 2)
     assert (got[4].n_token_types, got[4].df_bits_sum) == (1, 2)
+
+
+def test_pagerank_structure_and_determinism(spark, tmp_path):
+    from interpro7_dw_spark.operators.graph import pagerank
+
+    # star: everyone points at 0; plus a 2-cycle between 1 and 2
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iters=5).collect()}
+    # the hub out-ranks every spoke; node 3 (no in-links) gets the floor
+    assert out[0] == max(out.values())
+    assert out[3] == min(out.values())
+    # ranks are probabilities-ish: all positive, total <= 1 (dangling
+    # node 0 leaks mass by design)
+    assert all(v > 0 for v in out.values())
+    assert sum(out.values()) <= 1.0 + 1e-9
+    # bit-identical across reruns and with the parquet checkpoint seam
+    again = {r.node: r.pagerank for r in pagerank(
+        edges, iters=5, checkpoint_dir=str(tmp_path / "pr")).collect()}
+    assert again == out
