@@ -285,24 +285,27 @@ def repeated_passage_stats(
     apply :func:`drop_hot_shingles` first if boilerplate passages
     (headers, licenses) dominate the index.
     """
+    from pyspark.sql.window import Window
+
     sh = shingles(docs, n=window, id_col=id_col, text_col=text_col)
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("shingle")
+    # shingles() rows are distinct (doc, passage), so a count window
+    # over the passage key IS the document frequency — one shuffle on
+    # the passage, one on the doc, single scan (the previous
+    # formulation aggregated the index separately and joined it back:
+    # two extra passes for the same numbers). Window groups are
+    # bounded by a passage's df; apply drop_hot_shingles first if
+    # boilerplate passages dominate.
+    with_df = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    flagged = sh.join(shared, "shingle", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_shared")
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_passages"))
-    return totals.join(flagged, "doc_id", "left").select(
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+    ).select(
         "doc_id",
         "n_passages",
-        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-        F.round(
-            F.coalesce("n_shared", F.lit(0)) / F.col("n_passages"), 4
-        ).alias("shared_frac"),
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_passages"), 4).alias("shared_frac"),
     )
 
 
@@ -339,19 +342,19 @@ def contamination_stats(
         .select("shingle")
         .distinct()
     )
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # one pass: mark each passage against the broadcast set (left join
+    # keeps every passage), then a single per-document aggregate counts
+    # totals and hits together — one corpus scan, one shuffle
+    marked = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
-    totals = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_passages")
-    )
-    return totals.join(hits, "doc_id", "left").select(
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+    ).select(
         "doc_id",
         "n_passages",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        F.round(
-            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_passages"), 4
-        ).alias("contaminated_frac"),
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_passages"), 4)
+        .alias("contaminated_frac"),
     )
