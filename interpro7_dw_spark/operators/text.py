@@ -210,14 +210,22 @@ def token_rarity_stats(
 
     Returns (doc_id, n_token_types, df_bits_sum, mean_commonness).
     """
+    from pyspark.sql.window import Window
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).distinct()
-    df_tab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # rows are distinct (doc, token), so a count window over the token
+    # IS the document frequency — one shuffle on token, one on doc,
+    # single scan (no separate df table joined back); window groups
+    # are bounded by a token's df
+    with_df = toks.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     bits = (F.length(F.conv(F.col("df"), 10, 2)) - 1).cast("long")
     return (
-        toks.join(df_tab.select("token", bits.alias("bits")), "token")
+        with_df.select("doc_id", bits.alias("bits"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_token_types"),
