@@ -303,3 +303,44 @@ register(QuerySpec(
         FROM lineitem GROUP BY l_returnflag
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_approx_quantile_bounds",
+    tags=("A13", "A5"),
+    description="Quantile sketch with a verifiable contract "
+    "(companion to z_approx_distinct_bounds): per-group "
+    "percentile_approx(o_totalprice, 0.5, accuracy=10000) — the "
+    "fixed-size mergeable sketch that replaces a full sort at 100 TB "
+    "— checked against the exact median: the verdict asserts the "
+    "approximation lands within the 1st..3rd exact quartile range. "
+    "The sketch value is engine-internal, so the oracle checks exact "
+    "quartiles + an all-true verdict.",
+    build=lambda spark, sf: (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+            F.expr(
+                "percentile_approx(o_totalprice, 0.5, 10000)"
+            ).alias("approx_med"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            (
+                (F.col("approx_med") >= F.col("q1"))
+                & (F.col("approx_med") <= F.col("q3"))
+            ).alias("median_within_iqr"),
+        )
+    ),
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+               TRUE AS median_within_iqr
+        FROM orders GROUP BY o_orderpriority
+    """,
+))
