@@ -1148,3 +1148,166 @@ register(QuerySpec(
         GROUP BY doc_id
     """,
 ))
+
+
+def _curation_v2(spark: SparkSession, sf: str):
+    """Training-data prep DAG over the round-7 operator family:
+    deterministic PII enrichment -> scrub -> benchmark split (every
+    97th doc is the eval set) -> contamination scoring on the SCRUBBED
+    text -> quality gate -> exact dedup of the gated survivors ->
+    seeded shard assignment for the kept set. One verdict row per
+    corpus document."""
+    from ..operators import dedup as DD
+    from ..operators import sampling as SMM
+    from ..operators import text as XX
+
+    d = t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact agent"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit("@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sc = XX.scrub_pii(enriched).select(
+        "doc_id",
+        "scrubbed",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("n_pii"),
+    )
+    corpus = sc.filter(F.col("doc_id") % 97 != 0)
+    bench = sc.filter(F.col("doc_id") % 97 == 0)
+    cont = DD.contamination_stats(
+        corpus.select("doc_id", F.col("scrubbed").alias("text")),
+        bench.select("doc_id", F.col("scrubbed").alias("text")),
+        window=5,
+    ).select("doc_id", "contaminated_frac")
+    feats = (
+        corpus.join(cont, "doc_id")
+        .withColumn("n_tokens",
+                    F.size(F.split("scrubbed", " ")).cast("long"))
+        .withColumn("passed_quality", F.col("n_tokens") >= 12)
+        .withColumn("passed_contam", F.col("contaminated_frac") <= 0.5)
+    )
+    gated = feats.filter(F.col("passed_quality") & F.col("passed_contam"))
+    ex = DD.exact_dedup(
+        gated.select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    kept = (
+        gated.join(
+            ex,
+            (F.md5(F.col("scrubbed").cast("binary")) == F.col("text_hash"))
+            & (F.col("doc_id") == F.col("keep_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    shards = SMM.global_shuffle(kept, num_shards=4, seed="cur2").select(
+        "doc_id", "shard_id"
+    )
+    return feats.join(shards, "doc_id", "left").select(
+        "doc_id",
+        "n_pii",
+        "n_tokens",
+        "passed_quality",
+        F.col("contaminated_frac"),
+        "passed_contam",
+        F.col("shard_id").isNotNull().alias("kept"),
+        "shard_id",
+    )
+
+
+register(QuerySpec(
+    name="z_curation_pipeline_v2",
+    tags=("TX5", "DD1", "DD2", "F7", "O2"),
+    description="End-to-end training-data prep composing the round-7 "
+    "operator family: PII scrub -> eval-set split -> n-gram "
+    "decontamination scoring on the scrubbed text -> length quality "
+    "gate -> exact dedup of survivors -> seeded 4-way shard deal for "
+    "the kept epoch. Complements z_corpus_curation (which chains "
+    "lang-id/quality/minhash-clustering); the oracle replays every "
+    "stage in one SQL chain.",
+    build=_curation_v2,
+    oracle=r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+            THEN ' contact agent' || CAST(doc_id % 5 AS VARCHAR)
+                 || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.1' ELSE '' END AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+           '\+\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed,
+         CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           + len(regexp_extract_all(text,
+             '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_pii
+  FROM enriched
+),
+corpus AS (SELECT * FROM scrub WHERE doc_id % 97 <> 0),
+bench AS (SELECT * FROM scrub WHERE doc_id % 97 = 0),
+ctok AS (SELECT doc_id, string_split(scrubbed, ' ') AS ts FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 5], ' ') AS shingle
+  FROM ctok, LATERAL unnest(
+    generate_series(0, greatest(len(ts) - 5, 0))) AS g(i)
+),
+btok AS (SELECT doc_id, string_split(scrubbed, ' ') AS ts FROM bench),
+bsh AS (
+  SELECT DISTINCT array_to_string(ts[i + 1 : i + 5], ' ') AS shingle
+  FROM btok, LATERAL unnest(
+    generate_series(0, greatest(len(ts) - 5, 0))) AS g(i)
+),
+cont AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+                        THEN 1 ELSE 0 END) / count(*), 4) AS contaminated_frac
+  FROM csh GROUP BY doc_id
+),
+feats AS (
+  SELECT c.doc_id, c.scrubbed, c.n_pii,
+         CAST(len(string_split(c.scrubbed, ' ')) AS BIGINT) AS n_tokens,
+         len(string_split(c.scrubbed, ' ')) >= 12 AS passed_quality,
+         t.contaminated_frac,
+         t.contaminated_frac <= 0.5 AS passed_contam
+  FROM corpus c JOIN cont t USING (doc_id)
+),
+gated AS (SELECT * FROM feats WHERE passed_quality AND passed_contam),
+ex AS (SELECT md5(scrubbed) AS h, min(doc_id) AS keep FROM gated GROUP BY 1),
+kept AS (
+  SELECT g.doc_id FROM gated g
+  JOIN ex ON md5(g.scrubbed) = ex.h AND g.doc_id = ex.keep
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('cur2:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+  FROM kept
+)
+SELECT f.doc_id, f.n_pii, f.n_tokens, f.passed_quality,
+       f.contaminated_frac, f.passed_contam,
+       (r.doc_id IS NOT NULL) AS kept,
+       CAST(r.pos % 4 AS BIGINT) AS shard_id
+FROM feats f LEFT JOIN ranked r USING (doc_id)
+    """,
+))
