@@ -1,7 +1,12 @@
-"""Training-data pipeline query catalog: dedup, similarity search,
-text analysis, multimodal plumbing — over the `documents` and
-`embeddings` tables (see operators/{dedup,similarity,text}.py for the
-scale rationale of each plan).
+"""Training-data pipeline query catalog: dedup (exact / MinHash-LSH /
+SimHash / Jaccard / repeated-passage / semantic), similarity search
+(exact, hyperplane-LSH, IVF), text analysis (quality, lang-id,
+fingerprints, PII scrub, chunking, token rarity), sampling (stratified,
+weighted mixing, seeded shuffle, token shards), contamination tagging,
+multimodal plumbing, and end-to-end curation compositions — over the
+`documents` and `embeddings` tables (see
+operators/{dedup,similarity,text,sampling}.py for the scale rationale
+of each plan).
 """
 
 from __future__ import annotations
