@@ -239,3 +239,57 @@ def token_rarity_stats(
             .alias("mean_commonness"),
         )
     )
+
+
+def top_tfidf_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by an
+    INTEGER-exact tf-idf surrogate — ``tf * (bitlen(N) - bitlen(df))``,
+    where tf is the in-document term count and the idf factor is the
+    log2-bucket gap between corpus size and document frequency (same
+    bit-length trick as :func:`token_rarity_stats`, so engines never
+    disagree at float-log bucket edges). Ties broken by token text:
+    fully deterministic top-k.
+
+    Shape: token explode -> per-(doc, token) tf aggregate -> df as a
+    count window over the token key (one shuffle each) -> per-doc
+    top-k window bounded by the doc's distinct-term count. N is one
+    scalar.
+
+    Returns (doc_id, term_rank, token, tf, score).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(id_col).distinct().count()  # one scalar
+    n_bits = n_docs.bit_length()
+    with_df = pairs.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("token")),
+    )
+    scored = with_df.select(
+        "doc_id",
+        "token",
+        "tf",
+        (
+            F.col("tf")
+            * (F.lit(n_bits) - (F.length(F.conv(F.col("df"), 10, 2))))
+        ).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term_rank", "token", "tf", "score")
+    )

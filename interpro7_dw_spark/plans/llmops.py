@@ -1316,3 +1316,45 @@ SELECT f.doc_id, f.n_pii, f.n_tokens, f.passed_quality,
 FROM feats f LEFT JOIN ranked r USING (doc_id)
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_tfidf_terms",
+    tags=("TX2", "A6", "O5"),
+    description="Per-document keyword extraction (operators/text.py::"
+    "top_tfidf_terms): top-3 terms by the integer-exact tf-idf "
+    "surrogate tf * (bitlen(N) - bitlen(df)) — log2-bucket idf via "
+    "bit-length, engine-exact where float log drifts; deterministic "
+    "(score desc, token asc) top-k window bounded by a doc's distinct "
+    "terms.",
+    build=lambda spark, sf: X.top_tfidf_terms(
+        t(spark, sf, "documents"), k=3
+    ),
+    oracle="""
+        WITH pairs AS (
+          SELECT doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+          FROM documents,
+               LATERAL unnest(string_split(text, ' ')) AS t(token)
+          GROUP BY doc_id, t.token
+        ),
+        dfr AS (
+          SELECT token, count(*) AS df FROM pairs GROUP BY token
+        ),
+        nb AS (
+          SELECT CAST(length(bin((SELECT count(DISTINCT doc_id)
+                                  FROM documents))) AS BIGINT) AS n_bits
+        ),
+        scored AS (
+          SELECT p.doc_id, p.token, p.tf,
+                 CAST(p.tf * ((SELECT n_bits FROM nb)
+                              - length(bin(d.df))) AS BIGINT) AS score
+          FROM pairs p JOIN dfr d USING (token)
+        )
+        SELECT doc_id, CAST(rnk AS INT) AS term_rank, token, tf, score
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
+))
