@@ -848,3 +848,29 @@ def test_pagerank_structure_and_determinism(spark, tmp_path):
     again = {r.node: r.pagerank for r in pagerank(
         edges, iters=5, checkpoint_dir=str(tmp_path / "pr")).collect()}
     assert again == out
+
+
+def test_top_tfidf_terms_scoring_and_ties(spark):
+    from interpro7_dw_spark.operators.text import top_tfidf_terms
+
+    # N=4 docs (bitlen 3); 'ubiq' in all 4 (bitlen 3 -> idf 0),
+    # 'pair' in 2 (bitlen 2 -> idf 1), 'solo'/'alone' in 1 (idf 2)
+    docs = spark.createDataFrame(
+        [
+            (1, "ubiq pair solo solo"),
+            (2, "ubiq pair"),
+            (3, "ubiq alone"),
+            (4, "ubiq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_tfidf_terms(docs, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.term_rank, r.token, r.tf, r.score))
+    # doc 1: solo tf=2 idf=2 -> 4 beats pair (1*1) and ubiq (1*0)
+    assert sorted(got[1]) == [(1, "solo", 2, 4), (2, "pair", 1, 1)]
+    # doc 3: alone (2) then ubiq (0)
+    assert sorted(got[3]) == [(1, "alone", 1, 2), (2, "ubiq", 1, 0)]
+    # doc 4 has a single term; k caps, never pads
+    assert sorted(got[4]) == [(1, "ubiq", 1, 0)]
