@@ -96,7 +96,14 @@ def classify_matches(matches: DataFrame, signatures: DataFrame) -> DataFrame:
             "domain_id",
             F.row_number().over(
                 Window.partitionBy("protein_acc").orderBy(
-                    "signature_acc", "model_acc", "pos_from", "pos_to", "score"
+                    "signature_acc",
+                    "model_acc",
+                    "pos_from",
+                    "pos_to",
+                    # explicit: Spark's asc default is NULLS FIRST but
+                    # DuckDB's is NULLS LAST — pin it on both sides so
+                    # nullable member-db scores order identically
+                    F.asc_nulls_first("score"),
                 )
             ).cast("long"),
         )

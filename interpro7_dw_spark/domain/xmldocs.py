@@ -831,9 +831,9 @@ def uniparc_protein_xml(matches: DataFrame, proteins: DataFrame) -> DataFrame:
     lcn = f"""
       concat('    <lcn start="', l.start, '" end="', l.end,
              '" score="', {py_double_sql('l.score')}, '"',
-             if(l.fragments is not null,
+             if(l.fragments is not null and l.fragments != '',
                 concat(' fragments="', {_esc_sql('l.fragments')}, '"'), ''),
-             if(l.seq_feature is not null,
+             if(l.seq_feature is not null and l.seq_feature != '',
                 concat(' ', if(library in ('{alns}'),
                                'alignment', 'sequence-feature'),
                        '="', {_esc_sql('l.seq_feature')}, '"'),

@@ -256,28 +256,38 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Fixed-iteration PageRank with ENGINE-EXACT arithmetic: the
     per-node contribution sum — the only order-sensitive float
-    reduction — is a pinned sequential fold over contributors sorted
-    by source id (``aggregate(array_sort(collect_list(...)))``, the
-    same trick the IVF centroid means use), so any IEEE-754 engine
-    replays every iteration bit-for-bit and the oracle can unroll the
-    recursion in SQL. Simplified model: dangling-node mass is not
-    redistributed (ranks sum to < 1 when sinks exist) — the usual
+    reduction — is the two-level pinned fold of
+    ``functions/folds.py::ordered_fold_sum``: contributors are
+    bucketed by ``src % n_buckets``, folded per bucket in src order,
+    and the bucket sums folded in bucket order. Deterministic AND
+    hub-safe: a power-law hub (in-degree 10^7+) never materializes
+    its full in-degree as one array in one task — the largest array is
+    ~in-degree / n_buckets at level 1 and n_buckets at level 2, and
+    both levels are AQE-splittable groupBy aggregates. Any IEEE-754
+    engine replays every iteration bit-for-bit by replaying the same
+    bucket structure (the oracle does, via ordered_fold_oracle_cte).
+    Node ids must be non-negative integers (they key the fold order
+    and the bucket residue). Simplified model: dangling-node mass is
+    not redistributed (ranks sum to < 1 when sinks exist) — the usual
     within-engine formulation; normalize at the end if mass
     conservation matters.
 
     Scale: per iteration, one join of edges to ranks on src (broadcast
-    when ranks fit — node table, not edge table), one groupBy dst with
-    the in-group fold bounded by in-degree; ``iters`` is fixed, so the
-    plan is a finite unrolled chain. Lineage is truncated per
-    iteration via the same localCheckpoint / ``checkpoint_dir``
-    parquet seam as :func:`transitive_closure`.
+    when ranks fit — node table, not edge table), then the two
+    bounded-fan-in aggregates; ``iters`` is fixed, so the plan is a
+    finite unrolled chain. Lineage is truncated per iteration via the
+    same localCheckpoint / ``checkpoint_dir`` parquet seam as
+    :func:`transitive_closure`.
 
     Returns (node, pagerank) for every node, rank rounded to 10
     places.
     """
+    from ..functions.folds import ordered_fold_sum
+
     mat = _Materializer(checkpoint_dir, "pagerank")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -297,12 +307,8 @@ def pagerank(
             .join(deg, "src")
             .select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
         )
-        summed = contribs.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("s")
+        summed = ordered_fold_sum(
+            contribs, ["dst"], "src", "c", out_col="s", n_buckets=n_buckets
         )
         ranks = mat(
             nodes.join(

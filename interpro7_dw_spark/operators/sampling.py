@@ -124,6 +124,12 @@ def _range_annotated(
         )
         aggs.append(F.sum(F.col(token_col)).alias("__tok"))
     counts = ranged.groupBy("__pid", *keys).agg(*aggs)
+    # with keys=[] this window is global — but over the COUNTS table
+    # (<= #buckets x #strata <= 65536 rows by construction), not the
+    # data, so WindowExec's single-partition warning is a non-issue
+    # here (session.py lowers that logger to ERROR; a lit(0) partition
+    # key would NOT silence it — Catalyst folds literal partition
+    # specs away)
     w_off = (
         Window.partitionBy(*keys)
         .orderBy("__pid")
@@ -177,7 +183,7 @@ def stratified_sample(
         cap_expr = F.when(F.col(stratum_col) == value, cap).otherwise(cap_expr)
     if default_cap is not None:
         cap_expr = F.coalesce(cap_expr, F.lit(default_cap))
-    out = ranked.withColumn("sample_rank", F.col("__rank").cast("integer")).drop(
+    out = ranked.withColumn("sample_rank", F.col("__rank")).drop(
         "__h", "__pid", "__rank"
     )
     return out.where(cap_expr.isNull() | (F.col("sample_rank") <= cap_expr))
@@ -280,6 +286,9 @@ def corpus_mix(
         F.floor(F.col("__scaled") / partsum).cast("long").alias("__base"),
         (F.col("__scaled") % partsum).cast("long").alias("__rem"),
     )
+    # global windows over the #strata-row quota table only (sources /
+    # languages number in the hundreds) — bounded by construction; see
+    # the _range_annotated note on the WindowExec warning
     w_all = Window.partitionBy()
     w_rem = Window.partitionBy().orderBy(F.desc("__rem"), F.col(stratum_col))
     quota = q0.withColumn(
@@ -297,7 +306,7 @@ def corpus_mix(
         [stratum_col], id_col, num_ranges,
     )
     return (
-        ranked.withColumn("sample_rank", F.col("__rank").cast("integer"))
+        ranked.withColumn("sample_rank", F.col("__rank"))
         .join(F.broadcast(quota), stratum_col)
         .where(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, stratum_col, "sample_rank", "quota")

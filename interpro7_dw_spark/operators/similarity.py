@@ -143,20 +143,38 @@ def lsh_bucket(
     return emb.withColumn("bucket", bucket)
 
 
-def _nearest_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """argmax-dot centroid id as a pure JVM expression: an array of
-    (negated dot, cid) structs reduced with array_min (struct ordering
-    gives min-by-distance with ascending-cid tiebreak)."""
-    cands = F.array(
-        *[
-            F.struct(
-                (-_dot(v, F.array(*[F.lit(x) for x in vec]))).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
+def _with_centroid_arr(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Attach the centroid table to every row as ONE array column
+    (``__cents``: array<struct<cid int, cvec array<double>>>) via a
+    broadcast of a single-row centroid DataFrame — a cross join that
+    multiplies nothing (one build row). The centroid DATA travels as
+    broadcast rows, not as Catalyst literals, so the expression tree is
+    O(1) in nlist: nlist=10^4..10^5 (what real SemDeDup needs at
+    100 TB) costs only the broadcast bytes (nlist x dim x 8), where the
+    old literal-array encoding hit the expression-size ceiling around
+    nlist~1k."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
     )
-    return F.array_min(cands).getField("cid")
+    one = cdf.agg(F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("__cents"))
+    return df.crossJoin(F.broadcast(one))
+
+
+def _cand_structs(v: Column) -> Column:
+    """Per-row (negated dot, cid) struct array over the broadcast
+    ``__cents`` column: array_min gives min-by-distance with
+    ascending-cid tiebreak (same argmin the oracle replays), array_sort
+    + slice gives the nprobe closest cells."""
+    return F.transform(
+        F.col("__cents"),
+        lambda c: F.struct((-_dot(v, c["cvec"])).alias("d"), c["cid"].alias("cid")),
+    )
+
+
+def _nearest_cid(v: Column) -> Column:
+    return F.array_min(_cand_structs(v)).getField("cid")
 
 
 def ivf_centroids(
@@ -172,25 +190,30 @@ def ivf_centroids(
     every run/engine).
 
     Each iteration is one distributed pass: nearest-centroid assignment
-    is a broadcast literal expression (centroids are nlist x dim
-    doubles — KBs), the new means come from one posexplode + groupBy
-    (nlist*dim groups). Only the centroid table ever reaches the
-    driver, so the corpus side scales; this mirrors k-means|| minus
-    the sampling rounds, acceptable because IVF needs a usable coarse
-    partition, not an optimal clustering.
+    attaches the centroid table as a broadcast single-row array
+    (:func:`_with_centroid_arr` — centroid DATA, not Catalyst
+    literals, so nlist scales to 10^4..10^5 cells) and reduces it
+    row-locally with array_min; the new means come from one posexplode
+    + the two-level pinned fold (nlist*dim groups). Only the centroid
+    table ever reaches the driver, so the corpus side scales; this
+    mirrors k-means|| minus the sampling rounds, acceptable because
+    IVF needs a usable coarse partition, not an optimal clustering.
 
     Cell means are NOT ``avg`` (whose float summation order is
-    engine/partitioning-dependent): each (cell, dimension) mean is a
-    sequential left fold over the members sorted by id, divided by the
-    count. The order is pinned, so any IEEE-754 engine replays the
-    centroids bit-for-bit — DuckDB does exactly that in the
-    ``z_embedding_ivf_topk`` value oracle via
-    ``list_reduce(list(x ORDER BY id))``. Group sizes are ~N/nlist per
-    fold at one struct per member, so the collect_list stays bounded
-    by the cell size; at extreme scale swap the in-group fold for a
-    two-level fold (per-partition folds combined in partition-range
-    order), which preserves the pinned order.
+    engine/partitioning-dependent): each (cell, dimension) mean is the
+    two-level pinned fold of ``functions/folds.py::ordered_fold_sum``
+    — members bucketed by ``id % 64``, folded per bucket in id order,
+    bucket sums folded in bucket order, divided by the exact count.
+    Deterministic AND bounded: no task ever materializes a whole cell
+    as one array (the old single-level fold did — at nlist=16 over
+    100 TB a cell is ~6% of the corpus), and any IEEE-754 engine
+    replays the centroids bit-for-bit — DuckDB does exactly that in
+    the ``z_embedding_ivf_topk`` value oracle by replaying the same
+    bucket structure. Ids must be non-negative integers (they key the
+    fold order and the bucket residue).
     """
+    from ..functions.folds import ordered_fold_sum
+
     n = with_norm(emb, vec_col)
     seeds = (
         n.select(F.col(id_col), "__v")
@@ -200,24 +223,21 @@ def ivf_centroids(
     )
     centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = n.select(
+        assigned = _with_centroid_arr(n, centroids).select(
             F.col(id_col).alias("__vid"),
-            _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+            _nearest_cid(F.col("__v")).alias("cid"),
             "__v",
         )
         means = (
-            assigned.select("cid", "__vid", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.aggregate(
-                        F.array_sort(F.collect_list(F.struct("__vid", "x"))),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["x"],
-                    )
-                    / F.count(F.lit(1))
-                ).alias("m")
+            ordered_fold_sum(
+                assigned.select("cid", "__vid", F.posexplode("__v").alias("pos", "x")),
+                ["cid", "pos"],
+                "__vid",
+                "x",
+                out_col="s",
+                count_col="cnt",
             )
+            .select("cid", "pos", (F.col("s") / F.col("cnt")).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.col("pm.m").alias("vec"))
@@ -253,29 +273,24 @@ def ivf_topk(
     """
     centroids = ivf_centroids(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
     n = with_norm(emb, vec_col).persist()  # assignment + query probe reuse the normed corpus
-    corpus = n.select(
+    nc = _with_centroid_arr(n, centroids)
+    corpus = nc.select(
         F.col(id_col).alias("vid"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
-        _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+        _nearest_cid(F.col("__v")).alias("cid"),
     )
     # per-query ordered centroid list -> first nprobe cell ids
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col("__v"), F.array(*[F.lit(x) for x in vec]))).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
-    )
     q = (
-        n.filter(query_pred)
+        nc.filter(query_pred)
         .select(
             F.col(id_col).alias("qid"),
             F.col("__v").alias("qv"),
             F.col("__norm").alias("qn"),
-            F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe).getField("cid")).alias("cid"),
+            F.explode(
+                F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, nprobe)
+                .getField("cid")
+            ).alias("cid"),
         )
     )
     sims = (
@@ -362,11 +377,11 @@ def semantic_dedup(
         emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
     )
     n = with_norm(emb, vec_col)
-    corpus = n.select(
+    corpus = _with_centroid_arr(n, centroids).select(
         F.col(id_col).alias("vid"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
-        _nearest_centroid(F.col("__v"), centroids).alias("cid"),
+        _nearest_cid(F.col("__v")).alias("cid"),
     )
     a = corpus.select(F.col("vid").alias("a_id"), F.col("cv").alias("av"),
                       F.col("cn").alias("an"), "cid")

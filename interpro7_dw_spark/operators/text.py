@@ -187,10 +187,37 @@ def chunk_documents(
     )
 
 
+def _token_df(
+    pairs: DataFrame,
+    broadcast_vocab: bool,
+    max_df: int | None,
+) -> DataFrame:
+    """Document-frequency table from distinct (doc, token) rows:
+    ``groupBy(token).count()`` — partial aggregation reduces map-side,
+    so the shuffle carries one row per (partition, token), and the
+    result is vocabulary-sized. NEVER a window over the token key: a
+    window group cannot be split by AQE, so a stop token ("the" ~
+    every doc) would pin its whole group in one task at corpus scale.
+
+    ``broadcast_vocab=True`` broadcasts the df table into the
+    join-back (no shuffle on the probe side at all); set False when
+    the vocabulary itself is too big to broadcast — the join becomes
+    a shuffle join whose hot keys AQE skew-split. ``max_df`` drops
+    tokens above a df ceiling BEFORE the join back (the
+    drop_hot_shingles guard, dedup.py) — bounds the fan-in when a
+    tokenizer emits pathological tokens."""
+    df_tab = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tab = df_tab.filter(F.col("df") <= max_df)
+    return F.broadcast(df_tab) if broadcast_vocab else df_tab
+
+
 def token_rarity_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Corpus-frequency quality signal (the integer-exact cousin of
     CCNet's LM-perplexity filter): each token is weighted by the
@@ -202,27 +229,22 @@ def token_rarity_stats(
     perplexity); boilerplate built from ubiquitous tokens scores HIGH.
 
     Shape: one distinct-(doc, token) explode -> token-df aggregate
-    (map-side combine; the df table is vocabulary-sized) -> join back
-    on token -> per-document aggregate. Two shuffles, both on keys
-    that shrink the data (token, then doc); the df side can broadcast
-    when the vocabulary fits, and a DF cap (cf. drop_hot_shingles)
-    bounds the join fan-in if a tokenizer emits pathological tokens.
+    (map-side combine; the df table is vocabulary-sized, see
+    :func:`_token_df`) -> join back on token -> per-document
+    aggregate. The df side broadcasts by default (no extra shuffle on
+    the probe side); ``broadcast_vocab=False`` switches to a shuffle
+    join that AQE skew-splits, and ``max_df`` caps the fan-in like
+    drop_hot_shingles (dedup.py). With ``max_df`` set, capped tokens
+    vanish from the stats (an inner join) — the usual stop-token
+    exclusion semantics.
 
     Returns (doc_id, n_token_types, df_bits_sum, mean_commonness).
     """
-    from pyspark.sql.window import Window
-
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).distinct()
-    # rows are distinct (doc, token), so a count window over the token
-    # IS the document frequency — one shuffle on token, one on doc,
-    # single scan (no separate df table joined back); window groups
-    # are bounded by a token's df
-    with_df = toks.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    with_df = toks.join(_token_df(toks, broadcast_vocab, max_df), "token")
     bits = (F.length(F.conv(F.col("df"), 10, 2)) - 1).cast("long")
     return (
         with_df.select("doc_id", bits.alias("bits"))
@@ -246,6 +268,8 @@ def top_tfidf_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the top-``k`` terms by an
     INTEGER-exact tf-idf surrogate — ``tf * (bitlen(N) - bitlen(df))``,
@@ -256,9 +280,12 @@ def top_tfidf_terms(
     fully deterministic top-k.
 
     Shape: token explode -> per-(doc, token) tf aggregate -> df as a
-    count window over the token key (one shuffle each) -> per-doc
-    top-k window bounded by the doc's distinct-term count. N is one
-    scalar.
+    ``groupBy(token)`` aggregate joined back (vocabulary-sized,
+    broadcast by default — see :func:`_token_df`; never a window over
+    the token key, which would pin a stop token's whole group in one
+    task) -> per-doc top-k window bounded by the doc's distinct-term
+    count. N is one scalar. ``max_df`` drops ubiquitous tokens from
+    the keyword pool entirely (their idf gap is ~0 anyway).
 
     Returns (doc_id, term_rank, token, tf, score).
     """
@@ -274,10 +301,7 @@ def top_tfidf_terms(
     )
     n_docs = docs.select(id_col).distinct().count()  # one scalar
     n_bits = n_docs.bit_length()
-    with_df = pairs.withColumn(
-        "df",
-        F.count(F.lit(1)).over(Window.partitionBy("token")),
-    )
+    with_df = pairs.join(_token_df(pairs, broadcast_vocab, max_df), "token")
     scored = with_df.select(
         "doc_id",
         "token",

@@ -100,7 +100,8 @@ m AS (
          WHEN sig_num % 9 = 7 THEN 1 END AS rnk,
     CASE WHEN sig_num % 3 = 0 THEN 'IPR' || (sig_num % 40) END AS entry_acc,
     row_number() OVER (PARTITION BY protein_acc
-                       ORDER BY signature_acc, s, e, score) AS domain_id
+                       ORDER BY signature_acc, s, e,
+                                score ASC NULLS FIRST) AS domain_id
   FROM m0
 ),
 -- chain-group domains/families per (protein, klass); a row starts a new

@@ -472,13 +472,16 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="z_pagerank",
+    name="pagerank",
     tags=("G1", "F9", "W4"),
     description="Fixed-iteration PageRank (operators/graph.py::"
     "pagerank) on a 50-node graph derived from lineitem part->supplier "
     "residues: 3 damped iterations whose per-node contribution sums "
-    "are PINNED sequential folds in source order, so the oracle "
-    "unrolls the recursion in SQL and both engines produce "
+    "are the TWO-LEVEL pinned fold of functions/folds.py (bucket by "
+    "src % 64, fold per bucket in src order, fold bucket sums in "
+    "bucket order — hub-safe: no task ever materializes a hub's full "
+    "in-degree), so the oracle unrolls the recursion in SQL replaying "
+    "the identical bucket structure and both engines produce "
     "bit-identical doubles at every step (all constants forced to "
     "DOUBLE — DuckDB would otherwise do 1 - 0.85 in exact DECIMAL and "
     "diverge from IEEE).",
@@ -498,11 +501,18 @@ nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
 r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS r FROM nodes),
 s1 AS (
-  SELECT e.dst AS node,
-         list_reduce(list_prepend(0.0::DOUBLE, list(r0.r / deg.d ORDER BY e.src)),
+  SELECT dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(__fs ORDER BY __fb)),
                      (a, b) -> a + b) AS s
-  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
-  GROUP BY e.dst
+  FROM (
+    SELECT e.dst, e.src % 64 AS __fb,
+           list_reduce(list_prepend(0.0::DOUBLE,
+                                    list(r0.r / deg.d ORDER BY e.src)),
+                       (a, b) -> a + b) AS __fs
+    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst, e.src % 64
+  )
+  GROUP BY dst
 ),
 r1 AS (
   SELECT nodes.node,
@@ -511,11 +521,18 @@ r1 AS (
   FROM nodes LEFT JOIN s1 USING (node)
 ),
 s2 AS (
-  SELECT e.dst AS node,
-         list_reduce(list_prepend(0.0::DOUBLE, list(r1.r / deg.d ORDER BY e.src)),
+  SELECT dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(__fs ORDER BY __fb)),
                      (a, b) -> a + b) AS s
-  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
-  GROUP BY e.dst
+  FROM (
+    SELECT e.dst, e.src % 64 AS __fb,
+           list_reduce(list_prepend(0.0::DOUBLE,
+                                    list(r1.r / deg.d ORDER BY e.src)),
+                       (a, b) -> a + b) AS __fs
+    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst, e.src % 64
+  )
+  GROUP BY dst
 ),
 r2 AS (
   SELECT nodes.node,
@@ -524,11 +541,18 @@ r2 AS (
   FROM nodes LEFT JOIN s2 USING (node)
 ),
 s3 AS (
-  SELECT e.dst AS node,
-         list_reduce(list_prepend(0.0::DOUBLE, list(r2.r / deg.d ORDER BY e.src)),
+  SELECT dst AS node,
+         list_reduce(list_prepend(0.0::DOUBLE, list(__fs ORDER BY __fb)),
                      (a, b) -> a + b) AS s
-  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
-  GROUP BY e.dst
+  FROM (
+    SELECT e.dst, e.src % 64 AS __fb,
+           list_reduce(list_prepend(0.0::DOUBLE,
+                                    list(r2.r / deg.d ORDER BY e.src)),
+                       (a, b) -> a + b) AS __fs
+    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst, e.src % 64
+  )
+  GROUP BY dst
 ),
 r3 AS (
   SELECT nodes.node,

@@ -288,9 +288,12 @@ register(QuerySpec(
 ))
 
 # Shared DuckDB replay of the deterministic IVF coarse quantizer
-# (md5-seeded Lloyd, 2 iterations, 8 cells, pinned-order cell-mean
-# folds) ending in `corpus` = (vid, cv, cn, cid); consumed by the
-# z_embedding_ivf_topk and z_semantic_dedup oracles.
+# (md5-seeded Lloyd, 2 iterations, 8 cells, TWO-LEVEL pinned cell-mean
+# folds: members bucketed by vec_id % 64, folded per bucket in vec_id
+# order, bucket sums folded in bucket order — the exact structure
+# functions/folds.py::ordered_fold_sum runs, so no Spark task ever
+# materializes a whole cell) ending in `corpus` = (vid, cv, cn, cid);
+# consumed by the z_embedding_ivf_topk and semantic_dedup oracles.
 _IVF_CTES = """n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -311,9 +314,16 @@ a1 AS (
 ),
 m1 AS (
   SELECT cid, pos,
-         list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
-                     (a, b) -> a + b) / count(*) AS m
-  FROM a1, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+         list_reduce(list_prepend(0.0, list(__fs ORDER BY __fb)),
+                     (a, b) -> a + b) / sum(__fn) AS m
+  FROM (
+    SELECT cid, pos, vec_id % 64 AS __fb,
+           list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
+                       (a, b) -> a + b) AS __fs,
+           count(*) AS __fn
+    FROM a1, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+    GROUP BY cid, pos, vec_id % 64
+  )
   GROUP BY cid, pos
 ),
 c1v AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
@@ -328,9 +338,16 @@ a2 AS (
 ),
 m2 AS (
   SELECT cid, pos,
-         list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
-                     (a, b) -> a + b) / count(*) AS m
-  FROM a2, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+         list_reduce(list_prepend(0.0, list(__fs ORDER BY __fb)),
+                     (a, b) -> a + b) / sum(__fn) AS m
+  FROM (
+    SELECT cid, pos, vec_id % 64 AS __fb,
+           list_reduce(list_prepend(0.0, list(v[pos] ORDER BY vec_id)),
+                       (a, b) -> a + b) AS __fs,
+           count(*) AS __fn
+    FROM a2, LATERAL unnest(generate_series(1, len(v))) AS g(pos)
+    GROUP BY cid, pos, vec_id % 64
+  )
   GROUP BY cid, pos
 ),
 c2v AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
@@ -352,12 +369,12 @@ register(QuerySpec(
     "(md5-seeded Lloyd, nprobe cell scan; approximate — recall vs the "
     "exact brute force is machine-checked in tests/test_operators.py). "
     "Full value oracle: the Lloyd recursion itself is replayed in SQL "
-    "— cell means are a PINNED sequential fold over members in vec_id "
-    "order (list_reduce over an ordered list, the exact fold "
-    "ivf_centroids runs via aggregate(array_sort(collect_list))), so "
-    "both engines produce bit-identical centroids, assignments, "
-    "probes and similarities; no avg() whose summation order an "
-    "engine could pick differently.",
+    "— cell means are the TWO-LEVEL pinned fold of functions/folds.py "
+    "(bucket by vec_id % 64, fold per bucket in vec_id order, fold "
+    "bucket sums in bucket order — no task materializes a whole "
+    "cell), so both engines produce bit-identical centroids, "
+    "assignments, probes and similarities; no avg() whose summation "
+    "order an engine could pick differently.",
     build=lambda spark, sf: S.ivf_topk(
         t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, nlist=8, nprobe=3
     ),
@@ -418,7 +435,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="lang_id_confusion",
+    name="z_lang_id_confusion",
     tags=("TX2",),
     description="Marker-token language-id vs labeled lang: confusion counts.",
     build=lambda spark, sf: (
@@ -453,7 +470,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="fingerprint_dups",
+    name="z_fingerprint_dups",
     tags=("TX4", "DD1"),
     description="Canonical-form fingerprint duplicate groups per source.",
     build=lambda spark, sf: (
@@ -776,7 +793,7 @@ register(QuerySpec(
                  CAST(row_number() OVER (
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                 ) AS INT) AS sample_rank
+                 ) AS BIGINT) AS sample_rank
           FROM documents
         )
         SELECT doc_id, source, sample_rank
@@ -871,7 +888,7 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="z_corpus_mix",
+    name="corpus_mix",
     tags=("TX5", "A1", "W1"),
     description="Weighted corpus mixing (operators/sampling.py::"
     "corpus_mix): an 81-document epoch drawn 3:2:1:7 from four "
@@ -916,7 +933,7 @@ register(QuerySpec(
           FROM documents
           WHERE source IN (SELECT source FROM parts)
         )
-        SELECT r.doc_id, r.source, CAST(r.rnk AS INT) AS sample_rank,
+        SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS sample_rank,
                CAST(q.quota AS BIGINT) AS quota
         FROM ranked r JOIN quota q USING (source)
         WHERE r.rnk <= q.quota
@@ -1067,7 +1084,7 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="z_semantic_dedup",
+    name="semantic_dedup",
     tags=("NN2", "DD2", "A5"),
     description="SemDeDup-style semantic dedup (operators/similarity"
     ".py::semantic_dedup): embeddings bucketed into the deterministic "
@@ -1233,7 +1250,7 @@ def _curation_v2(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_curation_pipeline_v2",
+    name="curation_pipeline",
     tags=("TX5", "DD1", "DD2", "F7", "O2"),
     description="End-to-end training-data prep composing the round-7 "
     "operator family: PII scrub -> eval-set split -> n-gram "

@@ -362,7 +362,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="join_left_default",
+    name="z_join_left_default",
     tags=("J3",),
     description="Left outer join with defaulted misses (reference "
     "proteomes_store.get(acc) -> None, interpro/xrefs/entries.py:179-190).",
@@ -557,7 +557,7 @@ def _cross_denorm(spark: SparkSession, sf: str):
 
 register(QuerySpec(
     # z_-parked (still differ-checked): J9 also covered by
-    # search_documents, J3 by join_left_default — slot freed for
+    # search_documents, J3 by z_join_left_default — slot freed for
     # mart_protein (plans/proteinq.py)
     name="z_cross_denorm",
     tags=("J9", "J3"),
@@ -819,7 +819,7 @@ register(QuerySpec(
 # --------------------------------------------------------------------------
 
 register(QuerySpec(
-    name="scalar_funcs",
+    name="z_scalar_funcs",
     tags=("F5", "F6", "F9", "F13", "A2"),
     description="String, datetime and CASE scalar functions in one per-order "
     "projection over a broadcast customer join: lower/trim/substring/concat_ws "

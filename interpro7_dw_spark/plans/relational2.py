@@ -277,9 +277,10 @@ register(QuerySpec(
     "rsd=0.02 — mergeable, fixed-size state, the 100 TB path where "
     "exact count-distinct needs a full shuffle of the key universe) "
     "side-by-side with the exact count, returning the exact value and "
-    "a within-5pct verdict. The sketch estimate itself is engine-"
-    "internal, so the oracle checks the CONTRACT: exact counts must "
-    "match and every group's verdict must be true.",
+    "a within-10pct verdict — the band is deliberately ~4x the "
+    "sketch's 2.5-sigma bound so a different Spark HLL++ build can't "
+    "fail the byte-exact differ without a real regression; the tight "
+    "5pct contract is asserted in tests/test_plans.py instead.",
     build=lambda spark, sf: (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
@@ -292,14 +293,14 @@ register(QuerySpec(
             "exact_orders",
             (
                 F.abs(F.col("approx") - F.col("exact_orders"))
-                <= F.col("exact_orders") * 0.05
-            ).alias("within_5pct"),
+                <= F.col("exact_orders") * 0.10
+            ).alias("within_10pct"),
         )
     ),
     oracle="""
         SELECT l_returnflag,
                count(DISTINCT l_orderkey) AS exact_orders,
-               TRUE AS within_5pct
+               TRUE AS within_10pct
         FROM lineitem GROUP BY l_returnflag
     """,
 ))
@@ -342,5 +343,48 @@ register(QuerySpec(
                round(quantile_cont(o_totalprice, 0.75), 4) AS q3,
                TRUE AS median_within_iqr
         FROM orders GROUP BY o_orderpriority
+    """,
+))
+
+
+from ..functions.folds import ordered_fold_oracle_cte  # noqa: E402
+
+
+def _ordered_fold(spark: SparkSession, sf: str):
+    from ..functions.folds import ordered_fold_sum
+
+    rows = t(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ok"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    return ordered_fold_sum(rows, ["grp"], "ok", "x").select(
+        "grp", F.round("fold_sum", 4).alias("fold_sum")
+    )
+
+
+register(QuerySpec(
+    name="z_ordered_fold",
+    tags=("F9", "A1"),
+    description="The shared two-level pinned float fold "
+    "(functions/folds.py::ordered_fold_sum — the hub-safe, "
+    "engine-replayable double summation under pagerank and the IVF "
+    "cell means): per-group sum of doubles bucketed by key % 64, "
+    "folded per bucket in key order, bucket sums folded in bucket "
+    "order. The oracle replays the identical bucket structure "
+    "(ordered_fold_oracle_cte), so both engines agree bit-for-bit "
+    "where a plain SUM(double) is partitioning-dependent in Spark.",
+    build=_ordered_fold,
+    oracle="""
+        SELECT grp, round(fold_sum, 4) AS fold_sum FROM (
+        """ + ordered_fold_oracle_cte(
+            source="""(SELECT l_suppkey % 50 AS grp,
+                              l_orderkey * 10 + l_linenumber AS ok,
+                              l_extendedprice::DOUBLE AS x FROM lineitem)""",
+            group_cols="grp",
+            order_col="ok",
+            value_expr="x",
+        ) + """
+        )
     """,
 ))

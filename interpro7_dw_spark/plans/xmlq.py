@@ -61,9 +61,15 @@ def synth_uniparc_matches(spark: SparkSession, sf: str):
         F.array(
             loc(
                 s1, s1 + 20, ((k % 8) / F.lit(4.0)),
+                # k%5==1 rows carry an EMPTY fragments string — the
+                # reference omits the attribute by truthiness
+                # (ftp/uniparc.py:108-112), not just for NULL
                 F.when(k % 5 == 0, F.concat(s1.cast("string"), F.lit("-"),
-                                            (s1 + 20).cast("string"), F.lit("-S"))),
-                F.when(k % 3 != 0, F.concat(F.lit("sf"), k % 3)),
+                                            (s1 + 20).cast("string"), F.lit("-S")))
+                .when(k % 5 == 1, F.lit("")),
+                # k%9==4 rows carry an EMPTY feature — same truthiness
+                F.when(k % 9 == 4, F.lit(""))
+                .when(k % 3 != 0, F.concat(F.lit("sf"), k % 3)),
             ),
             loc(
                 s2, s2 + 9, (((k + 1) % 8) / F.lit(4.0)),
@@ -115,7 +121,7 @@ mx AS (
            || CASE WHEN k % 5 = 0
                    THEN ' fragments="' || (1 + k % 100) || '-' || (21 + k % 100) || '-S"'
                    ELSE '' END
-           || CASE WHEN k % 3 != 0
+           || CASE WHEN k % 3 != 0 AND k % 9 != 4
                    THEN ' ' || CASE WHEN lib IN ('HAMAP', 'PROSITE patterns', 'PROSITE profiles')
                                     THEN 'alignment' ELSE 'sequence-feature' END
                         || '="sf' || (k % 3) || '"'

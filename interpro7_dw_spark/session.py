@@ -58,4 +58,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warning(spark)
     return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Lower WindowExec's logger to ERROR: its 'No Partition Defined'
+    warning fires for EVERY global window, including the deliberately
+    global ones in operators/sampling.py that run over tables bounded
+    by construction (#buckets x #strata <= 65536 rows — see the
+    comments there), flooding bench logs with a non-issue. A lit(0)
+    partition key cannot silence it (Catalyst folds literal partition
+    specs away), so target the logger itself; genuinely unbounded
+    global windows are guarded by the plan tests instead
+    (tests/test_plans.py)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: the warning is cosmetic

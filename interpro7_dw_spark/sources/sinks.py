@@ -166,8 +166,17 @@ def write_tsv_ranged(
         for r in lines:
             yield (r.value,)
 
-    framed = rows.rdd.mapPartitionsWithIndex(frame, preservesPartitioning=True)
-    writer = framed.toDF(["value"]).write.mode("overwrite")
+    rdd = rows.rdd
+    if rdd.getNumPartitions() == 0:
+        # degenerate empty plan: the header must still be written
+        framed = df.sparkSession.createDataFrame(
+            [(h,) for h in head], "value string"
+        )
+    else:
+        framed = rdd.mapPartitionsWithIndex(
+            frame, preservesPartitioning=True
+        ).toDF(["value"])
+    writer = framed.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
@@ -237,28 +246,44 @@ def write_xml_ranged(
     ``num_files`` range-ordered part files — header/root-open (and the
     optional prolog) ride in partition 0, the root close in the last
     partition, so concatenating part files in name order is the exact
-    well-formed document :func:`write_xml` produces in one. Empty
-    ranges still emit their framing (mapPartitionsWithIndex runs on
-    empty partitions), so the close tag cannot be lost."""
+    well-formed document :func:`write_xml` produces in one.
+
+    The close tag is pinned to the ACTUAL last partition, not
+    ``num_files - 1``: RangePartitioner returns fewer partitions than
+    requested when the sort key has fewer distinct sampled values (or
+    the input is empty), so framing by the requested count would drop
+    the root close and silently emit malformed XML."""
     ranged = df.repartitionByRange(
         num_files, *[F.col(c) for c in sort_cols]
     ).sortWithinPartitions(*sort_cols)
     open_tag, close_tag = f"<{root_tag}>", f"</{root_tag}>"
-    last = num_files - 1
+    rdd = ranged.rdd
+    n_parts = rdd.getNumPartitions()
+    if n_parts == 0:
+        # degenerate empty plan: emit the framing alone
+        lines = [header, open_tag] + ([prolog] if prolog is not None else [])
+        lines.append(close_tag)
+        framed = df.sparkSession.createDataFrame(
+            [(line,) for line in lines], "value string"
+        )
+    else:
+        last = n_parts - 1
 
-    def frame(idx, rows):
-        if idx == 0:
-            yield (header,)
-            yield (open_tag,)
-            if prolog is not None:
-                yield (prolog,)
-        for r in rows:
-            yield (row_to_xml(r),)
-        if idx == last:
-            yield (close_tag,)
+        def frame(idx, rows):
+            if idx == 0:
+                yield (header,)
+                yield (open_tag,)
+                if prolog is not None:
+                    yield (prolog,)
+            for r in rows:
+                yield (row_to_xml(r),)
+            if idx == last:
+                yield (close_tag,)
 
-    framed = ranged.rdd.mapPartitionsWithIndex(frame, preservesPartitioning=True)
-    writer = framed.toDF(["value"]).write.mode("overwrite")
+        framed = rdd.mapPartitionsWithIndex(
+            frame, preservesPartitioning=True
+        ).toDF(["value"])
+    writer = framed.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)

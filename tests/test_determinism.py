@@ -17,7 +17,7 @@ from conftest import SF_SMALL
 # queries whose pipelines contain order-sensitive reductions the
 # engine claims to have pinned
 SENSITIVE = [
-    "z_pagerank",              # pinned-fold float sums per iteration
+    "pagerank",              # pinned-fold float sums per iteration
     "z_embedding_ivf_topk",    # pinned-fold Lloyd centroid means
     "z_domain_merge_matches",  # total-order domain_id + sorted JSON folds
     "z_sample_stratified",     # two-phase bucket-split ranks

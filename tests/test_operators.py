@@ -874,3 +874,89 @@ def test_top_tfidf_terms_scoring_and_ties(spark):
     assert sorted(got[3]) == [(1, "alone", 1, 2), (2, "ubiq", 1, 0)]
     # doc 4 has a single term; k caps, never pads
     assert sorted(got[4]) == [(1, "ubiq", 1, 0)]
+
+
+def _py_two_level_fold(pairs, n_buckets):
+    """Exact Python replay of functions/folds.py::ordered_fold_sum for
+    one group: bucket by order % n_buckets, left-fold per bucket in
+    order, left-fold bucket sums in bucket order."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for o, v in pairs:
+        buckets[o % n_buckets].append((o, v))
+    total = 0.0
+    for fb in sorted(buckets):
+        acc = 0.0
+        for _, v in sorted(buckets[fb]):
+            acc += v
+        total += acc
+    return total
+
+
+def test_ordered_fold_sum_exact_replay(spark):
+    from interpro7_dw_spark.functions.folds import ordered_fold_sum
+
+    pairs = [(i, ((i * 37) % 101) / 7.0) for i in range(1000)]
+    df = spark.createDataFrame(
+        [(0, o, v) for o, v in pairs], "grp int, ok long, x double"
+    )
+    for nb in (1, 8, 64):
+        got = ordered_fold_sum(
+            df, ["grp"], "ok", "x", n_buckets=nb, count_col="cnt"
+        ).collect()
+        assert len(got) == 1
+        assert got[0].cnt == 1000
+        assert got[0].fold_sum == _py_two_level_fold(pairs, nb)
+
+
+def test_pagerank_hub_safe_exact(spark):
+    """Property test for the hub-safe fold: one dst receives >= 50% of
+    ALL edges (in-degree 200 of 300); the two-level fold must still
+    replay the exact Python recursion bit-for-bit, with the hub's
+    contributors split across multiple level-1 groups (never one
+    task-resident array)."""
+    from interpro7_dw_spark.operators.graph import pagerank
+
+    edges = [(s, 0) for s in range(200)] + [(s, 1) for s in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_buckets = 8
+    got = {r.node: r.pagerank
+           for r in pagerank(df, iters=3, n_buckets=n_buckets).collect()}
+
+    deg = {s: (2 if s < 100 else 1) for s in range(200)}
+    nodes = sorted(set(range(200)))
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - 0.85) / n
+    for _ in range(3):
+        s = {}
+        for dst in (0, 1):
+            srcs = range(200) if dst == 0 else range(100)
+            s[dst] = _py_two_level_fold(
+                [(src, rank[src] / deg[src]) for src in srcs], n_buckets
+            )
+        rank = {v: base + 0.85 * s.get(v, 0.0) for v in nodes}
+    for v in nodes:
+        assert got[v] == round(rank[v], 10), v
+    # the hub's 200 contributors span every residue class: 8 level-1
+    # groups of 25, so no single task ever folds the full in-degree
+    assert len({src % n_buckets for src in range(200)}) == n_buckets
+
+
+def test_ivf_nlist_scales_past_literal_ceiling(spark):
+    """nlist=256 end-to-end: the centroid table rides as broadcast
+    DATA (single-row array), so the Catalyst expression tree stays
+    O(1) in nlist — the old nlist x dim literal encoding would put
+    ~16k literal nodes (and a megabyte of plan text) here."""
+    import pyspark.sql.functions as F
+
+    from interpro7_dw_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_topk(emb, F.col("vec_id") < 3, k=3, nlist=256, nprobe=8, iters=1)
+    rows = out.collect()
+    assert {r.qid for r in rows} == {0, 1, 2}
+    assert all(r.rank <= 3 for r in rows)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000, len(plan)

@@ -122,3 +122,74 @@ def test_sampling_rank_single_full_shuffle(spark):
     above = next(ln for ln in reversed(lines[:partial_idx]) if "Exchange" in ln)
     assert "hashpartitioning" in above
     assert final.count("BroadcastExchange") == 1
+
+
+def test_token_df_not_a_window(spark):
+    """token_rarity_stats / top_tfidf_terms must compute document
+    frequency as a groupBy(token) aggregate joined back — NEVER a
+    window partitioned by the token key, whose group for a stop token
+    ("the" ~ every doc) cannot be AQE-split and lands in one task at
+    corpus scale. The only Window allowed is tfidf's per-doc top-k."""
+    from interpro7_dw_spark.operators.text import (
+        token_rarity_stats,
+        top_tfidf_terms,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    for df in (token_rarity_stats(docs), top_tfidf_terms(docs)):
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # partition columns render first inside windowspecdefinition(
+        # ...) — token as an ORDER BY tiebreak (tfidf top-k) is fine,
+        # token as the PARTITION key is the scale bug
+        assert "windowspecdefinition(token" not in final, [
+            ln for ln in final.splitlines() if "windowspecdefinition" in ln
+        ]
+        # df arrives via a broadcast of the vocabulary-sized aggregate
+        assert "BroadcastExchange" in final
+        assert "partial_count" in final
+
+
+def test_token_df_cap_and_shuffle_join(spark):
+    """max_df drops hot tokens before the join back; broadcast_vocab=
+    False degrades to a shuffle join (AQE-skew-splittable) with
+    identical results for the surviving tokens."""
+    from interpro7_dw_spark.operators.text import token_rarity_stats
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").limit(50)
+    full = token_rarity_stats(docs).orderBy("doc_id").collect()
+    shuffled = (
+        token_rarity_stats(docs, broadcast_vocab=False)
+        .orderBy("doc_id").collect()
+    )
+    assert full == shuffled
+    capped = token_rarity_stats(docs, max_df=2).collect()
+    # every retained token has df <= 2, so no doc can have more types
+    by_id = {r.doc_id: r for r in capped}
+    for r in full:
+        if r.doc_id in by_id:
+            assert by_id[r.doc_id].n_token_types <= r.n_token_types
+
+
+def test_hll_sketch_tight_contract(spark):
+    """The differ's z_approx_distinct_bounds verdict is deliberately
+    loose (10%); the tight contract — HLL++ at rsd=0.02 within 5% of
+    exact on every group — is asserted here, where a Spark-version
+    drift fails a unit test instead of the byte-exact oracle."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= r.exact * 0.05, r
