@@ -391,22 +391,27 @@ def _alphafold(spark: SparkSession, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, "protein_acc string")
 
 
-def write_warehouse_fixtures(spark: SparkSession, out_dir: str) -> dict[str, str]:
+def write_warehouse_fixtures(
+    spark: SparkSession, out_dir: str, n_proteins: int = 48
+) -> dict[str, str]:
     """Write every fixture table as parquet under ``out_dir``;
-    returns {table_name: path}."""
+    returns {table_name: path}. ``n_proteins`` scales the fact-side
+    tables (proteins, matches, proteome/segment/alphafold memberships)
+    while the dimensions stay fixed — the knob the scaled ranged-sink
+    equivalence test turns."""
     clans_dim, clan_members, clan_alignments = _clans(spark)
     staging_dbs, public_dbs = _databases(spark)
     previous_public, previous_integrated = _previous_release(spark)
     tables: dict[str, DataFrame] = {
         "taxonomy": _taxonomy(spark),
-        "protein": _proteins(spark),
+        "protein": _proteins(spark, n_proteins),
         "signature": _signatures(spark),
         "entry_dim": _entry_dim(spark),
-        "match": _matches(spark),
+        "match": _matches(spark, n_proteins),
         "proteome": _proteomes(spark),
-        "protein_proteome": _protein_proteome(spark),
+        "protein_proteome": _protein_proteome(spark, n_proteins),
         "structure": _structures(spark),
-        "protein_segments": _protein_segments(spark),
+        "protein_segments": _protein_segments(spark, n_proteins),
         "clan": clans_dim,
         "clan_member": clan_members,
         "clan_alignment": clan_alignments,
@@ -417,7 +422,7 @@ def write_warehouse_fixtures(spark: SparkSession, out_dir: str) -> dict[str, str
         "entry_go": _entry_go(spark),
         "entry_pubmed": _entry_pubmed(spark),
         "features": _features(spark),
-        "alphafold": _alphafold(spark),
+        "alphafold": _alphafold(spark, n_proteins),
     }
     out: dict[str, str] = {}
     for name, df in tables.items():

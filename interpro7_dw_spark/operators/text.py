@@ -317,3 +317,82 @@ def top_tfidf_terms(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term_rank", "token", "tf", "score")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1
+    repetition filters, integer-exact variant): per document, over the
+    whitespace-token ``n``-gram stream —
+
+    - ``n_ngrams``        total n-grams (len - n + 1, 0 if shorter);
+    - ``n_distinct``      distinct n-grams;
+    - ``dup_ngram_frac``  fraction of n-gram OCCURRENCES whose n-gram
+      appears more than once (the "duplicate n-gram fraction" filter);
+    - ``top_ngram_frac``  share of the single most frequent n-gram
+      (ties by count only — the share is identical whichever tied
+      gram is "top").
+
+    Boilerplate/spam pages score high on both; natural prose stays
+    low. Fractions are exact integer ratios rounded to 4 places, so
+    any engine agrees.
+
+    Scale: ENTIRELY map-side — the n-gram array, its distinct set and
+    the per-distinct counts are per-row higher-order functions (no
+    explode, no shuffle, no Python); cost is O(u * g) per row for u
+    distinct and g total grams, same order as the tokenizer scan for
+    natural text. Compose with a length cap upstream for adversarially
+    long rows.
+    """
+    toks = _tokens(text_col)
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        "", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram_at
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("__g"))
+        .select(
+            "doc_id",
+            F.size("__g").cast("long").alias("n_ngrams"),
+            F.transform(
+                F.array_distinct("__g"),
+                lambda d: F.size(F.filter(F.col("__g"), lambda x: x == d)),
+            ).alias("__cnts"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.size("__cnts").cast("long").alias("n_distinct"),
+            F.aggregate(
+                "__cnts",
+                F.lit(0).cast("long"),
+                lambda acc, c: acc
+                + F.when(c > 1, c.cast("long")).otherwise(F.lit(0).cast("long")),
+            ).alias("__dup_occ"),
+            F.greatest(
+                F.array_max("__cnts").cast("long"), F.lit(0).cast("long")
+            ).alias("__top"),
+        )
+    )
+    return counted.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("__dup_occ") / F.col("n_ngrams"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("__top") / F.col("n_ngrams"), 4),
+        ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+    )

@@ -1375,3 +1375,79 @@ register(QuerySpec(
         ) WHERE rnk <= 3
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_repetition_stats",
+    tags=("TX1", "F9", "F11"),
+    description="Gopher-style repetition quality filters "
+    "(operators/text.py::repetition_stats): per-document duplicate-"
+    "2-gram occurrence fraction and top-2-gram share, integer-exact "
+    "ratios rounded to 4 places. ENTIRELY map-side on the Spark side "
+    "(per-row higher-order functions, no shuffle); the oracle "
+    "recomputes via an explode + group, proving the row-local counts "
+    "equal the relational ones.",
+    build=lambda spark, sf: X.repetition_stats(
+        t(spark, sf, "documents"), n=2
+    ),
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        g AS (
+          SELECT doc_id, tk[i] || tk[i + 1] AS gram
+          FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+          WHERE len(tk) >= 2
+        ),
+        c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_ngrams,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_occ,
+                 CAST(max(c) AS BIGINT) AS top
+          FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_ngrams, 0) AS n_ngrams,
+               coalesce(a.n_distinct, 0) AS n_distinct,
+               coalesce(round(a.dup_occ / a.n_ngrams, 4), 0.0)
+                 AS dup_ngram_frac,
+               coalesce(round(a.top / a.n_ngrams, 4), 0.0)
+                 AS top_ngram_frac
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_token_rarity_capped",
+    tags=("TX2", "A2"),
+    description="token_rarity_stats with the drop-hot DF cap engaged "
+    "(max_df=40): tokens above the ceiling vanish from the stats "
+    "before the join back — the fan-in guard for pathological "
+    "tokenizers (cf. drop_hot_shingles). Documents made ENTIRELY of "
+    "capped tokens drop out (inner join), which the oracle replays.",
+    build=lambda spark, sf: X.token_rarity_stats(
+        t(spark, sf, "documents"), max_df=40
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents,
+               LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        dfr AS (
+          SELECT token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS bits
+          FROM toks GROUP BY token
+          HAVING count(*) <= 40
+        )
+        SELECT doc_id,
+               count(*) AS n_token_types,
+               CAST(sum(bits) AS BIGINT) AS df_bits_sum,
+               round(sum(bits) / count(*), 4) AS mean_commonness
+        FROM toks JOIN dfr USING (token)
+        GROUP BY doc_id
+    """,
+))

@@ -960,3 +960,33 @@ def test_ivf_nlist_scales_past_literal_ceiling(spark):
     assert all(r.rank <= 3 for r in rows)
     plan = out._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 200_000, len(plan)
+
+
+def test_repetition_stats_gopher_filters(spark):
+    from interpro7_dw_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # grams: ab ba ab ba ab -> all dup, top 3/5
+            (2, "x y z w"),       # all distinct
+            (3, "q"),             # shorter than n -> zero row
+            (4, "s s s s"),       # one gram repeated 3x
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert (got[1].n_ngrams, got[1].n_distinct) == (5, 2)
+    assert (got[1].dup_ngram_frac, got[1].top_ngram_frac) == (1.0, 0.6)
+    assert (got[2].dup_ngram_frac, got[2].top_ngram_frac) == (0.0, 0.3333)
+    assert (got[3].n_ngrams, got[3].dup_ngram_frac, got[3].top_ngram_frac) \
+        == (0, 0.0, 0.0)
+    assert (got[4].dup_ngram_frac, got[4].top_ngram_frac) == (1.0, 1.0)
+    # trigram variant on doc 1: q r q r q r -> [aba bab aba] analogue
+    tri = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    assert (tri[1].n_ngrams, tri[1].n_distinct) == (4, 2)
+    # no shuffle: the whole thing is one ProjectExec chain
+    plan = (
+        repetition_stats(df, n=2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -215,3 +215,41 @@ def test_interpro2go_header_and_parent_child_tree(warehouse):
         "IPR000002::Helicase::",
         "--IPR000003::Kinase site::",
     ]
+
+
+def test_ranged_build_matches_single_stream_scaled(spark, tmp_path_factory):
+    """The ranged/single equivalence at ~60x the fixture scale
+    (n_proteins=3000, ~10k match rows): ranged_files=4 on the heaviest
+    flat sink (protein2ipr) and the heaviest XML sink (match_complete)
+    must still concatenate byte-identically to the single-file build —
+    range boundaries now fall mid-protein-run, exercising real splits
+    rather than the 48-protein toy."""
+    root = tmp_path_factory.mktemp("whs")
+    fx = str(root / "fixtures")
+    write_warehouse_fixtures(spark, fx, n_proteins=3000)
+    steps = ["flat_files", "match_complete_xml"]
+
+    out_s = str(root / "single")
+    out_r = str(root / "ranged")
+    assert build_warehouse(spark, fx, out_s, steps=steps) == {
+        s: "built" for s in steps
+    }
+    assert build_warehouse(spark, fx, out_r, steps=steps, ranged_files=4) == {
+        s: "built" for s in steps
+    }
+
+    def cat(path, gz):
+        parts = sorted(glob.glob(os.path.join(path, "part-*")))
+        opener = (lambda f: gzip.open(f, "rt", encoding="utf-8")) if gz \
+            else (lambda f: open(f, encoding="utf-8"))
+        return parts, "".join(opener(f).read() for f in parts)
+
+    for rel, gz in [
+        (os.path.join("flat", "protein2ipr.dat"), True),
+        (os.path.join("xml", "match_complete.xml.gz"), True),
+    ]:
+        parts, ranged_text = cat(os.path.join(out_r, rel), gz)
+        assert len(parts) == 4, rel
+        _, single_text = cat(os.path.join(out_s, rel), gz)
+        assert ranged_text == single_text, rel
+        assert len(single_text) > 200_000, rel  # genuinely scaled
