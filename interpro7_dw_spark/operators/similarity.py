@@ -404,3 +404,93 @@ def semantic_dedup(
             F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
         )
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: the normed corpus written as parquet
+    PARTITIONED BY cell id, plus the centroid table as its own parquet.
+    This is the build-once half of the 100 TB query path: the Lloyd
+    passes and the assignment run exactly once; every later query
+    batch (:func:`ivf_topk_on_index`) reads only its ``nprobe`` cells'
+    FILES — partition pruning on ``cid=``-style directories — instead
+    of re-scanning and re-assigning the corpus. The corpus layout also
+    co-locates each cell, so the probe join needs no corpus-side
+    shuffle."""
+    centroids = ivf_centroids(
+        emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    n = with_norm(emb, vec_col)
+    corpus = _with_centroid_arr(n, centroids).select(
+        F.col(id_col).alias("vid"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+        _nearest_cid(F.col("__v")).alias("cid"),
+    )
+    corpus.write.mode("overwrite").partitionBy("cid").parquet(path + "/corpus")
+    emb.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_on_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query half of :func:`write_ivf_index`: approximate top-k
+    for every row of ``queries`` against the persisted index. Probe
+    cell ids come from the stored centroid table (broadcast DATA, same
+    argmin as the builder); the candidate scan is an equi-join of the
+    broadcast query side onto the cid-partitioned corpus, so dynamic
+    partition pruning / partition filters restrict the read to the
+    probed cells' files — the corpus is never rescanned whole, and a
+    fresh query batch costs O(batch x corpus/nlist x nprobe).
+
+    Same result contract as :func:`ivf_topk` run with the same
+    (nlist, iters, nprobe, k) on the same corpus."""
+    spark = queries.sparkSession
+    cents = spark.read.parquet(path + "/centroids")
+    centroids = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in cents.collect()
+    ]
+    centroids.sort()
+    corpus = spark.read.parquet(path + "/corpus")
+    q = _with_centroid_arr(with_norm(queries, vec_col), centroids).select(
+        F.col(id_col).alias("qid"),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+        F.explode(
+            F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, nprobe)
+            .getField("cid")
+        ).alias("cid"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(corpus, "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "sim")
+    )

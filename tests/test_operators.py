@@ -990,3 +990,33 @@ def test_repetition_stats_gopher_filters(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """write_ivf_index + ivf_topk_on_index == ivf_topk run inline with
+    the same (nlist, iters, nprobe, k): the build-once index path must
+    be a pure re-layout, and the probe scan must be restricted to the
+    probed cells' partitions (dynamic partition pruning on cid)."""
+    import pyspark.sql.functions as F
+
+    from interpro7_dw_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_on_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, nlist=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk_on_index(queries, path, k=5, nprobe=3)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ivf_topk(
+        emb, F.col("vec_id") < 5, k=5, nlist=8, nprobe=3, iters=2
+    ).collect()))
+    assert got == want and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan must carry a partition filter on cid (DPP from
+    # the broadcast query side), not a full-index scan
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
