@@ -396,3 +396,64 @@ def repetition_stats(
             F.round(F.col("__top") / F.col("n_ngrams"), 4),
         ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
     )
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def tag_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style URL filtering signal: flag documents whose
+    URL host matches a blocklisted registrable domain or ANY of its
+    subdomains (dot-boundary suffix match — blocking ``spam.net``
+    blocks ``ads.spam.net`` but not ``notspam.net``). ``blocklist`` is
+    a one-column (``domain``) DataFrame.
+
+    Scale: the host extraction is one map-side regex; suffix matching
+    explodes the host into its dot-suffixes (<= #labels per row, ~4-6)
+    and LEFT-SEMI-joins against the BROADCAST blocklist — an equi-join
+    probe, never a regex-per-blocked-domain scan (real blocklists run
+    10^5-10^7 entries; a regex union would be unplannable and a
+    like-join a cross product). Blocklists too big to broadcast
+    degrade to a shuffle semi-join on the same key.
+
+    Returns (id, url, host, is_blocked) for every input row.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1)).alias("host"),
+    )
+    labels = F.split(F.col("host"), r"\.")
+    sfx = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(labels)),
+                lambda i: F.array_join(
+                    F.slice(labels, i, F.size(labels) - i + 1), "."
+                ),
+            )
+        ).alias("sfx"),
+    )
+    blocked = (
+        sfx.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("sfx"))),
+            "sfx",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return d.join(
+        blocked.withColumn("__b", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.col("doc_id").alias(id_col),
+        "url",
+        "host",
+        F.coalesce("__b", F.lit(False)).alias("is_blocked"),
+    )

@@ -1451,3 +1451,69 @@ register(QuerySpec(
         GROUP BY doc_id
     """,
 ))
+
+
+def _blocklist_filter(spark: SparkSession, sf: str):
+    hostpart = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("www.good.org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("tracker.example"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("nottracker.example"))
+        .otherwise(F.lit("sub.spam.net"))
+    )
+    urls = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), hostpart, F.lit("/p/"), F.col("doc_id")
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("tracker.example",), ("spam.net",)], "domain string"
+    )
+    return X.tag_blocked_domains(urls, bl)
+
+
+register(QuerySpec(
+    name="z_domain_blocklist",
+    tags=("TX1", "J4", "P3"),
+    description="URL/domain blocklist filtering (operators/text.py::"
+    "tag_blocked_domains — the C4/RefinedWeb curation step): host "
+    "extracted with one map-side regex, matched against a BROADCAST "
+    "blocklist by exploding the host's dot-suffixes into an equi-join "
+    "probe (blocking spam.net blocks ads.spam.net but NOT "
+    "notspam.net — the nottracker.example fixture proves the dot "
+    "boundary). Never a regex-per-domain scan: real blocklists are "
+    "10^5-10^7 rows.",
+    build=_blocklist_filter,
+    oracle="""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'ads.tracker.example'
+                   WHEN 1 THEN 'www.good.org'
+                   WHEN 2 THEN 'tracker.example'
+                   WHEN 3 THEN 'nottracker.example'
+                   ELSE 'sub.spam.net' END
+                 || '/p/' || doc_id AS url
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+          FROM u
+        ),
+        sfx AS (
+          SELECT doc_id, array_to_string(parts[i:len(parts)], '.') AS s
+          FROM (SELECT doc_id, string_split(host, '.') AS parts FROM d),
+               LATERAL unnest(generate_series(1, len(parts))) AS g(i)
+        ),
+        blocked AS (
+          SELECT DISTINCT doc_id FROM sfx
+          WHERE s IN ('tracker.example', 'spam.net')
+        )
+        SELECT d.doc_id, d.url, d.host,
+               (b.doc_id IS NOT NULL) AS is_blocked
+        FROM d LEFT JOIN blocked b USING (doc_id)
+    """,
+))

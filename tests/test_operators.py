@@ -1020,3 +1020,29 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     # the broadcast query side), not a full-index scan
     assert "PartitionFilters" in plan
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from interpro7_dw_spark.operators.text import tag_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.spam.net/x"),       # subdomain -> blocked
+            (2, "https://spam.net/y"),           # exact -> blocked
+            (3, "https://notspam.net/z"),        # dot boundary -> kept
+            (4, "http://good.org:8080/a?b=c"),   # port stripped
+            (5, "https://SPAM.net/upper"),       # case-folded
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("spam.net",)], "domain string")
+    got = {r.doc_id: (r.host, r.is_blocked)
+           for r in tag_blocked_domains(docs, bl).collect()}
+    assert got[1] == ("ads.spam.net", True)
+    assert got[2] == ("spam.net", True)
+    assert got[3] == ("notspam.net", False)
+    assert got[4] == ("good.org", False)
+    assert got[5] == ("spam.net", True)
+    plan = tag_blocked_domains(docs, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
