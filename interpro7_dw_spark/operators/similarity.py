@@ -143,23 +143,34 @@ def lsh_bucket(
     return emb.withColumn("bucket", bucket)
 
 
-def _with_centroid_arr(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Attach the centroid table to every row as ONE array column
-    (``__cents``: array<struct<cid int, cvec array<double>>>) via a
-    broadcast of a single-row centroid DataFrame — a cross join that
-    multiplies nothing (one build row). The centroid DATA travels as
-    broadcast rows, not as Catalyst literals, so the expression tree is
-    O(1) in nlist: nlist=10^4..10^5 (what real SemDeDup needs at
-    100 TB) costs only the broadcast bytes (nlist x dim x 8), where the
-    old literal-array encoding hit the expression-size ceiling around
-    nlist~1k."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
+def _attach_centroids(df: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Attach the centroid table (a ``(cid int, cvec array<double>)``
+    DataFrame) to every row as ONE array column (``__cents``:
+    array<struct<cid, cvec>>) via a broadcast of a single-row
+    aggregate — a cross join that multiplies nothing (one build row).
+    The centroid DATA travels as broadcast rows, not as Catalyst
+    literals, so the expression tree is O(1) in nlist: nlist=10^4..10^5
+    (what real SemDeDup needs at 100 TB) costs only the broadcast bytes
+    (nlist x dim x 8), where the old literal-array encoding hit the
+    expression-size ceiling around nlist~1k."""
+    one = cdf.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("__cents")
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
+def _centroids_as_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, cvec array<double>",
     )
-    one = cdf.agg(F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("__cents"))
-    return df.crossJoin(F.broadcast(one))
+
+
+def _with_centroid_arr(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """List-input convenience over :func:`_attach_centroids` (used by
+    the persisted-index path, whose centroid table round-trips through
+    parquet as rows anyway)."""
+    return _attach_centroids(df, _centroids_as_df(df.sparkSession, centroids))
 
 
 def _cand_structs(v: Column) -> Column:
@@ -177,27 +188,34 @@ def _nearest_cid(v: Column) -> Column:
     return F.array_min(_cand_structs(v)).getField("cid")
 
 
-def ivf_centroids(
+def ivf_centroids_df(
     emb: DataFrame,
     nlist: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer: Lloyd iterations seeded from
-    the ``nlist`` corpus vectors with the smallest md5(id) (a
-    reproducible pseudo-random sample — no RNG state, same centroids
-    every run/engine).
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer, fully DataFrame-side:
+    Lloyd iterations seeded from the ``nlist`` corpus vectors with the
+    smallest md5(id) (a reproducible pseudo-random sample — no RNG
+    state, same centroids every run/engine). Returns the centroid
+    table ``(cid int, cvec array<double>)``; NOTHING reaches the
+    driver — each iteration ends in a ``localCheckpoint`` that
+    materializes the nlist-row table and truncates lineage (swap for a
+    durable checkpoint on a cluster), so at nlist=10^5 the loop never
+    serializes centroids through the driver the way a per-round
+    collect would.
 
     Each iteration is one distributed pass: nearest-centroid assignment
     attaches the centroid table as a broadcast single-row array
-    (:func:`_with_centroid_arr` — centroid DATA, not Catalyst
+    (:func:`_attach_centroids` — centroid DATA, not Catalyst
     literals, so nlist scales to 10^4..10^5 cells) and reduces it
     row-locally with array_min; the new means come from one posexplode
-    + the two-level pinned fold (nlist*dim groups). Only the centroid
-    table ever reaches the driver, so the corpus side scales; this
-    mirrors k-means|| minus the sampling rounds, acceptable because
-    IVF needs a usable coarse partition, not an optimal clustering.
+    + the two-level pinned fold (nlist*dim groups). Empty cells keep
+    their previous centroid (a left join + coalesce — deterministic).
+    This mirrors k-means|| minus the sampling rounds, acceptable
+    because IVF needs a usable coarse partition, not an optimal
+    clustering.
 
     Cell means are NOT ``avg`` (whose float summation order is
     engine/partitioning-dependent): each (cell, dimension) mean is the
@@ -215,15 +233,19 @@ def ivf_centroids(
     from ..functions.folds import ordered_fold_sum
 
     n = with_norm(emb, vec_col)
-    seeds = (
-        n.select(F.col(id_col), "__v")
-        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
-        .limit(nlist)
-        .collect()
-    )
-    centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
+    order = [
+        F.md5(F.col(id_col).cast("string").cast("binary")),
+        F.col(id_col),
+    ]
+    # orderBy + limit = TakeOrderedAndProject (global top-nlist); the
+    # row_number window then runs over those nlist rows only
+    seeds = n.select(F.col(id_col), "__v").orderBy(*order).limit(nlist)
+    cdf = seeds.select(
+        (F.row_number().over(Window.orderBy(*order)) - 1).alias("cid"),
+        F.col("__v").alias("cvec"),
+    ).localCheckpoint()
     for _ in range(iters):
-        assigned = _with_centroid_arr(n, centroids).select(
+        assigned = _attach_centroids(n, cdf).select(
             F.col(id_col).alias("__vid"),
             _nearest_cid(F.col("__v")).alias("cid"),
             "__v",
@@ -240,13 +262,31 @@ def ivf_centroids(
             .select("cid", "pos", (F.col("s") / F.col("cnt")).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.col("pm.m").alias("vec"))
-            .collect()
+            .select("cid", F.col("pm.m").alias("mvec"))
         )
-        new = {r["cid"]: [float(x) for x in r["vec"]] for r in means}
         # empty cells keep their previous centroid (deterministic)
-        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
-    return centroids
+        cdf = cdf.join(means, "cid", "left").select(
+            "cid", F.coalesce("mvec", "cvec").alias("cvec")
+        ).localCheckpoint()
+    return cdf
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Driver-side list view of :func:`ivf_centroids_df` (one collect
+    at the END — nlist rows, used by the persisted-index writer and
+    tests; the query operators stay DataFrame-side throughout)."""
+    rows = (
+        ivf_centroids_df(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+        .orderBy("cid")
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
 
 
 def ivf_topk(
@@ -271,9 +311,9 @@ def ivf_topk(
     product anywhere. At 100 TB, write the corpus bucketed by cid so
     repeated query batches skip the assignment shuffle.
     """
-    centroids = ivf_centroids(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    cdf = ivf_centroids_df(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
     n = with_norm(emb, vec_col).persist()  # assignment + query probe reuse the normed corpus
-    nc = _with_centroid_arr(n, centroids)
+    nc = _attach_centroids(n, cdf)
     corpus = nc.select(
         F.col(id_col).alias("vid"),
         F.col("__v").alias("cv"),
@@ -373,11 +413,11 @@ def semantic_dedup(
 
     Returns (id, cid, is_duplicate) for every input row.
     """
-    centroids = ivf_centroids(
+    cdf = ivf_centroids_df(
         emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
     )
     n = with_norm(emb, vec_col)
-    corpus = _with_centroid_arr(n, centroids).select(
+    corpus = _attach_centroids(n, cdf).select(
         F.col(id_col).alias("vid"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
@@ -423,21 +463,18 @@ def write_ivf_index(
     of re-scanning and re-assigning the corpus. The corpus layout also
     co-locates each cell, so the probe join needs no corpus-side
     shuffle."""
-    centroids = ivf_centroids(
+    cdf = ivf_centroids_df(
         emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
     )
     n = with_norm(emb, vec_col)
-    corpus = _with_centroid_arr(n, centroids).select(
+    corpus = _attach_centroids(n, cdf).select(
         F.col(id_col).alias("vid"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
         _nearest_cid(F.col("__v")).alias("cid"),
     )
     corpus.write.mode("overwrite").partitionBy("cid").parquet(path + "/corpus")
-    emb.sparkSession.createDataFrame(
-        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
-        "cid int, cvec array<double>",
-    ).write.mode("overwrite").parquet(path + "/centroids")
+    cdf.write.mode("overwrite").parquet(path + "/centroids")
 
 
 def ivf_topk_on_index(
