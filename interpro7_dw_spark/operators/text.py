@@ -324,6 +324,7 @@ def repetition_stats(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 A1.1
     repetition filters, integer-exact variant): per document, over the
@@ -345,10 +346,14 @@ def repetition_stats(
     the per-distinct counts are per-row higher-order functions (no
     explode, no shuffle, no Python); cost is O(u * g) per row for u
     distinct and g total grams, same order as the tokenizer scan for
-    natural text. Compose with a length cap upstream for adversarially
-    long rows.
+    natural text. ``max_tokens`` clamps the scored prefix so an
+    adversarially long row (u*g ~ len^2 worst case) cannot pin a task;
+    repetition signals saturate within the first few thousand tokens
+    anyway (the published filters score fixed-length windows).
     """
     toks = _tokens(text_col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     gram_at = lambda i: F.concat_ws(  # noqa: E731
         "", *[F.element_at(toks, i + k) for k in range(n)]
     )
@@ -406,6 +411,7 @@ def tag_blocked_domains(
     blocklist: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    broadcast_blocklist: bool = True,
 ) -> DataFrame:
     """C4/RefinedWeb-style URL filtering signal: flag documents whose
     URL host matches a blocklisted registrable domain or ANY of its
@@ -418,8 +424,9 @@ def tag_blocked_domains(
     and LEFT-SEMI-joins against the BROADCAST blocklist — an equi-join
     probe, never a regex-per-blocked-domain scan (real blocklists run
     10^5-10^7 entries; a regex union would be unplannable and a
-    like-join a cross product). Blocklists too big to broadcast
-    degrade to a shuffle semi-join on the same key.
+    like-join a cross product). ``broadcast_blocklist=False`` degrades
+    to a shuffle semi-join on the same key for blocklists too big to
+    broadcast.
 
     Returns (id, url, host, is_blocked) for every input row.
     """
@@ -440,12 +447,11 @@ def tag_blocked_domains(
             )
         ).alias("sfx"),
     )
+    bl = blocklist.select(F.col("domain").alias("sfx"))
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
     blocked = (
-        sfx.join(
-            F.broadcast(blocklist.select(F.col("domain").alias("sfx"))),
-            "sfx",
-            "left_semi",
-        )
+        sfx.join(bl, "sfx", "left_semi")
         .select("doc_id")
         .distinct()
     )
