@@ -62,6 +62,13 @@ HEADLINE = [
     # r7 addition: the bucket-split global rank (single full-row
     # shuffle) — the sampling family's throughput anchor
     "z_global_shuffle",
+    # r8 additions: the promoted LLM-ops flagships — SemDeDup (IVF
+    # cells + within-cell pairwise over the broadcast-data centroid
+    # path) and hub-safe PageRank (two-level pinned fold); plus the
+    # zero-shuffle per-row HOF scorer as the map-side throughput anchor
+    "semantic_dedup",
+    "pagerank",
+    "z_repetition_stats",
 ]
 
 
