@@ -358,3 +358,82 @@ def contamination_stats(
         F.round(F.col("n_contaminated") / F.col("n_passages"), 4)
         .alias("contaminated_frac"),
     )
+
+
+def _bloom_positions_sql(key_sql: str, k: int, m_bits: int) -> str:
+    """SQL array expression of ``k`` Bloom bit positions for a string
+    key: position_i = md5('<i>:' || key) first-8-hex-digits % m_bits.
+    Pure md5 arithmetic — Spark's conv() and DuckDB's
+    ('0x'||hex)::UBIGINT parse the same digits, so an oracle replays
+    every position (and therefore every hit, false positives included)
+    exactly. 8 hex digits = 32 bits, so the BIGINT never overflows."""
+    return (
+        "array("
+        + ", ".join(
+            f"CAST(conv(substring(md5(CAST(concat('{i}:', {key_sql}) AS BINARY"
+            f")), 1, 8), 16, 10) AS BIGINT) % {m_bits}"
+            for i in range(k)
+        )
+        + ")"
+    )
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 1 << 14,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``keys`` as a ONE-ROW DataFrame
+    (``__bloom``: map<long, long> of 64-bit words, absent words = 0) —
+    the broadcastable membership sketch for join pruning: probe a
+    100 TB corpus against a benchmark/blocklist key set and only
+    bloom-hits proceed to the exact check (the pattern Spark's own
+    runtime row-group filters use, built here from deterministic md5
+    bits so ANY engine replays it — no engine-private hash).
+
+    Scale: positions explode to k rows per key, pack via
+    ``groupBy(word).bit_or`` (map-side partial; at most m_bits/64
+    result rows), then one tiny map aggregate. m_bits is a driver-side
+    constant: size it ~10 bits/key for ~1% FP at k=3."""
+    pos_arr = _bloom_positions_sql(key_col, k, m_bits)
+    packed = (
+        keys.select(F.explode(F.expr(pos_arr)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            (F.col("p") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("bits"))
+    )
+    return packed.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("__bloom")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    out_col: str = "bloom_hit",
+    m_bits: int = 1 << 14,
+    k: int = 3,
+) -> DataFrame:
+    """Probe every row of ``df`` against a :func:`bloom_bitmap` (built
+    with the SAME m_bits and k): adds ``out_col`` boolean. Guaranteed
+    no false negatives (a true member always hits); false-positive
+    rate ~(1 - e^(-k*n/m))^k. The bloom rides as one broadcast row;
+    the probe is pure map-side bit arithmetic — zero shuffle on df."""
+    pos_arr = _bloom_positions_sql(key_col, k, m_bits)
+    hit = F.expr(
+        f"forall({pos_arr}, p -> ((shiftright(coalesce(element_at(__bloom, "
+        "CAST(p DIV 64 AS BIGINT)), CAST(0 AS BIGINT)), "
+        "CAST(p % 64 AS INT)) & 1) = 1))"
+    )
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .withColumn(out_col, hit)
+        .drop("__bloom")
+    )

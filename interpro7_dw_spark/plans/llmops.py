@@ -1517,3 +1517,56 @@ register(QuerySpec(
         FROM d LEFT JOIN blocked b USING (doc_id)
     """,
 ))
+
+
+def _bloom_decontam(spark: SparkSession, sf: str):
+    from ..operators.dedup import bloom_bitmap, bloom_probe
+
+    docs = t(spark, sf, "documents")
+    members = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("key")
+    )
+    bloom = bloom_bitmap(members, "key", m_bits=16384, k=3)
+    probed = bloom_probe(
+        docs.select("doc_id", F.col("text").alias("key")),
+        bloom, "key", m_bits=16384, k=3,
+    )
+    return probed.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_member"),
+        "bloom_hit",
+    )
+
+
+register(QuerySpec(
+    name="z_bloom_membership",
+    tags=("DD6", "A5", "F3"),
+    description="Deterministic Bloom-filter join pruning "
+    "(operators/dedup.py::bloom_bitmap/bloom_probe): an eval split's "
+    "text keys packed into a broadcast 16384-bit md5 Bloom, the whole "
+    "corpus probed map-side — the pre-filter that lets a 100 TB "
+    "decontamination pass skip the exact n-gram check for all "
+    "non-hits. FULL value oracle, not just a contract: both engines "
+    "compute the identical md5 bit positions, so every hit — false "
+    "positives included — replays exactly.",
+    build=_bloom_decontam,
+    oracle="""
+        WITH h(i) AS (VALUES ('0'), ('1'), ('2')),
+        mpos AS (
+          SELECT DISTINCT
+            CAST(('0x' || substring(md5(h.i || ':' || text), 1, 8))::UBIGINT
+                 % 16384 AS BIGINT) AS p
+          FROM documents, h WHERE doc_id % 97 = 0
+        ),
+        probe AS (
+          SELECT d.doc_id,
+                 CAST(('0x' || substring(md5(h.i || ':' || d.text), 1, 8))
+                      ::UBIGINT % 16384 AS BIGINT) AS p
+          FROM documents d, h
+        )
+        SELECT doc_id,
+               (doc_id % 97 = 0) AS is_member,
+               bool_and(p IN (SELECT p FROM mpos)) AS bloom_hit
+        FROM probe GROUP BY doc_id
+    """,
+))

@@ -1046,3 +1046,29 @@ def test_domain_blocklist_suffix_semantics(spark):
     plan = tag_blocked_domains(docs, bl)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Bloom contract at an adversarial fill: no false negatives ever;
+    FP rate near the analytic (1-e^{-kn/m})^k. m=1024, k=3, n=128 ->
+    ~2.7% expected; assert < 10%."""
+    import pyspark.sql.functions as F
+
+    from interpro7_dw_spark.operators.dedup import bloom_bitmap, bloom_probe
+
+    corpus = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+    members = corpus.filter(F.col("id") % 16 == 0).select("key")  # 125 keys
+    bloom = bloom_bitmap(members, "key", m_bits=1024, k=3)
+    out = bloom_probe(corpus, bloom, "key", m_bits=1024, k=3).collect()
+    member_ids = {r.id for r in out if r.id % 16 == 0}
+    hits = {r.id for r in out if r.bloom_hit}
+    assert member_ids <= hits  # NEVER a false negative
+    fp = len(hits - member_ids) / (len(out) - len(member_ids))
+    assert fp < 0.10, fp
+    # probe plan: one broadcast of the one-row bloom, no shuffle of df
+    plan = bloom_probe(corpus, bloom, "key", m_bits=1024, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(id" not in plan
