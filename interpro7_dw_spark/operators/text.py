@@ -189,7 +189,7 @@ def chunk_documents(
 
 def _token_df(
     pairs: DataFrame,
-    broadcast_vocab: bool,
+    broadcast_vocab: bool | None,
     max_df: int | None,
 ) -> DataFrame:
     """Document-frequency table from distinct (doc, token) rows:
@@ -199,24 +199,30 @@ def _token_df(
     window group cannot be split by AQE, so a stop token ("the" ~
     every doc) would pin its whole group in one task at corpus scale.
 
-    ``broadcast_vocab=True`` broadcasts the df table into the
-    join-back (no shuffle on the probe side at all); set False when
-    the vocabulary itself is too big to broadcast — the join becomes
-    a shuffle join whose hot keys AQE skew-split. ``max_df`` drops
+    ``broadcast_vocab=None`` (default) leaves the join strategy to
+    AQE: it sees the aggregate's actual runtime size and broadcasts
+    when it fits (which it does for any natural-language vocabulary),
+    or falls back to a shuffle join whose hot keys it skew-splits — a
+    forced hint would OOM on a pathological 10^9-token vocab. True
+    forces the broadcast hint; False forbids it. ``max_df`` drops
     tokens above a df ceiling BEFORE the join back (the
     drop_hot_shingles guard, dedup.py) — bounds the fan-in when a
     tokenizer emits pathological tokens."""
     df_tab = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         df_tab = df_tab.filter(F.col("df") <= max_df)
-    return F.broadcast(df_tab) if broadcast_vocab else df_tab
+    if broadcast_vocab is True:
+        return F.broadcast(df_tab)
+    if broadcast_vocab is False:
+        return df_tab.hint("shuffle_hash")
+    return df_tab
 
 
 def token_rarity_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
     max_df: int | None = None,
 ) -> DataFrame:
     """Corpus-frequency quality signal (the integer-exact cousin of
@@ -231,9 +237,9 @@ def token_rarity_stats(
     Shape: one distinct-(doc, token) explode -> token-df aggregate
     (map-side combine; the df table is vocabulary-sized, see
     :func:`_token_df`) -> join back on token -> per-document
-    aggregate. The df side broadcasts by default (no extra shuffle on
-    the probe side); ``broadcast_vocab=False`` switches to a shuffle
-    join that AQE skew-splits, and ``max_df`` caps the fan-in like
+    aggregate. The join strategy is AQE's runtime call by default
+    (broadcast when the vocabulary fits, skew-split shuffle join when
+    not — see :func:`_token_df`); ``max_df`` caps the fan-in like
     drop_hot_shingles (dedup.py). With ``max_df`` set, capped tokens
     vanish from the stats (an inner join) — the usual stop-token
     exclusion semantics.
@@ -268,7 +274,7 @@ def top_tfidf_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
     max_df: int | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the top-``k`` terms by an
@@ -281,7 +287,7 @@ def top_tfidf_terms(
 
     Shape: token explode -> per-(doc, token) tf aggregate -> df as a
     ``groupBy(token)`` aggregate joined back (vocabulary-sized,
-    broadcast by default — see :func:`_token_df`; never a window over
+    AQE-broadcast when it fits — see :func:`_token_df`; never a window over
     the token key, which would pin a stop token's whole group in one
     task) -> per-doc top-k window bounded by the doc's distinct-term
     count. N is one scalar. ``max_df`` drops ubiquitous tokens from
