@@ -107,6 +107,53 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    sh: DataFrame, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment:
+    ``containment(a in b) = |A ∩ B| / |A|`` — the quote-inclusion
+    detector Jaccard structurally misses (a tweet pasted into a long
+    article has tiny Jaccard but containment ~1.0; Broder's original
+    resemblance/containment pair). Emits ONE canonical row per
+    (smaller-id, larger-id) doc pair carrying BOTH directions, kept
+    when either direction clears ``threshold``.
+
+    Same inverted-index shape (and the same :func:`drop_hot_shingles`
+    guard and complexity bound) as :func:`jaccard_pairs` — candidates
+    only for docs sharing a shingle, one groupBy on the pair key, the
+    per-doc size table joined back twice.
+
+    Returns (da, db, containment_a_in_b, containment_b_in_a).
+    """
+    if max_doc_freq is not None:
+        sh = drop_hot_shingles(sh, max_doc_freq)
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    c_ab = F.round(F.col("common") / F.col("sa"), 4)
+    c_ba = F.round(F.col("common") / F.col("sb"), 4)
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .select(
+            "da", "db",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )
+
+
 def minhash_bands(
     sh: DataFrame,
     num_hashes: int = 16,

@@ -1570,3 +1570,37 @@ register(QuerySpec(
         FROM probe GROUP BY doc_id
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_dedup_containment",
+    tags=("DD2", "J8", "A2"),
+    description="ASYMMETRIC near-dup pairs by shingle containment "
+    "(operators/dedup.py::containment_pairs — Broder's containment, "
+    "|A∩B|/|A|): the quote-inclusion detector symmetric Jaccard "
+    "structurally misses (a short doc pasted into a long one has tiny "
+    "Jaccard but containment ~1). Same inverted-index join and "
+    "hot-shingle complexity bound as dedup_ngram_jaccard; one "
+    "canonical row per pair carries both directions, kept when either "
+    "clears 0.6.",
+    build=lambda spark, sf: D.containment_pairs(
+        D.shingles(t(spark, sf, "documents")), 0.6
+    ),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db,
+               round(common / sa.sz, 4) AS containment_a_in_b,
+               round(common / sb.sz, 4) AS containment_b_in_a
+        FROM common
+        JOIN sizes sa ON common.da = sa.doc_id
+        JOIN sizes sb ON common.db = sb.doc_id
+        WHERE round(common / sa.sz, 4) >= 0.6
+           OR round(common / sb.sz, 4) >= 0.6
+    """,
+))

@@ -1072,3 +1072,29 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning(id" not in plan
+
+
+def test_containment_asymmetry_catches_inclusion(spark):
+    """A short doc fully contained in a long one: containment(a in b)
+    = 1.0 while Jaccard stays far below any useful threshold — the
+    case the asymmetric detector exists for."""
+    from interpro7_dw_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    cont = {(r.da, r.db): (r.containment_a_in_b, r.containment_b_in_a)
+            for r in containment_pairs(sh, 0.9).collect()}
+    assert cont[(1, 2)][0] == 1.0      # short fully inside long
+    assert cont[(1, 2)][1] < 0.1       # but not the reverse
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = jaccard_pairs(sh, 0.5).collect()
+    assert not any({r.da, r.db} == {1, 2} for r in jac)  # Jaccard blind
