@@ -323,31 +323,35 @@ def repeated_passage_stats(
     document.
 
     Shape: :func:`shingles` at passage width builds the inverted
-    index; one groupBy marks passages with document frequency >= 2;
-    a broadcast-able semi-set join flags each document's passages; a
+    index; the shared-passage set is a ``groupBy(shingle)`` aggregate
+    filtered to document frequency >= 2, marked back onto each
+    document's passages with a left join whose strategy AQE picks at
+    runtime (broadcast when the shared set fits — it is usually far
+    smaller than the index — skew-split shuffle join when not); a
     final per-document aggregate emits ``n_passages`` (distinct),
-    ``n_shared`` and ``shared_frac``. Two shuffles total (passage key,
-    then doc key), candidates never materialize as pairs — at 100 TB
-    this stays linear where pairwise substring dedup would explode;
-    apply :func:`drop_hot_shingles` first if boilerplate passages
-    (headers, licenses) dominate the index.
+    ``n_shared`` and ``shared_frac``. NEVER a window partitioned by
+    the passage key: a boilerplate passage (header, license block) can
+    occur in ~every document, and a window group cannot be AQE-split,
+    so its whole occurrence list would pin one task at corpus scale —
+    the same hot-key rule as text.py ``_token_df``. Candidates never
+    materialize as pairs — at 100 TB this stays linear where pairwise
+    substring dedup would explode; apply :func:`drop_hot_shingles`
+    first if boilerplate passages dominate the index.
     """
-    from pyspark.sql.window import Window
-
     sh = shingles(docs, n=window, id_col=id_col, text_col=text_col)
-    # shingles() rows are distinct (doc, passage), so a count window
-    # over the passage key IS the document frequency — one shuffle on
-    # the passage, one on the doc, single scan (the previous
-    # formulation aggregated the index separately and joined it back:
-    # two extra passes for the same numbers). Window groups are
-    # bounded by a passage's df; apply drop_hot_shingles first if
-    # boilerplate passages dominate.
-    with_df = sh.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    # branch point: the shingle relation feeds both the df aggregate
+    # and the mark join — persist so tokenize/explode/distinct runs once
+    sh = sh.persist()
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle", F.lit(1).alias("__hit"))
     )
-    return with_df.groupBy("doc_id").agg(
+    marked = sh.join(shared, "shingle", "left")
+    return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_passages"),
-        F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_shared"),
     ).select(
         "doc_id",
         "n_passages",

@@ -153,6 +153,27 @@ def test_token_df_not_a_window(spark):
         assert "partial_count" in final
 
 
+def test_passage_df_not_a_window(spark):
+    """repeated_passage_stats must mark shared passages via a
+    groupBy(shingle) aggregate joined back — never a window partitioned
+    by the passage key, whose group for a boilerplate passage (header,
+    license block) cannot be AQE-split and pins one task at corpus
+    scale. Same hot-key rule as test_token_df_not_a_window."""
+    from interpro7_dw_spark.operators.dedup import repeated_passage_stats
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    df = repeated_passage_stats(docs)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "windowspecdefinition" not in final, [
+        ln for ln in final.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert "partial_count" in final
+
+
 def test_token_df_cap_and_shuffle_join(spark):
     """max_df drops hot tokens before the join back; broadcast_vocab=
     False degrades to a shuffle join (AQE-skew-splittable) with
