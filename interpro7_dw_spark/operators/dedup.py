@@ -360,6 +360,118 @@ def repeated_passage_stats(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span deduplication (the ExactSubstr recipe of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at whitespace-token granularity): any ``k``-token span
+    whose content occurs MORE THAN ONCE in the corpus — in another
+    document or repeated within the same one — is a duplicated span;
+    overlapping duplicated spans merge, and the cleaned text is the
+    document with every merged span's tokens cut out. The published
+    recipe builds a corpus suffix array; the same "every position whose
+    k-window repeats" set falls out of relational ops, which is the
+    shape that actually distributes:
+
+    1. one explode emits every (doc, pos, md5(k-gram)) window —
+       O(total corpus tokens) rows, map-side;
+    2. ``groupBy(hash)`` counts global occurrences (map-side partial
+       combine; AQE splits hot hashes) — NEVER a window over the hash
+       key, per the hot-key rule (a boilerplate k-gram can occur ~every
+       doc);
+    3. a LEFT-SEMI join keeps the duplicated positions — output is
+       bounded by its input (no pair materialization, unlike pairwise
+       substring comparison);
+    4. per-doc ``collect_list`` + :func:`~interpro7_dw_spark.functions.
+       intervals.condense_intervals` merges [pos, pos+k-1] spans —
+       per-task state is O(doc tokens), the same bound tokenization
+       itself needs (chunk first if single docs exceed memory);
+    5. the cleaned text reassembles map-side via higher-order filter
+       over token positions.
+
+    Returns (doc_id, n_tokens, n_spans, n_dup_tokens, dup_token_frac,
+    cleaned_text); docs shorter than ``k`` tokens pass through
+    untouched (no window, no span).
+    """
+    from ..functions.intervals import condense_intervals, interval_union_length
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    # per-position k-gram hashes; sequence() would count DOWN for
+    # n < k (Spark generates descending sequences), hence the guard
+    win = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("__t", i, k)).cast("binary")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<pos INT, h STRING>>)"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    win = win.persist()  # feeds both the occurrence count and the probe side
+    dup = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    spans = (
+        win.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            condense_intervals(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").cast("bigint").alias("s"),
+                        (F.col("pos") + (k - 1)).cast("bigint").alias("e"),
+                    )
+                )
+            ).alias("__spans")
+        )
+    )
+    joined = base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "__t",
+        F.coalesce(
+            "__spans", F.expr("CAST(array() AS array<struct<s BIGINT, e BIGINT>>)")
+        ).alias("__spans"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("__t")),
+        lambda p: ~F.exists(
+            F.col("__spans"), lambda sp: (p >= sp["s"]) & (p <= sp["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__spans").cast("long").alias("n_spans"),
+        F.coalesce(interval_union_length(F.col("__spans")), F.lit(0).cast("long"))
+        .alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(interval_union_length(F.col("__spans")), F.lit(0).cast("long"))
+            / F.size("__t"),
+            4,
+        ).alias("dup_token_frac"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at("__t", p))
+        ).alias("cleaned_text"),
+    )
+
+
 def contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1604,3 +1604,89 @@ register(QuerySpec(
            OR round(common / sb.sz, 4) >= 0.6
     """,
 ))
+
+
+_XS_K = 8  # span width for the exact-substring dedup query
+
+register(QuerySpec(
+    name="z_exact_substr_dedup",
+    tags=("DD7", "A14", "F10", "F11"),
+    description="Exact-substring span dedup "
+    "(operators/dedup.py::exact_substring_dedup — the ExactSubstr "
+    "recipe of Lee et al. 2022 at token granularity): every 8-token "
+    "span occurring more than once in the corpus is cut out of the "
+    "cleaned text, overlapping spans merged by the interval-condense "
+    "fold. Relational replacement for the suffix-array pass: one "
+    "window explode, one AQE-splittable hash aggregate, a semi-join "
+    "bounded by its input, per-doc O(doc) span merging. The oracle "
+    "replays the span set via gaps-and-islands and rebuilds the "
+    "cleaned text with an anti-range NOT EXISTS.",
+    build=lambda spark, sf: D.exact_substring_dedup(
+        t(spark, sf, "documents"), k=_XS_K
+    ),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        win AS (
+          SELECT doc_id, g.p AS pos,
+                 md5(array_to_string(ts[g.p : g.p + {_XS_K - 1}], ' ')) AS h
+          FROM tok,
+               LATERAL unnest(generate_series(1, len(ts) - {_XS_K} + 1)) AS g(p)
+          WHERE len(ts) >= {_XS_K}
+        ),
+        dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+        sp AS (
+          SELECT doc_id, pos AS s, pos + {_XS_K - 1} AS e
+          FROM win WHERE h IN (SELECT h FROM dup)
+        ),
+        ordered AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM sp
+        ),
+        islands AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+          FROM ordered
+        ),
+        merged AS (
+          SELECT doc_id, isl, min(s) AS s, max(e) AS e
+          FROM islands GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS n_dup
+          FROM merged GROUP BY 1
+        ),
+        pos AS (
+          SELECT doc_id, g.p AS p, ts[g.p] AS token
+          FROM tok, LATERAL unnest(generate_series(1, len(ts))) AS g(p)
+        ),
+        kept AS (
+          SELECT pos.doc_id, p, token
+          FROM pos
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc_id = pos.doc_id AND p BETWEEN sp.s AND sp.e
+          )
+        ),
+        cleaned AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS cleaned_text
+          FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+               round(coalesce(a.n_dup, 0) / len(t.ts), 4) AS dup_token_frac,
+               coalesce(c.cleaned_text, '') AS cleaned_text
+        FROM tok t
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN cleaned c USING (doc_id)
+    """,
+))

@@ -650,6 +650,38 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_exact_substring_dedup(spark):
+    from interpro7_dw_spark.operators.dedup import exact_substring_dedup
+
+    shared = "q w e r t y u i"  # an 8-token span shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),
+            (2, f"{shared} z z2 z3 z4 z5 z6 z7 z8"),
+            (3, "n o p a1 a2 a3 a4 a5 a6 a7"),   # unique -> untouched
+            (4, "too short to window"),           # < k -> untouched
+            (5, f"{shared} {shared}"),            # within-doc repeat, overlap-merged
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in exact_substring_dedup(docs, k=8).collect()}
+    # doc 1: spans at pos 4..11 only (windows crossing into 'd e f'
+    # are unique) -> cut the shared 8 tokens, keep the 6 around them
+    assert got[1].n_tokens == 14 and got[1].n_dup_tokens == 8
+    assert got[1].cleaned_text == "a b c d e f"
+    assert got[1].n_spans == 1
+    # doc 2: the shared prefix goes; unique tail survives
+    assert got[2].cleaned_text == "z z2 z3 z4 z5 z6 z7 z8"
+    # doc 3 untouched, doc 4 below k untouched
+    assert got[3].n_dup_tokens == 0 and got[3].cleaned_text == docs.collect()[2].text
+    assert got[4].n_spans == 0 and got[4].cleaned_text == "too short to window"
+    # doc 5: every window duplicated (the doc is shared+shared and every
+    # 8-window of it appears twice corpus-wide or overlaps the shared
+    # gram) -> one merged span covering the whole doc, empty cleaned text
+    assert got[5].dup_token_frac == 1.0 and got[5].cleaned_text == ""
+    assert got[5].n_spans == 1
+
+
 def test_corpus_mix_quotas_and_clipping(spark):
     from interpro7_dw_spark.operators.sampling import corpus_mix
 
