@@ -1,0 +1,130 @@
+"""Frequency-sketch operators (count-min) for corpus statistics.
+
+Complements the membership sketch (dedup.py::bloom_bitmap) and the
+cardinality/quantile sketch contracts (plans/relational2.py approx
+bounds): a count-min sketch answers "how often does THIS key occur"
+from fixed memory, with a one-sided error guarantee — the estimate
+NEVER undercounts, and overcounts by at most ~N/w with probability
+1 - (1/2)^d. That one-sidedness is what makes it compositional at
+100 TB: a candidate heavy hitter can be pruned exactly (est < T =>
+truly < T) before any exact pass runs.
+
+Hash family is the engine-portable md5 arithmetic used by the Bloom
+filter: row r's bucket for key x = first-8-hex-digits of
+md5('<r>:' || x) mod width — any engine (and the DuckDB oracle)
+replays every bucket, so estimates (collisions included) are
+bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key_sql: str, r: int, width: int):
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST(concat('{r}:', {key_sql}) AS BINARY)), "
+        f"1, 8), 16, 10) AS BIGINT) % {width}"
+    )
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch over a key-occurrence stream (one input row =
+    one occurrence): returns the (r, bucket, cnt) counter table,
+    at most ``depth * width`` rows.
+
+    Scale: each occurrence fans out to ``depth`` map-side rows, then
+    ONE aggregate with map-side partial combine — the shuffle carries
+    at most depth*width rows per map partition regardless of corpus
+    size, and the result is a driver-constant-sized table that
+    broadcasts to any probe. This is the standard distributed-sketch
+    merge property: per-partition sketches sum cell-wise, which is
+    exactly what the partial/final HashAggregate pair does.
+    """
+    rows = [
+        F.struct(F.lit(r).alias("r"), _bucket(key_col, r, width).alias("bucket"))
+        for r in range(depth)
+    ]
+    return (
+        keys.select(F.explode(F.array(*rows)).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    query_keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str = "key",
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``query_keys`` (one row per
+    distinct key) against a :func:`cms_build` sketch built with the
+    SAME depth/width: adds ``cms_est`` = min over the d rows of the
+    counter at (r, bucket_r(key)). Guaranteed >= the true count.
+
+    Scale: the probe computes its buckets map-side and joins the
+    BROADCAST counter table on (r, bucket) — no shuffle of the probe
+    stream beyond the final per-key min, which is a ``depth``-row
+    group (bounded, never hot).
+    """
+    probes = query_keys.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), _bucket(key_col, r, width).alias("bucket")
+                )
+                for r in range(depth)
+            ])
+        ).alias("rb"),
+    ).select(
+        *query_keys.columns,
+        F.col("rb.r").alias("r"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    hit = probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return (
+        hit.groupBy(*query_keys.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def heavy_hitters(
+    occurrences: DataFrame,
+    key_col: str = "key",
+    threshold: int = 100,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy-hitter report: for every key whose EXACT occurrence count
+    clears ``threshold``, the exact count, the count-min estimate from
+    a (depth x width) sketch, and the overestimate the sketch would
+    have paid at that width — the calibration query you run at small
+    scale to size a sketch before pointing it at the full corpus.
+
+    Returns (key, exact_n, cms_est, overestimate); ``cms_est >=
+    exact_n`` always (the one-sided CMS guarantee).
+    """
+    occurrences = occurrences.persist()  # feeds sketch build + exact counts
+    sketch = cms_build(occurrences, key_col, depth, width)
+    exact = (
+        occurrences.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .filter(F.col("exact_n") >= threshold)
+    )
+    est = cms_estimate(exact, sketch, key_col, depth, width)
+    return est.select(
+        key_col,
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overestimate"),
+    )

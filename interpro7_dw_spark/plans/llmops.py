@@ -1690,3 +1690,57 @@ register(QuerySpec(
         LEFT JOIN cleaned c USING (doc_id)
     """,
 ))
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf: str):
+    from ..operators import sketches as SK
+
+    occ = t(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    return SK.heavy_hitters(occ, key_col="token", threshold=100, depth=3, width=16)
+
+
+register(QuerySpec(
+    name="z_heavy_hitters_cms",
+    tags=("A5", "F3", "A1"),
+    description="Count-min-sketch heavy hitters "
+    "(operators/sketches.py): exact token counts >= 100 vs the "
+    "estimate from a deliberately tiny 3x16 sketch, overestimate "
+    "shown — the fixed-memory frequency sketch whose one-sided bound "
+    "(never undercounts) lets a 100 TB pass prune non-heavy keys "
+    "exactly before any exact count runs. Width 16 < vocabulary "
+    "forces real collisions; both engines replay the identical md5 "
+    "buckets, so the FULL value oracle covers the collision error, "
+    "not just the contract.",
+    build=_cms_heavy_hitters,
+    oracle="""
+        WITH occ AS (
+          SELECT t.token
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        r(r) AS (VALUES (0), (1), (2)),
+        cells AS (
+          SELECT r.r AS r,
+                 CAST(('0x' || substring(md5(r.r || ':' || token), 1, 8))
+                      ::UBIGINT % 16 AS BIGINT) AS bucket,
+                 count(*) AS cnt
+          FROM occ, r GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+          FROM occ GROUP BY 1 HAVING count(*) >= 100
+        ),
+        probe AS (
+          SELECT e.token, e.exact_n, r.r AS r,
+                 CAST(('0x' || substring(md5(r.r || ':' || e.token), 1, 8))
+                      ::UBIGINT % 16 AS BIGINT) AS bucket
+          FROM exact e, r
+        )
+        SELECT p.token, p.exact_n,
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est,
+               CAST(min(coalesce(c.cnt, 0)) - p.exact_n AS BIGINT) AS overestimate
+        FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        GROUP BY 1, 2
+    """,
+))

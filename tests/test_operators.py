@@ -650,6 +650,27 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_cms_heavy_hitters(spark):
+    from interpro7_dw_spark.operators.sketches import cms_build, heavy_hitters
+
+    # 'a' x 50, 'b' x 30, 'c' x 7 occurrences
+    occ = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7, "token string"
+    )
+    # width 1 => every key shares the single bucket per row: est = N
+    got = {
+        r.token: r
+        for r in heavy_hitters(occ, "token", threshold=10, width=1).collect()
+    }
+    assert set(got) == {"a", "b"}  # threshold prunes 'c'
+    assert got["a"].cms_est == 87 and got["a"].overestimate == 37
+    assert got["b"].cms_est == 87 and got["b"].overestimate == 57
+    # realistic width: one-sided guarantee holds, sketch is bounded
+    wide = heavy_hitters(occ, "token", threshold=1, width=64).collect()
+    assert all(r.cms_est >= r.exact_n for r in wide)
+    assert cms_build(occ, "token", depth=3, width=64).count() <= 3 * 64
+
+
 def test_exact_substring_dedup(spark):
     from interpro7_dw_spark.operators.dedup import exact_substring_dedup
 
