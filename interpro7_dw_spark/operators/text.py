@@ -325,6 +325,97 @@ def top_tfidf_terms(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    num_ranges: int | None = None,
+    broadcast_vocab: bool | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): rank each language's documents by a language-model quality
+    score and cut the ranking into equal tertiles — head (best),
+    middle, tail (worst) — so downstream sampling can weight by
+    bucket. The LM here is the corpus's own unigram statistics:
+    :func:`token_rarity_stats`' integer-exact ``mean_commonness``
+    stands in for negative perplexity (common vocabulary = low
+    perplexity = head), keeping every engine bit-agreed where a real
+    LM's float perplexities would drift.
+
+    Scale — NO single-task-per-language window (sampling.py module
+    docstring): the per-language rank runs the two-phase bucket-split
+    plan, with the bucket id an equal-width VALUE cut of the score
+    range (min/max are two driver scalars) instead of a hash-prefix
+    cut — monotone in the ranking order, so local rank + broadcast
+    prefix-summed bucket offsets is the exact global rank. Value cuts
+    can be unbalanced when scores cluster (hash cuts cannot), which
+    costs balance, not correctness; the counts table stays
+    #buckets x #languages rows. Tertile assignment is then integer
+    arithmetic against the broadcast per-language totals.
+
+    Returns (doc_id, lang, mean_commonness, lang_rank, ppl_bucket)
+    with ``ppl_bucket`` in {'tail', 'middle', 'head'} for the default
+    3 buckets (bucket index otherwise).
+    """
+    from pyspark.sql.window import Window
+
+    scores = token_rarity_stats(
+        docs, id_col=id_col, text_col=text_col,
+        broadcast_vocab=broadcast_vocab, max_df=max_df,
+    ).select("doc_id", "mean_commonness")
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(scores, "doc_id")
+    n = min(num_ranges or int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    ), 65536)
+    bounds = scored.agg(
+        F.min("mean_commonness").alias("mn"), F.max("mean_commonness").alias("mx")
+    ).first()
+    mn, mx = float(bounds.mn), float(bounds.mx)
+    span = (mx - mn) or 1.0
+    pid = F.least(
+        F.lit(n - 1),
+        F.floor((F.col("mean_commonness") - F.lit(mn)) / F.lit(span) * n).cast("int"),
+    )
+    ranged = scored.withColumn("__pid", pid)
+    w_local = Window.partitionBy("__pid", "lang").orderBy(
+        "mean_commonness", "doc_id"
+    )
+    local = ranged.withColumn("__lrank", F.row_number().over(w_local))
+    counts = ranged.groupBy("__pid", "lang").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy("lang").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("__cnt").cast("long").alias("__n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("__pid", "lang", "__off")),
+                   ["__pid", "lang"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("lang_rank", (F.col("__off") + F.col("__lrank")).cast("long"))
+    )
+    # ascending commonness rank: rarest vocabulary (highest pseudo-
+    # perplexity) ranks first -> tertile 0 = tail, last = head
+    tert = (F.lit(n_buckets) * (F.col("lang_rank") - 1)).cast("long") / F.col("__n")
+    bucket = F.floor(tert).cast("int")
+    label = bucket.cast("string")
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 0, "tail").when(bucket == 1, "middle").otherwise("head")
+        )
+    return ranked.select(
+        "doc_id", "lang", "mean_commonness", "lang_rank",
+        label.alias("ppl_bucket"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     n: int = 2,

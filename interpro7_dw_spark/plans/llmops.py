@@ -1744,3 +1744,47 @@ register(QuerySpec(
         GROUP BY 1, 2
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_perplexity_buckets",
+    tags=("TX2", "SM1", "W1"),
+    description="CCNet-style per-language perplexity tertiles "
+    "(operators/text.py::perplexity_buckets, Wenzek et al. 2020): "
+    "rank each language's documents by the integer-exact unigram "
+    "commonness score and cut head/middle/tail thirds. The rank runs "
+    "the two-phase bucket-split plan with value-range score cuts — "
+    "never a single-task per-language window; tertiles are integer "
+    "arithmetic against broadcast per-language totals.",
+    build=lambda spark, sf: X.perplexity_buckets(t(spark, sf, "documents")),
+    oracle="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents,
+               LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        dfr AS (
+          SELECT token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS bits
+          FROM toks GROUP BY token
+        ),
+        score AS (
+          SELECT doc_id, round(sum(bits) / count(*), 4) AS mean_commonness
+          FROM toks JOIN dfr USING (token)
+          GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT d.doc_id, d.lang, s.mean_commonness,
+                 CAST(row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.mean_commonness, d.doc_id
+                 ) AS BIGINT) AS lang_rank,
+                 count(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN score s USING (doc_id)
+        )
+        SELECT doc_id, lang, mean_commonness, lang_rank,
+               CASE (3 * (lang_rank - 1)) // n
+                 WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head'
+               END AS ppl_bucket
+        FROM ranked
+    """,
+))

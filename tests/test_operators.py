@@ -650,6 +650,48 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_perplexity_buckets(spark):
+    from interpro7_dw_spark.operators.text import perplexity_buckets
+
+    # lang A: 6 docs with strictly increasing commonness (tokens reused
+    # more => higher score); lang B: 2 docs
+    rows = [
+        (1, "aa bb cc", "A"), (2, "aa bb dd", "A"), (3, "aa cc dd", "A"),
+        (4, "aa bb cc dd", "A"), (5, "aa bb", "A"), (6, "zz yy xx", "A"),
+        (10, "aa bb", "B"), (11, "qq rr", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    # ranks are contiguous 1..n per language
+    for lang, rs in by_lang.items():
+        assert sorted(r.lang_rank for r in rs) == list(range(1, len(rs) + 1))
+    # ascending-commonness rank: rank 1 = rarest vocab = tail
+    a = sorted(by_lang["A"], key=lambda r: r.lang_rank)
+    assert [r.ppl_bucket for r in a] == ["tail", "tail", "middle", "middle", "head", "head"]
+    assert a[0].mean_commonness == min(r.mean_commonness for r in a)
+    # 2-doc language still splits deterministically
+    b = sorted(by_lang["B"], key=lambda r: r.lang_rank)
+    assert [r.ppl_bucket for r in b] == ["tail", "middle"]
+    # plan guard: the full-data local-rank window must lead with the
+    # score-bucket key (a bare-language partition would pin a hot
+    # language in one task). The only lang-led window allowed is the
+    # prefix-sum over the tiny counts table (#buckets x #languages
+    # rows) — identified by its running-sum frame.
+    df = perplexity_buckets(docs)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "windowspecdefinition(__pid" in final
+    for ln in final.splitlines():
+        if "windowspecdefinition(lang" in ln:
+            assert "row_number" not in ln, ln
+
+
 def test_cms_heavy_hitters(spark):
     from interpro7_dw_spark.operators.sketches import cms_build, heavy_hitters
 
