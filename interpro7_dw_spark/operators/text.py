@@ -500,6 +500,76 @@ def repetition_stats(
     )
 
 
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias_milli: int = 0,
+) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring — the fastText /
+    CCNet quality-model shape: each token occurrence hashes into one
+    of ``n_buckets`` feature buckets, the document's score is the mean
+    bucket weight plus a bias, and the label is the score's sign.
+    ``weights`` is a (bucket: long, w_milli: long) table — integer
+    milli-weights, so the per-document sum is exact and
+    order-independent on every engine (a float dot product would be
+    partition-order-dependent); the single float appears only in the
+    final mean.
+
+    Scale: this is how a trained linear model scores a 100 TB corpus —
+    the model IS a broadcast dim table (n_buckets rows), the feature
+    hash is map-side md5 arithmetic, and the only shuffle is the
+    per-document aggregate. Swapping in real trained weights is a data
+    change, not a plan change.
+
+    Returns (doc_id, n_tokens, score_milli_sum, score, label).
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 8), 16, 10) "
+            f"AS BIGINT) % {n_buckets}"
+        ).alias("bucket"),
+    )
+    scored = occ.join(F.broadcast(weights), "bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("w_milli").cast("long").alias("score_milli_sum"),
+    )
+    score = F.round(
+        (F.col("score_milli_sum") / F.col("n_tokens") + bias_milli) / 1000.0, 6
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli_sum",
+        score.alias("score"),
+        (score >= 0).alias("label"),
+    )
+
+
+def hashed_pseudo_weights(spark, n_buckets: int = 256) -> DataFrame:
+    """Deterministic stand-in weight table for
+    :func:`linear_quality_score` when no trained model is on hand
+    (tests, oracles): w_milli(bucket) = md5-derived integer in
+    [-1000, 1000]. A real model replaces this table; the scoring plan
+    is unchanged."""
+    return spark.range(0, n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(CAST(concat('w:', CAST(id AS STRING)) "
+                "AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2001"
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+
+
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
 

@@ -1788,3 +1788,41 @@ register(QuerySpec(
         FROM ranked
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_quality_classifier",
+    tags=("TX1", "J2", "A1", "F3"),
+    description="Hashed linear quality-model scoring "
+    "(operators/text.py::linear_quality_score — the fastText/CCNet "
+    "classifier shape): token occurrences hash into 256 feature "
+    "buckets, the model is a broadcast integer milli-weight table, "
+    "the document score is the exact integer dot-product mean. "
+    "Swapping in trained weights changes data, not the plan.",
+    build=lambda spark, sf: X.linear_quality_score(
+        t(spark, sf, "documents"), X.hashed_pseudo_weights(spark)
+    ),
+    oracle="""
+        WITH w AS (
+          SELECT g.b AS bucket,
+                 CAST(('0x' || substring(md5('w:' || g.b), 1, 8))
+                      ::UBIGINT % 2001 AS BIGINT) - 1000 AS w_milli
+          FROM unnest(generate_series(0, 255)) AS g(b)
+        ),
+        occ AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t.token), 1, 8))
+                      ::UBIGINT % 256 AS BIGINT) AS bucket
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(w_milli) AS BIGINT) AS score_milli_sum
+          FROM occ JOIN w USING (bucket) GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, score_milli_sum,
+               round((score_milli_sum / n_tokens + 0) / 1000.0, 6) AS score,
+               round((score_milli_sum / n_tokens + 0) / 1000.0, 6) >= 0 AS label
+        FROM agg
+    """,
+))

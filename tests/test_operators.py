@@ -650,6 +650,43 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_linear_quality_score(spark):
+    from interpro7_dw_spark.operators.text import (
+        hashed_pseudo_weights,
+        linear_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc"), (3, "aa bb aa")],
+        "doc_id long, text string",
+    )
+    # hand-built weight table: every token of doc 1/3 maps somewhere in
+    # [0, 4); give those buckets +500 and everything else -500
+    weights = spark.range(0, 4).select(
+        F.col("id").alias("bucket"), F.lit(500).alias("w_milli")
+    )
+    occ_buckets = {
+        r.bucket
+        for r in spark.sql(
+            "SELECT CAST(conv(substring(md5(CAST('aa' AS BINARY)), 1, 8), 16, 10)"
+            " AS BIGINT) % 4 AS bucket"
+        ).collect()
+    }
+    assert occ_buckets <= set(range(4))
+    got = {
+        r.doc_id: r
+        for r in linear_quality_score(docs, weights, n_buckets=4).collect()
+    }
+    # all buckets weigh +500 -> mean is exactly 0.5, label True
+    assert got[1].score == 0.5 and bool(got[1].label) is True
+    assert got[1].n_tokens == 3 and got[1].score_milli_sum == 1500
+    # identical texts score identically
+    assert got[3].score == got[1].score
+    # pseudo-weights are deterministic and bounded
+    w = hashed_pseudo_weights(spark, 64).collect()
+    assert len(w) == 64 and all(-1000 <= r.w_milli <= 1000 for r in w)
+
+
 def test_perplexity_buckets(spark):
     from interpro7_dw_spark.operators.text import perplexity_buckets
 
