@@ -500,6 +500,49 @@ def repetition_stats(
     )
 
 
+# single-char folds: curly quotes -> straight, en/em dash -> hyphen,
+# NBSP -> space. Kept to 1:1 translate() maps (not regex) so any
+# engine applies them identically and in one pass.
+NORM_FOLD_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+NORM_FOLD_TO = "''\"\"-- "
+# explicit whitespace class, NOT \s: Java \s includes \x0B where RE2's
+# does not — an explicit class means Spark, DuckDB and any Go/RE2
+# scrubber collapse exactly the same runs
+_WS_RUN = "[ \t\n\r\f]+"
+_CTRL = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the pre-dedup cleanup pass every
+    corpus pipeline runs so near-identical pages (curly vs straight
+    quotes, NBSP vs space, stray control bytes) hash identically
+    downstream: fold typographic punctuation (1:1 translate), strip
+    control characters, collapse whitespace runs, trim, optional
+    lowercase. Patterns stay in the Java-regex/RE2 common subset and
+    the whitespace class is explicit (Java ``\\s`` and RE2 ``\\s``
+    disagree on \\x0B), so every engine produces byte-identical
+    output.
+
+    Scale: pure map-side column expressions in whole-stage codegen —
+    zero shuffles, zero Python. Returns (doc_id, normalized, changed).
+    """
+    x = F.translate(F.col(text_col), NORM_FOLD_FROM, NORM_FOLD_TO)
+    x = F.regexp_replace(x, _CTRL, " ")
+    x = F.trim(F.regexp_replace(x, _WS_RUN, " "))
+    if lowercase:
+        x = F.lower(x)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        x.alias("normalized"),
+        (x != F.col(text_col)).alias("changed"),
+    )
+
+
 def linear_quality_score(
     docs: DataFrame,
     weights: DataFrame,

@@ -1826,3 +1826,55 @@ register(QuerySpec(
         FROM agg
     """,
 ))
+
+
+def _normalize_demo(spark: SparkSession, sf: str):
+    """The fixture corpus is pure ASCII, so the catalog query uglifies
+    a deterministic subset first (NBSP-for-space on doc_id%3=0, curly
+    quotes + trailing BEL + doubled space on %3=1, untouched on %3=2)
+    and then normalizes — exercising every fold against a replayable
+    oracle."""
+    d = t(spark, sf, "documents")
+    ugly = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.translate(F.col("text"), " ", "\u00a0"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("“q”  "), F.col("text"), F.lit("\x07")))
+        .otherwise(F.col("text"))
+    )
+    return X.normalize_text(d.select("doc_id", ugly.alias("text")))
+
+
+register(QuerySpec(
+    name="z_normalize_text",
+    tags=("TX1", "F5", "F7"),
+    description="Canonical text normalization "
+    "(operators/text.py::normalize_text): typographic-punctuation "
+    "folds (1:1 translate), control-char strip, explicit-class "
+    "whitespace collapse, trim — the pre-dedup cleanup that makes "
+    "near-identical pages hash identically. Pure map-side codegen; "
+    "patterns stay in the Java-regex/RE2 common subset so the DuckDB "
+    "oracle reproduces every byte.",
+    build=_normalize_demo,
+    oracle="""
+        WITH ugly AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN translate(text, ' ', chr(160))
+                   WHEN 1 THEN '“q”  ' || text || chr(7)
+                   ELSE text
+                 END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                 translate(t, '‘’“”–—' || chr(160), '''''""-- '),
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) AS normalized,
+               trim(regexp_replace(regexp_replace(
+                 translate(t, '‘’“”–—' || chr(160), '''''""-- '),
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) <> t AS changed
+        FROM ugly
+    """,
+))

@@ -650,6 +650,29 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_normalize_text(spark):
+    from interpro7_dw_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "“Hello” — it’s here"),
+            (2, "tab\tand\nnewline  runs"),
+            (3, "ctrl\x07bytes\x1fgone"),
+            (4, "  already clean  "),
+            (5, "untouched text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert got[1].normalized == '"Hello" - it\'s here'
+    assert got[2].normalized == "tab and newline runs"
+    assert got[3].normalized == "ctrl bytes gone"
+    assert got[4].normalized == "already clean" and bool(got[4].changed)
+    assert got[5].normalized == "untouched text" and not got[5].changed
+    low = {r.doc_id: r for r in normalize_text(docs, lowercase=True).collect()}
+    assert low[1].normalized == '"hello" - it\'s here'
+
+
 def test_linear_quality_score(spark):
     from interpro7_dw_spark.operators.text import (
         hashed_pseudo_weights,
