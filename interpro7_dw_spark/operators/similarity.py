@@ -446,6 +446,226 @@ def semantic_dedup(
     )
 
 
+def _pq_subrows(
+    emb: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): each vector split into ``m`` contiguous
+    ``dim/m``-wide subvectors — one map-side explode, no shuffle."""
+    w = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("__vid"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub"), F.slice(v, j * w + 1, w).alias("sv")
+                )
+                for j in range(m)
+            ])
+        ).alias("__s"),
+    ).select("__vid", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
+
+
+def _attach_pq_cents(df: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Broadcast the full (sub, cid, cvec) codebook table onto every
+    row as one sorted struct array (same single-row-aggregate shape as
+    :func:`_attach_centroids` — codebook DATA, not Catalyst literals,
+    so m x ksub scales far past the literal-expression ceiling)."""
+    one = cdf.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cid", "cvec"))).alias("__pqc")
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
+def _pq_nearest_cid(sub_col: Column, sv: Column) -> Column:
+    """argmin_cid of ||sv - c||^2 within the row's own subspace,
+    ascending-cid tiebreak; the ||sv||^2 term is constant per row, so
+    the comparator uses dot(c,c) - 2*dot(sv,c)."""
+    cands = F.filter(F.col("__pqc"), lambda c: c["sub"] == sub_col)
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                (_dot(c["cvec"], c["cvec"]) - F.lit(2.0) * _dot(sv, c["cvec"]))
+                .alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    ).getField("cid")
+
+
+def pq_codebooks_df(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebooks (Jégou et al.
+    2011): the vector space splits into ``m`` contiguous subspaces and
+    each trains its own ``ksub``-centroid quantizer — here all ``m``
+    Lloyd recursions run as ONE DataFrame loop with the subspace index
+    as an extra grouping key, so the plan count is independent of
+    ``m``. Seeding, iteration and determinism mirror
+    :func:`ivf_centroids_df`: seeds are the ``ksub`` corpus vectors
+    with the smallest md5(id) (their subvectors seed every subspace),
+    assignment is a broadcast-codebook argmin by L2 with ascending-cid
+    tiebreak, and every (sub, cell, dimension) mean is the two-level
+    pinned fold of ``functions/folds.py`` — bit-replayable by any
+    IEEE-754 engine, no task ever materializing a whole cell, and each
+    iteration ends in a lineage-truncating localCheckpoint.
+
+    Returns the codebook table (sub int, cid int, cvec array<double>).
+    """
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    from ..functions.folds import ordered_fold_sum
+
+    sub = _pq_subrows(emb, m, dim, id_col, vec_col)
+    order = [
+        F.md5(F.col(id_col).cast("string").cast("binary")),
+        F.col(id_col),
+    ]
+    seed_ids = (
+        emb.select(F.col(id_col)).orderBy(*order).limit(ksub)
+        .select(
+            F.col(id_col).alias("__vid"),
+            (F.row_number().over(Window.orderBy(*order)) - 1).alias("cid"),
+        )
+    )
+    cdf = (
+        sub.join(F.broadcast(seed_ids), "__vid")
+        .select("sub", "cid", F.col("sv").alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _attach_pq_cents(sub, cdf).select(
+            "__vid",
+            "sub",
+            "sv",
+            _pq_nearest_cid(F.col("sub"), F.col("sv")).alias("cid"),
+        )
+        means = (
+            ordered_fold_sum(
+                assigned.select("sub", "cid", "__vid", F.posexplode("sv").alias("pos", "x")),
+                ["sub", "cid", "pos"],
+                "__vid",
+                "x",
+                out_col="s",
+                count_col="cnt",
+            )
+            .select("sub", "cid", "pos", (F.col("s") / F.col("cnt")).alias("mval"))
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("sub", "cid", F.col("pm.mval").alias("mvec"))
+        )
+        cdf = (
+            cdf.join(means, ["sub", "cid"], "left")
+            .select("sub", "cid", F.coalesce("mvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    return cdf
+
+
+def pq_encode(
+    emb: DataFrame,
+    cdf: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: (id, sub, code) — each subvector's nearest codebook
+    centroid. ``m`` small ints replace ``dim`` floats (the compressed
+    corpus representation ADC scans). Map-side against the broadcast
+    codebook; no shuffle."""
+    sub = _pq_subrows(emb, m, dim, id_col, vec_col)
+    return _attach_pq_cents(sub, cdf).select(
+        F.col("__vid").alias(id_col),
+        "sub",
+        _pq_nearest_cid(F.col("sub"), F.col("sv")).alias("code"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance
+    computation (ADC): the corpus is stored as ``m``-byte codes, each
+    query builds an (m x ksub) subspace distance table against the
+    codebook, and a candidate's approximate squared L2 distance is the
+    sum of its codes' table entries — a lookup-join, never a
+    full-dimension dot product per pair.
+
+    Scale: ADC is a LINEAR scan made cheap (m lookups per corpus row
+    instead of dim multiplies; the 8x-64x compression is what lets the
+    scan stay in memory) — compose with the IVF cell pruning
+    (:func:`ivf_topk` / :func:`write_ivf_index`) for sublinear
+    candidate generation, exactly as FAISS pairs IVF with PQ. The
+    distance table and codebook ride as broadcasts; the per-(query,
+    candidate) sum folds in pinned subspace order (m rows per group —
+    bounded), so results replay bit-identically in the DuckDB oracle.
+
+    Returns (qid, rank, vid, adist) — ascending approximate distance,
+    ties by vid.
+    """
+    cdf = pq_codebooks_df(
+        emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(emb, cdf, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    qsub = _pq_subrows(emb.filter(query_pred), m, dim, id_col, vec_col)
+    dtab = (
+        qsub.join(F.broadcast(cdf), "sub")
+        .select(
+            F.col("__vid").alias("qid"),
+            "sub",
+            "cid",
+            (
+                _dot(F.col("sv"), F.col("sv"))
+                - F.lit(2.0) * _dot(F.col("sv"), F.col("cvec"))
+                + _dot(F.col("cvec"), F.col("cvec"))
+            ).alias("d"),
+        )
+    )
+    cand = (
+        F.broadcast(dtab)
+        .join(
+            codes.select(F.col(id_col).alias("vid"), "sub", F.col("code").alias("cid")),
+            ["sub", "cid"],
+        )
+        .filter(F.col("qid") != F.col("vid"))
+    )
+    adist = (
+        cand.groupBy("qid", "vid")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["d"],
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vid"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "adist")
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,

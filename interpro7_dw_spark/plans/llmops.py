@@ -1878,3 +1878,118 @@ register(QuerySpec(
         FROM ugly
     """,
 ))
+
+
+def _pq_mean_cte(src: str, out_c: str, prev_c: str) -> str:
+    """One PQ Lloyd iteration in SQL: two-level pinned cell-mean fold
+    (bucket by vec_id % 64 — the exact ordered_fold_sum structure) per
+    (sub, cid, pos), empty cells keeping the previous centroid."""
+    return f"""
+    m_{out_c} AS (
+      SELECT sub, cid, pos,
+             list_reduce(list_prepend(0.0, list(__fs ORDER BY __fb)),
+                         (a, b) -> a + b) / sum(__fn) AS m
+      FROM (
+        SELECT sub, cid, pos, vec_id % 64 AS __fb,
+               list_reduce(list_prepend(0.0, list(sv[pos] ORDER BY vec_id)),
+                           (a, b) -> a + b) AS __fs,
+               count(*) AS __fn
+        FROM {src}, LATERAL unnest(generate_series(1, len(sv))) AS g(pos)
+        GROUP BY sub, cid, pos, vec_id % 64
+      )
+      GROUP BY sub, cid, pos
+    ),
+    v_{out_c} AS (SELECT sub, cid, list(m ORDER BY pos) AS cv
+                  FROM m_{out_c} GROUP BY sub, cid),
+    {out_c} AS (SELECT p.sub, p.cid, coalesce(v.cv, p.cv) AS cv
+                FROM {prev_c} p LEFT JOIN v_{out_c} v USING (sub, cid))"""
+
+
+def _pq_assign_cte(cents: str, out_a: str) -> str:
+    return f"""
+    {out_a} AS (
+      SELECT vec_id, sub, sv, cid FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_dot_product(c.cv, c.cv)
+                          - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+        FROM subv s JOIN {cents} c ON s.sub = c.sub) WHERE rn = 1
+    )"""
+
+
+_PQ_ORACLE = (
+    """
+    WITH nv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    subv AS (
+      SELECT vec_id, g.s AS sub, v[g.s * 8 + 1 : g.s * 8 + 8] AS sv
+      FROM nv, LATERAL unnest(generate_series(0, 7)) AS g(s)
+    ),
+    seed_ids AS (
+      SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
+      FROM nv QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    c0 AS (SELECT s.sub, si.cid, s.sv AS cv
+           FROM subv s JOIN seed_ids si USING (vec_id)),"""
+    + _pq_assign_cte("c0", "a1") + ","
+    + _pq_mean_cte("a1", "c1", "c0") + ","
+    + _pq_assign_cte("c1", "a2") + ","
+    + _pq_mean_cte("a2", "c2", "c1") + ","
+    + """
+    codes AS (
+      SELECT vec_id AS vid, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_dot_product(c.cv, c.cv)
+                          - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+        FROM subv s JOIN c2 c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT s.vec_id AS qid, s.sub, c.cid,
+             list_dot_product(s.sv, s.sv)
+             - 2 * list_dot_product(s.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d
+      FROM subv s JOIN c2 c ON s.sub = c.sub
+      WHERE s.vec_id < 5
+    ),
+    cand AS (
+      SELECT d.qid, co.vid, d.sub, d.d
+      FROM dtab d JOIN codes co ON d.sub = co.sub AND d.cid = co.cid
+      WHERE d.qid <> co.vid
+    ),
+    adist AS (
+      SELECT qid, vid,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                               (a, b) -> a + b), 6) AS adist
+      FROM cand GROUP BY qid, vid
+    )
+    SELECT qid, rank, vid, adist FROM (
+      SELECT qid, vid, adist,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY adist, vid) AS INT) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """
+)
+
+
+register(QuerySpec(
+    name="z_embedding_pq_topk",
+    tags=("NN2", "F9", "J2"),
+    description="ANN top-5 by product quantization with asymmetric "
+    "distance computation (operators/similarity.py::pq_topk, Jégou et "
+    "al. 2011 — the FAISS PQ shape): 8 subspaces x 4-centroid "
+    "codebooks trained by ONE subspace-keyed deterministic Lloyd "
+    "loop, corpus stored as 8 codes per vector, query distances as "
+    "broadcast lookup tables summed in pinned subspace order. FULL "
+    "value oracle: the subspace Lloyd recursion, codes, distance "
+    "tables and ADC sums all replay bit-identically in DuckDB.",
+    build=lambda spark, sf: S.pq_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5, m=8, ksub=4,
+        iters=2,
+    ),
+    oracle=_PQ_ORACLE,
+))

@@ -650,6 +650,40 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_pq_codebooks_and_adc(spark):
+    from interpro7_dw_spark.operators.similarity import (
+        pq_codebooks_df,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cdf = pq_codebooks_df(emb, m=8, ksub=4, iters=1).persist()
+    # full codebook: one centroid per (subspace, cell), correct width
+    rows = cdf.collect()
+    assert len(rows) == 8 * 4
+    assert all(len(r.cvec) == 8 for r in rows)
+    # codes: every vector gets exactly one code per subspace, in range
+    codes = pq_encode(emb, cdf, m=8).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 8
+    assert all(0 <= r.code < 4 for r in codes)
+    # a planted exact duplicate shares all codes with its source and
+    # must surface at rank 1 for the duplicate's query (ADC distance
+    # equal to the source's own quantization error — minimal)
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9000).alias("vec_id"), "embedding", "label"
+    )
+    top = pq_topk(
+        emb.unionByName(dup), F.col("vec_id") == 9000, k=3, m=8, ksub=4, iters=1
+    ).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.vid == 0 and best.rank == 1
+    # determinism: same inputs, same codebooks
+    again = pq_codebooks_df(emb, m=8, ksub=4, iters=1).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_normalize_text(spark):
     from interpro7_dw_spark.operators.text import normalize_text
 
