@@ -105,3 +105,48 @@ register(QuerySpec(
         FROM events
     """,
 ))
+
+
+def _stream_cms(spark, sf):
+    from ..streaming.cms_stream import streaming_cms_heavy_users
+
+    return streaming_cms_heavy_users(spark, f"{sf}/events.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_cms_heavy_users",
+    tags=("ST1", "A5", "F3"),
+    description="Heavy-hitter users from a STREAMED count-min sketch "
+    "(streaming/cms_stream.py): the 3x32 counter table is maintained "
+    "by a real Structured Streaming aggregation — bounded state at "
+    "any feed length, the sketch's cell-wise mergeability IS the "
+    "streaming aggregate — then probed in batch for users with exact "
+    "count >= 30. One-sided estimates; collisions replay in the "
+    "DuckDB oracle via the shared md5 bucket arithmetic.",
+    build=_stream_cms,
+    oracle="""
+        WITH r(r) AS (VALUES (0), (1), (2)),
+        cells AS (
+          SELECT r.r AS r,
+                 CAST(('0x' || substring(md5(r.r || ':' || user_id), 1, 8))
+                      ::UBIGINT % 32 AS BIGINT) AS bucket,
+                 count(*) AS cnt
+          FROM events, r GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+          FROM events GROUP BY 1 HAVING count(*) >= 30
+        ),
+        probe AS (
+          SELECT e.user_id, e.exact_n, r.r AS r,
+                 CAST(('0x' || substring(md5(r.r || ':' || e.user_id), 1, 8))
+                      ::UBIGINT % 32 AS BIGINT) AS bucket
+          FROM exact e, r
+        )
+        SELECT p.user_id, p.exact_n,
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est,
+               CAST(min(coalesce(c.cnt, 0)) - p.exact_n AS BIGINT) AS overestimate
+        FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        GROUP BY 1, 2
+    """,
+))

