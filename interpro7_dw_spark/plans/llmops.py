@@ -1993,3 +1993,74 @@ register(QuerySpec(
     ),
     oracle=_PQ_ORACLE,
 ))
+
+
+def _snapshot_diff_orders(spark: SparkSession, sf: str):
+    """Synthetic release-over-release delta on orders: %7 keys deleted,
+    %5 survivors repriced (+1), %11 keys re-inserted under shifted ids
+    — every change class exercised from one deterministic derivation."""
+    from ..operators.cdc import snapshot_diff
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    return snapshot_diff(
+        base, survivors.unionByName(inserts), ["o_orderkey"]
+    )
+
+
+register(QuerySpec(
+    name="z_snapshot_diff",
+    tags=("CD1", "J3", "F3"),
+    description="Row-level change-data classification between two "
+    "snapshot versions (operators/cdc.py::snapshot_diff): one "
+    "full-outer join on the key carrying md5 row fingerprints instead "
+    "of full row width, insert/delete/update labels plus the "
+    "null-aware changed-column set — the delta primitive that lets "
+    "release sinks process changes instead of full rewrites.",
+    build=_snapshot_diff_orders,
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        newsnap AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM base WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 11 = 0
+        ),
+        j AS (
+          SELECT b.o_orderkey AS ok, n.o_orderkey AS nk,
+                 b.o_orderstatus AS os, n.o_orderstatus AS ns,
+                 b.o_totalprice AS op, n.o_totalprice AS np
+          FROM base b FULL OUTER JOIN newsnap n ON b.o_orderkey = n.o_orderkey
+        )
+        SELECT CAST(coalesce(ok, nk) AS BIGINT) AS o_orderkey,
+               CASE WHEN ok IS NULL THEN 'insert'
+                    WHEN nk IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+                 array_to_string(list_sort(list_filter(
+                   [CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+                    CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END],
+                   x -> x IS NOT NULL)), ',')
+               ELSE '' END AS changed_cols
+        FROM j
+        WHERE ok IS NULL OR nk IS NULL
+           OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+    """,
+))

@@ -650,6 +650,35 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_snapshot_diff(spark):
+    from interpro7_dw_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> dropped
+         (2, "B", 21.0),          # both columns change
+         (3, "c", 30.0),          # null -> value (null-aware update)
+         (5, "e", 50.0)],         # insert
+        "k long, s string, v double",
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 5}  # 1 is unchanged, not emitted
+    assert got[2].change_type == "update" and got[2].changed_cols == "s,v"
+    assert got[3].change_type == "update" and got[3].changed_cols == "v"
+    assert got[4].change_type == "delete" and got[4].changed_cols == ""
+    assert got[5].change_type == "insert" and got[5].changed_cols == ""
+    # composite key + explicit compare subset
+    old2 = old.withColumnRenamed("s", "s2")
+    new2 = new.withColumnRenamed("s", "s2")
+    sub = snapshot_diff(old2, new2, ["k", "s2"], compare_cols=["v"]).collect()
+    # (2,'b') exists only in old, (2,'B') only in new under the 2-col key
+    kinds = {(r.k, r.s2): r.change_type for r in sub}
+    assert kinds[(2, "b")] == "delete" and kinds[(2, "B")] == "insert"
+
+
 def test_pq_codebooks_and_adc(spark):
     from interpro7_dw_spark.operators.similarity import (
         pq_codebooks_df,
