@@ -2064,3 +2064,44 @@ register(QuerySpec(
            OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
     """,
 ))
+
+
+_Z_BITS = 8
+
+
+def _zorder_events(spark: SparkSession, sf: str):
+    from ..sources.sinks import zorder_key
+
+    d = t(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 256).alias("zx"),
+        (F.col("user_id") % 256).alias("zy"),
+    )
+    return d.select(
+        "event_id", "zx", "zy", zorder_key(["zx", "zy"], _Z_BITS).alias("zkey")
+    )
+
+
+_Z_SQL = " + ".join(
+    f"(((zx >> {b}) & 1) << {2 * b}) + (((zy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(_Z_BITS)
+)
+
+register(QuerySpec(
+    name="z_zorder_key",
+    tags=("O6", "F9"),
+    description="Morton (Z-order) interleave key "
+    "(sources/sinks.py::zorder_key) — the multi-dimensional "
+    "data-skipping sort key under write_zordered, whose layout test "
+    "(tests/test_io.py) proves parquet-footer pruning on EVERY keyed "
+    "dimension. Pure integer bit arithmetic, replayed exactly by the "
+    "oracle.",
+    build=_zorder_events,
+    oracle=f"""
+        SELECT event_id,
+               CAST(event_id % 256 AS BIGINT) AS zx,
+               CAST(user_id % 256 AS BIGINT) AS zy,
+               CAST({_Z_SQL.replace('zx', '(event_id % 256)').replace('zy', '(user_id % 256)')} AS BIGINT) AS zkey
+        FROM events
+    """,
+))

@@ -300,3 +300,67 @@ def publish_swap(staging_dir: str, live_dir: str, previous_dir: str) -> None:
     if os.path.exists(live_dir):
         os.rename(live_dir, previous_dir)
     os.rename(staging_dir, live_dir)
+
+
+def zorder_key(cols: list[str], bits: int = 10):
+    """Morton (Z-order) key: interleave the low ``bits`` of each
+    pre-scaled NON-NEGATIVE integer column — bit b of column i lands
+    at position ``b * ncols + i``. Pure integer column arithmetic
+    (codegen'd, engine-portable); inputs must already sit in
+    [0, 2^bits) — :func:`write_zordered` handles the scaling."""
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit.cast("long"), b * ncols + ci)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+) -> None:
+    """Multi-dimensional data-skipping layout: rows sorted along the
+    Z-curve over ``cols`` so every output file covers a compact
+    HYPER-RECTANGLE of the key space instead of a slab. A single-column
+    sort prunes scans only for predicates on that column; the Z-layout
+    keeps every ``cols`` member's per-file min/max narrow at once, so
+    parquet footer stats prune for predicates on ANY of them — the
+    standard lakehouse OPTIMIZE ZORDER BY shape, built from plain
+    repartitionByRange + sortWithinPartitions.
+
+    Scale: one min/max aggregate (2 x ncols scalars) for the value
+    scaling, one range shuffle on the z key; file count follows the
+    range partition count. Columns scale through doubles for layout
+    only — the written DATA is untouched (the helper columns drop
+    before the write; a projection after the sort preserves row
+    order).
+    """
+    mm = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = df
+    for c in cols:
+        mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled = scaled.withColumn(
+            f"__zs_{c}",
+            F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+        )
+    keyed = scaled.withColumn(
+        "__z", zorder_key([f"__zs_{c}" for c in cols], bits)
+    ).drop(*[f"__zs_{c}" for c in cols])
+    parts = [num_files, "__z"] if num_files else ["__z"]
+    (
+        keyed.repartitionByRange(*parts)
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
