@@ -446,6 +446,55 @@ def semantic_dedup(
     )
 
 
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions — the standard pre-step that makes downstream ANN /
+    clustering / SemDeDup cheaper by shrinking vectors while
+    approximately preserving pairwise distances (distortion
+    ~1 ± sqrt(log n / out_dim)). The projection matrix is the sign
+    JL construction (Achlioptas 2003): entry (o, i) is
+    ``±1/sqrt(out_dim)`` with the sign from md5(o:i) parity — no RNG
+    state, every engine rebuilds the identical matrix.
+
+    Rows are emitted LONG (id, pos, value rounded to 6) so the result
+    is oracle-comparable; re-nest with collect_list(struct(pos, x))
+    when an array column is wanted. Each output value is a
+    left-to-right fold over the input in index order — deterministic
+    double accumulation, replayed by the DuckDB oracle.
+
+    Scale: pure map-side arithmetic, zero shuffles. The matrix rides
+    as out_dim x dim literal constants — fine at embedding scale
+    (16 x 64 here); for very large matrices ship it as a broadcast
+    (o, i, w) table joined on position instead (the
+    :func:`_attach_centroids` pattern).
+    """
+    import hashlib
+
+    scale = 1.0 / (out_dim ** 0.5)
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for o in range(out_dim):
+        row = []
+        for i in range(dim):
+            parity = int(hashlib.md5(f"{o}:{i}".encode()).hexdigest()[:2], 16) % 2
+            row.append(scale if parity == 0 else -scale)
+        outs.append(
+            F.struct(
+                F.lit(o).alias("pos"),
+                F.round(_dot(v, F.array(*[F.lit(x) for x in row])), 6).alias("x"),
+            )
+        )
+    return emb.select(
+        F.col(id_col).alias(id_col), F.explode(F.array(*outs)).alias("p")
+    ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.x").alias("x"))
+
+
 def _pq_subrows(
     emb: DataFrame, m: int, dim: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -325,6 +325,70 @@ def top_tfidf_terms(
     )
 
 
+def bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram language model — the training half of the CCNet
+    filtering loop (train a small LM on clean text, score candidates
+    by perplexity; :func:`perplexity_buckets` is the scoring half):
+    per (w1, w2) the corpus count, the unigram-context count, and the
+    add-one-smoothed conditional probability
+    ``(c(w1,w2) + 1) / (c(w1) + V)`` with V the unigram vocabulary
+    size. Counts are exact integers; the single float is the final
+    division, identical on any engine.
+
+    Shape: consecutive-pair extraction is a map-side higher-order
+    transform over the token array (no positional self-join); the
+    bigram and context counts are two hash aggregates (map-side
+    partial, AQE-splittable hot keys) joined on w1 — never a window
+    over a token key (hot-key rule, see :func:`_token_df`).
+    ``min_count`` prunes the long tail before the join back.
+
+    Returns (w1, w2, n_bigram, n_context, cond_p).
+    """
+    toks = _tokens(text_col)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<w1 STRING, w2 STRING>>)"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = pairs.persist()  # feeds bigram counts AND context counts
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= min_count)
+    )
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_context"))
+    # V = distinct unigrams anywhere in the corpus (w1 or w2 position)
+    vocab = (
+        docs.select(F.explode(toks).alias("w")).agg(F.count_distinct("w")).first()[0]
+    )
+    return (
+        bi.join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_context",
+            F.round(
+                (F.col("n_bigram") + 1) / (F.col("n_context") + F.lit(int(vocab))), 6
+            ).alias("cond_p"),
+        )
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",

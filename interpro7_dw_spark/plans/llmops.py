@@ -2105,3 +2105,74 @@ register(QuerySpec(
         FROM events
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_bigram_lm",
+    tags=("TX2", "A1", "J2"),
+    description="Corpus bigram LM training "
+    "(operators/text.py::bigram_lm) — the training half of the CCNet "
+    "loop whose scoring half is z_perplexity_buckets: exact bigram "
+    "and context counts from map-side pair extraction plus two hash "
+    "aggregates (never a token-key window), add-one-smoothed "
+    "conditional probabilities as the single final float.",
+    build=lambda spark, sf: X.bigram_lm(t(spark, sf, "documents")),
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        pairs AS (
+          SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
+          FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+          WHERE len(ts) >= 2
+        ),
+        bi AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+          FROM pairs GROUP BY 1, 2
+        ),
+        ctx AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS n_context
+          FROM pairs GROUP BY 1
+        ),
+        v AS (
+          SELECT count(DISTINCT t.w) AS vocab
+          FROM tok, LATERAL unnest(ts) AS t(w)
+        )
+        SELECT w1, w2, n_bigram, n_context,
+               round((n_bigram + 1) / (n_context + (SELECT vocab FROM v)), 6)
+                 AS cond_p
+        FROM bi JOIN ctx USING (w1)
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_embedding_jl_project",
+    tags=("NN3", "F9"),
+    description="Johnson-Lindenstrauss sign random projection 64->16 "
+    "dims (operators/similarity.py::jl_project, Achlioptas 2003): "
+    "md5-parity ±1/sqrt(k) matrix, map-side only, distances "
+    "approximately preserved (distortion property-tested in "
+    "tests/test_operators.py). Values fold left-to-right in index "
+    "order so the DuckDB oracle replays every double exactly.",
+    build=lambda spark, sf: S.jl_project(t(spark, sf, "embeddings")),
+    oracle="""
+        WITH nv AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        m AS (
+          SELECT o.o AS pos, g.i AS i,
+                 CASE WHEN ('0x' || substring(md5(o.o || ':' || (g.i - 1)), 1, 2))
+                           ::INT % 2 = 0
+                      THEN 0.25 ELSE -0.25 END AS w
+          FROM unnest(generate_series(0, 15)) AS o(o),
+               unnest(generate_series(1, 64)) AS g(i)
+        )
+        SELECT nv.vec_id, m.pos,
+               round(list_reduce(
+                 list_prepend(0.0, list(nv.v[m.i] * m.w ORDER BY m.i)),
+                 (a, b) -> a + b), 6) AS x
+        FROM nv, m
+        GROUP BY nv.vec_id, m.pos, nv.v
+    """,
+))

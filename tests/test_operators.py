@@ -650,6 +650,59 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_bigram_lm(spark):
+    from interpro7_dw_spark.operators.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    # vocab = {a, b, c, solo} = 4; pairs: (a,b)x3, (b,a)x1, (b,c)x1
+    got = {(r.w1, r.w2): r for r in bigram_lm(docs).collect()}
+    assert got[("a", "b")].n_bigram == 3 and got[("a", "b")].n_context == 3
+    assert got[("a", "b")].cond_p == round((3 + 1) / (3 + 4), 6)
+    assert got[("b", "a")].n_bigram == 1 and got[("b", "a")].n_context == 2
+    assert ("solo", "solo") not in got  # 1-token doc contributes nothing
+    # min_count prunes the tail but keeps context counts exact
+    pruned = {(r.w1, r.w2): r for r in bigram_lm(docs, min_count=2).collect()}
+    assert set(pruned) == {("a", "b")}
+    assert pruned[("a", "b")].n_context == 3
+
+
+def test_jl_projection_preserves_distances(spark):
+    from interpro7_dw_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    proj = jl_project(emb).collect()
+    ids = {r.vec_id for r in proj}
+    assert all(
+        sum(1 for r in proj if r.vec_id == i) == 16 for i in list(ids)[:5]
+    )
+    # deterministic: same matrix, same values
+    again = jl_project(emb).collect()
+    assert sorted(map(tuple, proj)) == sorted(map(tuple, again))
+    # distance preservation on a deterministic sample of pairs: the
+    # JL guarantee is probabilistic; for THIS fixed corpus and matrix
+    # the measured distortion must stay within a generous envelope
+    import collections
+
+    vecs = collections.defaultdict(dict)
+    for r in proj:
+        vecs[r.vec_id][r.pos] = r.x
+    orig = {r.vec_id: list(map(float, r.embedding)) for r in emb.collect()}
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids[:10], ids[10:20]):
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum(
+            (vecs[a][p] - vecs[b][p]) ** 2 for p in range(16)
+        )
+        ratios.append(d_p / d_o)
+    avg = sum(ratios) / len(ratios)
+    assert 0.6 <= avg <= 1.4, ratios
+    assert all(0.25 <= r <= 2.5 for r in ratios), ratios
+
+
 def test_snapshot_diff(spark):
     from interpro7_dw_spark.operators.cdc import snapshot_diff
 
