@@ -69,6 +69,11 @@ HEADLINE = [
     "semantic_dedup",
     "pagerank",
     "z_repetition_stats",
+    # r8 (continued): the relational ExactSubstr pass (window explode
+    # + hash-occurrence aggregate + span merge) and PQ/ADC — the two
+    # heaviest of the new LLM-ops family
+    "exact_substr_dedup",
+    "embedding_pq_topk",
 ]
 
 

@@ -1609,7 +1609,7 @@ register(QuerySpec(
 _XS_K = 8  # span width for the exact-substring dedup query
 
 register(QuerySpec(
-    name="z_exact_substr_dedup",
+    name="exact_substr_dedup",
     tags=("DD7", "A14", "F10", "F11"),
     description="Exact-substring span dedup "
     "(operators/dedup.py::exact_substring_dedup — the ExactSubstr "
@@ -1702,7 +1702,7 @@ def _cms_heavy_hitters(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_heavy_hitters_cms",
+    name="cms_heavy_hitters",
     tags=("A5", "F3", "A1"),
     description="Count-min-sketch heavy hitters "
     "(operators/sketches.py): exact token counts >= 100 vs the "
@@ -1977,7 +1977,7 @@ _PQ_ORACLE = (
 
 
 register(QuerySpec(
-    name="z_embedding_pq_topk",
+    name="embedding_pq_topk",
     tags=("NN2", "F9", "J2"),
     description="ANN top-5 by product quantization with asymmetric "
     "distance computation (operators/similarity.py::pq_topk, Jégou et "

@@ -175,7 +175,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="rollup_region_nation",
+    name="z_rollup_region_nation",
     tags=("A9", "A8"),
     description="Hierarchical rollup — the reference's hand-built per-entity/"
     "per-db/total count pyramid (interpro/mysql/taxa.py:125-178) as ROLLUP.",
@@ -436,7 +436,7 @@ def _join_composite_key(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="join_composite_key",
+    name="z_join_composite_key",
     tags=("J10", "A7"),
     description="Equi-join on a composite key (reference UniParc matchesxsites "
     "merge on (upi, sig, start, end), interpro/oracle/uniparc.py:364-378).",
@@ -749,7 +749,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="sorted_parts_per_order",
+    name="z_sorted_parts_per_order",
     tags=("O3", "A4"),
     description="In-group sorted list (reference locations sorted by leftmost "
     "fragment, interpro/oracle/matches.py:371-374).",
