@@ -364,7 +364,10 @@ def bigram_lm(
             ).otherwise(F.expr("CAST(array() AS array<struct<w1 STRING, w2 STRING>>)"))
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    pairs = pairs.persist()  # feeds bigram counts AND context counts
+    # feeds bigram counts AND context counts (at cluster scale:
+    # checkpoint the pair relation to parquet instead, as jaccard_pairs
+    # documents for its shingle relation)
+    pairs = pairs.persist()
     bi = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))

@@ -253,3 +253,30 @@ def test_ranged_build_matches_single_stream_scaled(spark, tmp_path_factory):
         _, single_text = cat(os.path.join(out_s, rel), gz)
         assert ranged_text == single_text, rel
         assert len(single_text) > 200_000, rel  # genuinely scaled
+
+
+def test_curate_corpus_dag_and_resume(spark, tmp_path):
+    """The curation CLI composes the oracle-checked LLM operators into
+    a resumable DAG (same marker contract as the warehouse build):
+    every stage lands as parquet, survivors exclude eval/contaminated/
+    duplicate rows, and a rerun skips everything."""
+    from interpro7_dw_spark.curate import curate_corpus
+
+    out = str(tmp_path / "curated")
+    status = curate_corpus(spark, "/root/testdata/sf0.001", out)
+    assert set(status.values()) == {"built"}
+    stats = spark.read.parquet(out + "/stats.parquet").first()
+    n_in, n_out = stats.n_input, stats.n_survivors
+    assert 0 < n_out < n_in
+    corpus = spark.read.parquet(out + "/corpus.parquet")
+    # eval split rows (doc_id % 97 == 0) never survive
+    assert corpus.filter("doc_id % 97 = 0").count() == 0
+    # survivors carry the span-cleaned text and shard assignments
+    assert {"text", "shard_id", "shard_pos"} <= set(corpus.columns)
+    # resume: nothing rebuilds
+    again = curate_corpus(spark, "/root/testdata/sf0.001", out)
+    assert set(again.values()) == {"skipped"}
+    # step subset still honors DAG naming
+    sub = curate_corpus(spark, "/root/testdata/sf0.001", out,
+                        steps=["stats"], overwrite=True)
+    assert sub == {"stats": "built"}
