@@ -707,9 +707,23 @@ def pq_topk(
             ).alias("adist")
         )
     )
+    # ADC scans the WHOLE corpus per query, so a top-k window keyed by
+    # qid alone would pin a corpus-sized group in one task. Exact
+    # two-stage selection instead: local top-k within each of 64
+    # deterministic vid-buckets (bounded, AQE-splittable groups), then
+    # top-k of the surviving <= 64k rows per query — top-k of bucket
+    # top-ks is exactly the global top-k.
+    bucketed = adist.withColumn("__b", F.pmod(F.col("vid"), F.lit(64)))
+    w_local = Window.partitionBy("qid", "__b").orderBy(
+        F.asc("adist"), F.asc("vid")
+    )
+    pruned = (
+        bucketed.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+    )
     w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vid"))
     return (
-        adist.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vid", "adist")
     )
