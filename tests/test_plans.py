@@ -174,6 +174,30 @@ def test_passage_df_not_a_window(spark):
     assert "partial_count" in final
 
 
+def test_pq_topk_two_stage_selection(spark):
+    """pq_topk's ADC scores the whole corpus per query, so the final
+    top-k must run as the exact two-stage selection: a local rank
+    window keyed by (qid, vid-bucket) before the global per-qid rank —
+    a bare per-qid window over ADC candidates would pin a corpus-sized
+    group in one task."""
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = pq_topk(emb, F.col("vec_id") < 3, k=3, ksub=4, iters=1)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    wins = [ln for ln in final.splitlines() if "windowspecdefinition" in ln]
+    assert any("__b" in ln for ln in wins), wins
+    # every qid-only window ranks the PRUNED stream, which arrives via
+    # the local-rank filter — assert both windows are present
+    assert len(wins) >= 2, wins
+
+
 def test_token_df_cap_and_shuffle_join(spark):
     """max_df drops hot tokens before the join back; broadcast_vocab=
     False degrades to a shuffle join (AQE-skew-splittable) with
