@@ -238,6 +238,80 @@ def pack_token_shards(
     )
 
 
+def pack_training_examples(
+    docs: DataFrame,
+    budget: int = 4096,
+    seq_len: int = 128,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "<eos>",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """The final tensor-prep step of a training-data pipeline:
+    documents are dealt into token-budget shards
+    (:func:`pack_token_shards`), each shard's documents concatenate in
+    shard order with ``sep`` tokens marking document boundaries, and
+    the concatenated stream re-chunks into consecutive ``seq_len``
+    token examples (the last example of a shard may run short — its
+    ``n_tokens`` says so; drop or pad downstream as the trainer
+    prefers).
+
+    Scale: the per-shard concat is an ``array_sort(collect_list)``
+    whose group is BOUNDED BY THE BUDGET (that bound is the point of
+    sharding first — the concat is safe at any corpus size because no
+    group exceeds ~``budget`` tokens plus one straddling document);
+    chunking is map-side. Everything upstream is the single-shuffle
+    bucket-split plan.
+
+    Returns (stratum, shard_id, example_id, n_tokens, example_text).
+    """
+    with_counts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.col(text_col).alias("__t"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    sharded = pack_token_shards(
+        with_counts, budget, "n_tokens", "stratum", "doc_id", num_ranges
+    )
+    concat = (
+        sharded.groupBy("stratum", "shard_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard_pos", F.col("__t").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                f" {sep} ",
+            ).alias("__joined")
+        )
+    )
+    toks = F.split(F.col("__joined"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(seq_len)).cast("int")
+    return (
+        concat.select(
+            "stratum",
+            "shard_id",
+            toks.alias("__tok"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("example_id"),
+        )
+        .select(
+            "stratum",
+            "shard_id",
+            F.col("example_id").cast("long").alias("example_id"),
+            F.size(F.slice("__tok", F.col("example_id") * seq_len + 1, seq_len))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("__tok", F.col("example_id") * seq_len + 1, seq_len)
+            ).alias("example_text"),
+        )
+    )
+
+
 def corpus_mix(
     docs: DataFrame,
     parts: dict[str, int],

@@ -2176,3 +2176,48 @@ register(QuerySpec(
         GROUP BY nv.vec_id, m.pos, nv.v
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_training_examples",
+    tags=("TX5", "A4", "W4"),
+    description="Final tensor-prep packing "
+    "(operators/sampling.py::pack_training_examples): token-budget "
+    "shards -> in-shard ordered concat with <eos> document boundaries "
+    "-> consecutive fixed-length examples. The per-shard concat group "
+    "is bounded by the budget (the reason to shard first); chunking "
+    "is map-side. Oracle replays shard deal, ordered string_agg and "
+    "the window arithmetic.",
+    build=lambda spark, sf: SM.pack_training_examples(
+        t(spark, sf, "documents"), budget=1000, seq_len=64
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source AS stratum, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, stratum, text,
+                 CAST(floor((sum(n_tokens) OVER (
+                   PARTITION BY stratum
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) - n_tokens) / 1000) AS BIGINT) AS shard_id
+          FROM toks
+        ),
+        joined AS (
+          SELECT stratum, shard_id,
+                 string_split(string_agg(text, ' <eos> '
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id), ' ') AS tok
+          FROM packed GROUP BY 1, 2
+        )
+        SELECT stratum, shard_id,
+               CAST(g.i AS BIGINT) AS example_id,
+               CAST(len(tok[g.i * 64 + 1 : g.i * 64 + 64]) AS BIGINT) AS n_tokens,
+               array_to_string(tok[g.i * 64 + 1 : g.i * 64 + 64], ' ')
+                 AS example_text
+        FROM joined,
+             LATERAL unnest(generate_series(0,
+               CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS g(i)
+    """,
+))

@@ -650,6 +650,37 @@ def test_repeated_passage_stats(spark):
     assert got[5].n_shared == 1
 
 
+def test_pack_training_examples(spark):
+    from interpro7_dw_spark.operators.sampling import pack_training_examples
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(f"w{i}_{j}" for j in range(10))) for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_training_examples(docs, budget=35, seq_len=16).collect()
+    # token conservation: every input token and every boundary marker
+    # lands in exactly one example
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard_id, []).append(r)
+    total_example_tokens = sum(r.n_tokens for r in out)
+    n_docs, tok_per_doc = 12, 10
+    n_shards = len(shards)
+    # each shard of d docs contributes d*10 + (d-1) sep tokens
+    assert total_example_tokens == n_docs * tok_per_doc + (n_docs - n_shards)
+    for rs in shards.values():
+        rs.sort(key=lambda r: r.example_id)
+        # consecutive ids from 0; all but the last are full-length
+        assert [r.example_id for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == 16 for r in rs[:-1])
+        assert 1 <= rs[-1].n_tokens <= 16
+        # boundary markers appear inside the packed stream
+    assert any("<eos>" in r.example_text for r in out)
+    # determinism
+    again = pack_training_examples(docs, budget=35, seq_len=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_bigram_lm(spark):
     from interpro7_dw_spark.operators.text import bigram_lm
 
