@@ -150,3 +150,56 @@ register(QuerySpec(
         GROUP BY 1, 2
     """,
 ))
+
+
+def _stream_changes(spark, sf):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import _event_stream
+    from ..streaming.stateful import change_stream
+
+    stream = _event_stream(spark, f"{sf}/events.parquet").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    name = "stream_changes_" + uuid.uuid4().hex[:12]
+    q = (
+        change_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(QuerySpec(
+    name="z_stream_change_log",
+    tags=("ST4", "W1", "CD1"),
+    description="Per-key stateful change detection over the stream "
+    "(streaming/stateful.py::change_stream, applyInPandasWithState): "
+    "an event emits only when its type differs from the key's carried "
+    "state — the streaming sibling of the batch snapshot differ, with "
+    "two scalars of state per key at any feed length. The emission "
+    "sequence of the Python kernel equals a lag() filter, so even "
+    "this custom stateful operator carries a FULL value oracle.",
+    build=_stream_changes,
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+          FROM events
+        ),
+        seq AS (
+          SELECT user_id, ts_us, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_type
+                 ) AS prev_type
+          FROM e
+        )
+        SELECT user_id, CAST(ts_us AS BIGINT) AS ts_us, event_type, prev_type
+        FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+))

@@ -63,3 +63,61 @@ def sessionize_stream(events: DataFrame, gap_us: int = 1_800_000_000) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CHANGE_OUTPUT_SCHEMA = (
+    "user_id bigint, ts_us bigint, event_type string, prev_type string"
+)
+CHANGE_STATE_SCHEMA = "last_type string, last_ts_us bigint"
+
+
+def change_stream(events: DataFrame) -> DataFrame:
+    """Per-key change detection over a stream — the streaming sibling
+    of the batch snapshot differ (operators/cdc.py): for each user,
+    emit an event only when its ``event_type`` DIFFERS from the
+    previous one (first observation emits with a NULL ``prev_type``).
+    The deduplicated change log is what downstream incremental sinks
+    consume instead of the full feed.
+
+    State per key is two scalars (last type + its timestamp) — bounded
+    regardless of feed length; events inside a micro-batch process in
+    (ts_us) order, and the carried state makes the emission sequence
+    identical however the feed is micro-batched (availableNow replay
+    equals a single batch).
+
+    events: streaming DataFrame with (user_id long, ts_us long,
+    event_type string).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        last_type, last_ts = state.get if state.exists else (None, None)
+        out = []
+        rows = sorted(
+            (
+                (int(r.ts_us), str(r.event_type))
+                for pdf in pdfs
+                for r in pdf.itertuples()
+            ),
+        )
+        for ts, et in rows:
+            if et != last_type:
+                out.append((user_id, ts, et, last_type))
+                last_type = et
+            last_ts = ts
+        if last_type is not None:
+            state.update((last_type, int(last_ts)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts_us", "event_type", "prev_type"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CHANGE_OUTPUT_SCHEMA,
+        stateStructType=CHANGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -141,3 +141,49 @@ def test_streaming_cms_equals_batch_sketch(spark):
     for r in sketch.collect():
         per_row[r.r] += r.cnt
     assert set(per_row.values()) == {total}
+
+
+def _run_changes(spark, src, chk, out):
+    from interpro7_dw_spark.streaming.stateful import change_stream
+
+    stream = spark.readStream.schema(
+        "user_id long, ts_us long, event_type string"
+    ).parquet(src)
+    q = (
+        change_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def test_stateful_change_stream_across_batches(spark, tmp_path):
+    """Only type CHANGES emit; carried state suppresses cross-batch
+    repeats — the streaming sibling of the batch snapshot differ."""
+    src, chk, out = (str(tmp_path / d) for d in ("csrc", "cchk", "cout"))
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (2, 10, "x")],
+        "user_id long, ts_us long, event_type string",
+    ).write.parquet(src)
+    first = _run_changes(spark, src, chk, out)
+    assert first == [
+        (1, 10, "a", None),
+        (1, 30, "b", "a"),
+        (2, 10, "x", None),
+    ]
+
+    # batch 2: same type again -> suppressed by state; a change emits
+    spark.createDataFrame(
+        [(1, 40, "b"), (1, 50, "a"), (2, 40, "x")],
+        "user_id long, ts_us long, event_type string",
+    ).write.mode("append").parquet(src)
+    second = _run_changes(spark, src, chk, out)
+    assert (1, 50, "a", "b") in second
+    assert (1, 40, "b", "a") not in second          # unchanged, suppressed
+    assert sum(1 for r in second if r[0] == 2) == 1  # user 2 never re-emits
