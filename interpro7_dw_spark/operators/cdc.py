@@ -1,20 +1,21 @@
-"""Snapshot differencing — change-data classification between two
-keyed table versions.
+"""Snapshot differencing and history building — change-data
+primitives over keyed table versions.
 
 The reference rebuilds its warehouse per release and reports
 what changed in the release notes (interpro7dw/interpro/ftp/relnotes
 compares entry/protein counts across releases at the aggregate
-level). This operator is the row-level primitive under that idea —
-and under every incremental pipeline: classify each key as
-insert / delete / update between an old and a new snapshot, with the
-changed column set, so downstream sinks (XML exports, ES indexing,
-lookup stores) can process deltas instead of full rewrites.
+level). These operators are the row-level primitives under that idea —
+and under every incremental pipeline: :func:`snapshot_diff` classifies
+each key as insert / delete / update between an old and a new
+snapshot; :func:`scd2_history` turns an append-only changelog into a
+slowly-changing-dimension type-2 validity-interval table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # field separator + null sentinel for the row fingerprint; both chosen
 # outside the data alphabet of the fixture tables (control bytes)
@@ -104,4 +105,61 @@ def snapshot_diff(
                 F.col("change_type") == "update", F.array_join(diffs, ",")
             ).otherwise(F.lit("")).alias("changed_cols"),
         )
+    )
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse an append-only
+    changelog into one row per *version* of each key, with validity
+    intervals. Consecutive changelog rows whose ``tracked`` values are
+    unchanged belong to the same version; a version's ``valid_from``
+    is its first row's ``order_col``, its ``valid_to`` is the next
+    version's ``valid_from`` (``-1`` sentinel + ``is_current=true``
+    for the open-ended latest version). The classic warehouse shape
+    behind "what did this dimension row look like on date X" — the
+    row-level dual of :func:`snapshot_diff` (which compares two
+    snapshots; this replays the full history).
+
+    Ordering within a key is (``order_col``, ``tiebreak_col``) — the
+    tiebreak must be unique per key (an event id) so version
+    boundaries are engine-agnostic. ``order_col`` must be an
+    epoch-NANOS LONG column (the catalog normalizes event timestamps
+    to that, see sources/catalog.py::normalize_event_ts); validity
+    bounds are reported in milliseconds via exact integer division
+    (``DIV 1e6`` — float division of an ~1.7e18 nanos value would
+    lose precision past 2^53).
+
+    Scale: both windows partition by the natural key — a window group
+    is one key's history (bounded by that key's change count, never by
+    table size), and the two windows plus the change filter share one
+    hash partitioning, so the plan carries a SINGLE full shuffle; the
+    change test compares map-side md5 fingerprints of the tracked
+    columns (null-aware, same ``\\x1f``/``\\x00`` framing as
+    :func:`snapshot_diff`).
+
+    Returns (*keys, version, *tracked, valid_from_ms, valid_to_ms,
+    is_current).
+    """
+    fp = _row_hash(tracked, "")
+    w = Window.partitionBy(*keys).orderBy(order_col, tiebreak_col)
+    marked = changelog.withColumn("__fp", fp).withColumn(
+        "__prev_fp", F.lag("__fp").over(w)
+    )
+    changes = marked.filter(
+        F.col("__prev_fp").isNull() | (F.col("__prev_fp") != F.col("__fp"))
+    ).withColumn("__from_ms", F.expr(f"`{order_col}` DIV 1000000"))
+    wc = Window.partitionBy(*keys).orderBy(order_col, tiebreak_col)
+    nxt = F.lead("__from_ms").over(wc)
+    return changes.select(
+        *keys,
+        F.row_number().over(wc).cast("long").alias("version"),
+        *tracked,
+        F.col("__from_ms").alias("valid_from_ms"),
+        F.coalesce(nxt, F.lit(-1)).cast("long").alias("valid_to_ms"),
+        nxt.isNull().alias("is_current"),
     )

@@ -418,3 +418,106 @@ def global_shuffle(
         .withColumn("shard_pos", F.floor(pos / num_shards).cast("long"))
         .drop("__h", "__pid", "__rank")
     )
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) — score every raw document by how target-like
+    its hashed n-gram feature distribution is, so a top-k /
+    resampling pass can cut a 100 TB crawl down to the target domain.
+
+    Features are word bigrams hashed into ``n_buckets`` (the paper's
+    hashed n-gram space). The target distribution comes from the rows
+    matching ``target_pred`` (add-one smoothed); the raw distribution
+    from the whole input. This implementation scores in RATIO space
+    with integer-exact arithmetic: the per-bucket weight is
+
+        r_ppm(b) = floor(1e6 * (tc_b+1)(Nq+B) / ((qc_b+1)(Nt+B)))
+
+    (one IEEE double division of two exactly-representable integer
+    products — deterministic on every engine, unlike ``ln`` whose
+    libm rounding varies), and a document's score is the exact BIGINT
+    sum of ``count_doc(b) * r_ppm(b)`` over its bigram occurrences.
+    Production at 100 TB would sum log-space doubles instead (the
+    products overflow 2^53 there); the plumbing — feature hashing,
+    smoothed distribution estimation, broadcast join-back scoring —
+    is identical, only the per-bucket weight column changes.
+
+    Shape: bucket counts are two vocabulary-sized hash aggregates
+    (map-side partial); the B-row weight table is broadcast back onto
+    the exploded (doc, bucket, count) relation — never a window over
+    the bucket key (hot-bucket rule, see text.py ``_token_df``) — and
+    the per-doc sum is one hash aggregate on the doc id. Selection is
+    ``orderBy(score desc, id).limit(k)`` downstream, which Spark runs
+    as TakeOrderedAndProject (per-partition partial top-k, no global
+    sort).
+
+    Returns (doc_id, n_bigrams, score_ppm).
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__bg").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % n_buckets
+    )
+    feats = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.alias("__is_target"),
+            F.explode(pairs).alias("__bg"),
+        )
+        .withColumn("__b", bucket)
+        .drop("__bg")
+    )
+    # per-doc bucket counts: the only full-data shuffle in the plan
+    doc_counts = feats.groupBy("doc_id", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max("__is_target").alias("__is_target"),
+    )
+    raw = feats.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__qc"))
+    tgt = (
+        feats.filter("__is_target")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("__nq"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).cast("long").alias("__nt"),
+    )
+    weights = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    (F.coalesce("__tc", F.lit(0)) + 1) * (F.col("__nq") + n_buckets)
+                ).cast("double")
+                / (
+                    (F.col("__qc") + 1) * (F.col("__nt") + n_buckets)
+                ).cast("double")
+            ).cast("long").alias("__r_ppm"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(weights), "__b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__c") * F.col("__r_ppm")).cast("long").alias("score_ppm"),
+        )
+    )

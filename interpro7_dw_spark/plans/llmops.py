@@ -2221,3 +2221,213 @@ register(QuerySpec(
                CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS g(i)
     """,
 ))
+
+
+def _scd2_events(spark: SparkSession, sf: str):
+    from ..operators.cdc import scd2_history
+
+    return scd2_history(
+        t(spark, sf, "events"),
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+        tracked=["event_type"],
+    )
+
+
+register(QuerySpec(
+    name="z_scd2_history",
+    tags=("CDC2", "W1", "W2"),
+    description="SCD type-2 dimension build from a changelog "
+    "(operators/cdc.py::scd2_history): per-user event_type versions "
+    "with [valid_from, valid_to) intervals, -1 open-end sentinel and "
+    "is_current flag. Both windows partition by the natural key (one "
+    "key's history per group, single shared shuffle). Oracle replays "
+    "the lag-change filter and lead validity window.",
+    build=_scd2_events,
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ),
+        changes AS (
+          SELECT user_id, event_id, event_type, ts,
+                 epoch_ns(ts) // 1000000 AS from_ms
+          FROM marked WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type,
+               from_ms AS valid_from_ms,
+               coalesce(lead(from_ms) OVER w, -1) AS valid_to_ms,
+               lead(from_ms) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+))
+
+
+def _gapfill_events(spark: SparkSession, sf: str):
+    from ..operators.timeseries import gapfill_locf
+
+    return gapfill_locf(t(spark, sf, "events"))
+
+
+register(QuerySpec(
+    name="z_gapfill_locf",
+    tags=("TS1", "W2", "F11"),
+    description="Hypertable gap-fill + last-observation-carried-"
+    "forward (operators/timeseries.py::gapfill_locf): hourly buckets "
+    "per user, last-in-bucket value by (ts, event_id), missing "
+    "buckets synthesized over each key's own range and filled with "
+    "last(ignorenulls). Window groups are one key's grid (bounded by "
+    "the time range, not event volume).",
+    build=_gapfill_events,
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id AS key,
+                 epoch_ns(ts) // 3600000000000 AS bucket,
+                 value AS v,
+                 row_number() OVER (
+                   PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+                   ORDER BY ts DESC, event_id DESC
+                 ) AS rn,
+                 count(*) OVER (
+                   PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+                 ) AS n_obs
+          FROM events
+        ),
+        obs AS (
+          SELECT key, bucket, v, CAST(n_obs AS BIGINT) AS n_obs
+          FROM ranked WHERE rn = 1
+        ),
+        rng AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1),
+        grid AS (
+          SELECT key, CAST(g.b AS BIGINT) AS bucket
+          FROM rng, LATERAL unnest(generate_series(mn, mx)) AS g(b)
+        ),
+        j AS (
+          SELECT grid.key, grid.bucket, obs.v, obs.n_obs
+          FROM grid LEFT JOIN obs ON grid.key = obs.key AND grid.bucket = obs.bucket
+        )
+        SELECT key, bucket * 3600 AS bucket_start_s,
+               v IS NOT NULL AS observed,
+               coalesce(n_obs, 0) AS n_obs,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY key ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled
+        FROM j
+    """,
+))
+
+
+def _funnel_events(spark: SparkSession, sf: str):
+    from ..operators.timeseries import funnel_steps
+
+    return funnel_steps(t(spark, sf, "events"))
+
+
+register(QuerySpec(
+    name="z_event_funnel",
+    tags=("TS2", "J6", "A2"),
+    description="Ordered-step funnel signup->view->click->purchase "
+    "(operators/timeseries.py::funnel_steps): each step must occur "
+    "strictly after the earliest completion of the previous one; a "
+    "chain of per-key min aggregates joined on the key (map-side "
+    "partials, no per-key ordered scan). Oracle replays the CTE "
+    "cascade.",
+    build=_funnel_events,
+    oracle="""
+        WITH s0 AS (
+          SELECT user_id AS key, min(ts) AS t0
+          FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s1 AS (
+          SELECT e.user_id AS key, min(e.ts) AS t1
+          FROM events e JOIN s0 ON e.user_id = s0.key AND e.ts > s0.t0
+          WHERE e.event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id AS key, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.key AND e.ts > s1.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id AS key, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.key AND e.ts > s2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT k.key,
+               CAST(
+                 (s0.key IS NOT NULL)::INT + (s1.key IS NOT NULL)::INT
+                 + (s2.key IS NOT NULL)::INT + (s3.key IS NOT NULL)::INT
+               AS BIGINT) AS steps_completed,
+               s3.key IS NOT NULL AS converted,
+               CASE WHEN s3.key IS NOT NULL
+                    THEN (epoch_ns(s3.t3) - epoch_ns(s0.t0)) // 1000000
+                    ELSE -1 END AS ms_to_convert
+        FROM (SELECT DISTINCT user_id AS key FROM events) k
+        LEFT JOIN s0 USING (key)
+        LEFT JOIN s1 USING (key)
+        LEFT JOIN s2 USING (key)
+        LEFT JOIN s3 USING (key)
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_dsir_weights",
+    tags=("TX6", "F3", "A1"),
+    description="DSIR importance weights (operators/sampling.py::"
+    "dsir_weights, Xie et al. 2023): hashed-bigram feature "
+    "distributions for a target slice vs the raw corpus, per-doc "
+    "integer-exact ratio-space score via a broadcast 64-row weight "
+    "table joined back (never a window over the bucket key). Oracle "
+    "replays the hashing, smoothing and floor arithmetic.",
+    build=lambda spark, sf: SM.dsir_weights(
+        t(spark, sf, "documents"),
+        F.col("source").isin("src0", "src1", "src2"),
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+                 string_split(text, ' ') AS ts
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, is_t,
+                 ('0x' || substring(md5(ts[i] || ' ' || ts[i + 1]), 1, 6))
+                   ::INT % 64 AS b
+          FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+          WHERE len(ts) >= 2
+        ),
+        dc AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c, max(is_t) AS is_t
+          FROM bg GROUP BY 1, 2
+        ),
+        raw AS (SELECT b, CAST(count(*) AS BIGINT) AS qc FROM bg GROUP BY 1),
+        tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM bg WHERE is_t GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nq,
+                 CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt
+          FROM bg
+        ),
+        w AS (
+          SELECT raw.b,
+                 CAST(floor(
+                   1000000.0
+                   * CAST((coalesce(tc, 0) + 1) * (nq + 64) AS DOUBLE)
+                   / CAST((qc + 1) * (nt + 64) AS DOUBLE)
+                 ) AS BIGINT) AS r_ppm
+          FROM raw LEFT JOIN tgt USING (b), tot
+        )
+        SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(sum(c * r_ppm) AS BIGINT) AS score_ppm
+        FROM dc JOIN w USING (b)
+        GROUP BY 1
+    """,
+))

@@ -92,6 +92,7 @@ def all_specs() -> dict[str, QuerySpec]:
         setstructq,
         streams,
         taxmartq,
+        timeseriesq,
         treeq,
         xmlq,
     )

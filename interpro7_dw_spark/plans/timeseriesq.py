@@ -1,0 +1,197 @@
+"""Catalog entries for the time-series operator family
+(operators/timeseries.py) and sparse lexical retrieval
+(operators/retrieval.py): OHLC bars, time-weighted average, cohort
+retention, BM25 top-k. Every entry carries a full DuckDB value
+oracle; the float paths are either pure selections (OHLC), pinned
+folds (TWA), or integer-exact PPM arithmetic (BM25), so the byte
+differ applies everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.folds import ordered_fold_oracle_cte  # noqa: F401 (pattern ref)
+from ..operators.retrieval import bm25_topk
+from ..operators.timeseries import cohort_retention, ohlc_bars, time_weighted_avg
+from .spec import QuerySpec, register, t
+
+# (qid, term) probes drawn from the fixture vocabulary — broadcast
+# side of the inverted-index join, matching a decontamination-audit
+# shape (eval queries vs a training corpus)
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash"), (0, "merge"),
+    (1, "table"), (1, "scan"),
+    (2, "window"), (2, "sort"), (2, "batch"),
+]
+
+
+def _bm25(spark: SparkSession, sf: str):
+    q = spark.createDataFrame(BM25_QUERIES, "qid long, term string")
+    return bm25_topk(t(spark, sf, "documents"), q, k=10)
+
+
+register(QuerySpec(
+    name="bm25_topk",
+    tags=("TX7", "J2", "A1", "O5"),
+    description="BM25 top-10 per query over an inverted-index join "
+    "(operators/retrieval.py::bm25_topk): integer-exact PPM scoring "
+    "(rational idf, milli-cleared tf normalization — no libm ln), "
+    "vocabulary-sized df aggregate, broadcast query terms, two-stage "
+    "bucketed top-k so no task holds a corpus-sized query group. "
+    "Oracle replays the exact int64 products and single double "
+    "divisions.",
+    build=_bm25,
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(len(ts)) * 1000 // count(*) AS avgdl_m
+          FROM toks
+        ),
+        tf AS (
+          SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, g.term,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM toks, LATERAL unnest(ts) AS g(term)
+          GROUP BY 1, 2, 3
+        ),
+        dfb AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        q(qid, term) AS (
+          VALUES (0, 'hash'), (0, 'merge'), (1, 'table'), (1, 'scan'),
+                 (2, 'window'), (2, 'sort'), (2, 'batch')
+        ),
+        m AS (
+          SELECT q.qid, tf.doc_id,
+                 CAST(floor(1000000.0
+                   * CAST(2 * n - 2 * df + 1 AS DOUBLE)
+                   / CAST(2 * df + 1 AS DOUBLE)) AS BIGINT) AS idf_ppm,
+                 CAST(floor(1000000.0
+                   * CAST(tf * 2200000 * avgdl_m AS DOUBLE)
+                   / CAST(tf * 1000000 * avgdl_m + 300000 * avgdl_m
+                          + 900000 * dl * 1000 AS DOUBLE)) AS BIGINT) AS tfn_ppm
+          FROM q JOIN dfb USING (term) JOIN tf USING (term), stats
+        ),
+        sc AS (
+          SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 CAST(sum(tfn_ppm * idf_ppm) AS BIGINT) AS score_ppm
+          FROM m GROUP BY 1, 2
+        )
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY score_ppm DESC, doc_id
+               ) AS INT) AS rank,
+               doc_id, n_terms_matched, score_ppm
+        FROM sc
+        QUALIFY rank <= 10
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_ohlc_bars",
+    tags=("TS3", "A6", "A7"),
+    description="Daily OHLC candlesticks per user "
+    "(operators/timeseries.py::ohlc_bars): open/close via min_by/"
+    "max_by on the (ts, event_id) tuple (unique-id tiebreak), "
+    "high/low/count in the same single map-side-partial hash "
+    "aggregate. All outputs are selections or exact integers — no "
+    "float accumulation.",
+    build=lambda spark, sf: ohlc_bars(t(spark, sf, "events")),
+    oracle="""
+        SELECT user_id AS key,
+               epoch_ns(ts) // 86400000000000 * 86400 AS bucket_start_s,
+               first(value ORDER BY ts, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_time_weighted_avg",
+    tags=("TS4", "W4", "F9"),
+    description="LOCF time-weighted average per user "
+    "(operators/timeseries.py::time_weighted_avg, TimescaleDB "
+    "time_weight semantics): segment integrals value*(t_next - t) "
+    "summed through the two-level pinned fold "
+    "(functions/folds.py::ordered_fold_sum) so the double "
+    "accumulation is engine-replayable and hub-safe; divided by the "
+    "key's observed span. Keys with one event are omitted. Oracle "
+    "replays the identical bucket fold.",
+    build=lambda spark, sf: time_weighted_avg(t(spark, sf, "events")),
+    oracle="""
+        WITH segs AS (
+          SELECT user_id AS key,
+                 row_number() OVER w AS seq,
+                 value * (lead(epoch_ns(ts)) OVER w - epoch_ns(ts)) AS contrib
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s2 AS (SELECT key, seq, contrib FROM segs WHERE contrib IS NOT NULL),
+        folded AS (
+          SELECT key,
+                 list_reduce(list_prepend(0.0::DOUBLE, list(fs ORDER BY fb)),
+                             (a, b) -> a + b) AS integral,
+                 CAST(sum(n) AS BIGINT) AS n_segments
+          FROM (
+            SELECT key, seq % 64 AS fb,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                                            list(contrib ORDER BY seq)),
+                               (a, b) -> a + b) AS fs,
+                   count(*) AS n
+            FROM s2 GROUP BY key, seq % 64
+          ) GROUP BY key
+        ),
+        span AS (
+          SELECT user_id AS key,
+                 epoch_ns(max(ts)) - epoch_ns(min(ts)) AS span_ns
+          FROM events GROUP BY 1
+        )
+        SELECT f.key, n_segments, CAST(span_ns AS BIGINT) AS span_ns,
+               integral / CAST(span_ns AS DOUBLE) AS twa
+        FROM folded f JOIN span USING (key)
+    """,
+))
+
+
+register(QuerySpec(
+    name="z_cohort_retention",
+    tags=("TS5", "A2", "J2"),
+    description="Weekly cohort retention triangle "
+    "(operators/timeseries.py::cohort_retention): cohort = first-"
+    "activity week per user, cells = distinct-active counts at each "
+    "week offset, retention as exact integer PPM division. Distinct "
+    "activity and cohort assignment are hash aggregates; sizes "
+    "broadcast back; no windows.",
+    build=lambda spark, sf: cohort_retention(t(spark, sf, "events")),
+    oracle="""
+        WITH active AS (
+          SELECT DISTINCT user_id AS key,
+                 epoch_ns(ts) // 604800000000000 AS wk
+          FROM events
+        ),
+        cohort AS (SELECT key, min(wk) AS cwk FROM active GROUP BY 1),
+        sizes AS (
+          SELECT cwk, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM cohort GROUP BY 1
+        ),
+        cells AS (
+          SELECT c.cwk, a.wk - c.cwk AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM active a JOIN cohort c USING (key)
+          GROUP BY 1, 2
+        )
+        SELECT cwk * 604800 AS cohort_bucket_s,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               n_active, cohort_size,
+               n_active * 1000000 // cohort_size AS retention_ppm
+        FROM cells JOIN sizes USING (cwk)
+    """,
+))

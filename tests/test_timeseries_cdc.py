@@ -1,0 +1,283 @@
+"""Unit tests for the time-series operators (gap-fill + LOCF, ordered
+funnel), SCD type-2 history building, and DSIR importance weights, on
+hand-built micro data. Timestamps are epoch-NANOS LONG throughout —
+the catalog's normalized event-time unit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from interpro7_dw_spark.operators.cdc import scd2_history
+from interpro7_dw_spark.operators.retrieval import bm25_topk
+from interpro7_dw_spark.operators.sampling import dsir_weights
+from interpro7_dw_spark.operators.timeseries import (
+    cohort_retention,
+    funnel_steps,
+    gapfill_locf,
+    ohlc_bars,
+    time_weighted_avg,
+)
+
+NS = 1_000_000_000
+HOUR = 3600 * NS
+
+
+def test_gapfill_locf_fills_missing_buckets(spark):
+    # key "a": observations in hours 0, 3 (gap at 1, 2); key "b": hour 5 only
+    rows = [
+        ("a", 0 * HOUR + 5 * NS, 1.0, 1),
+        ("a", 0 * HOUR + 9 * NS, 2.0, 2),  # later in same bucket — wins
+        ("a", 3 * HOUR + 1 * NS, 7.0, 3),
+        ("b", 5 * HOUR, 4.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    out = gapfill_locf(df)
+    got = {
+        (r["key"], r["bucket_start_s"]): (r["observed"], r["n_obs"], r["value_filled"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): (True, 2, 2.0),
+        ("a", 3600): (False, 0, 2.0),   # gap carried forward
+        ("a", 7200): (False, 0, 2.0),   # gap carried forward
+        ("a", 10800): (True, 1, 7.0),
+        ("b", 18000): (True, 1, 4.0),
+    }
+
+
+def test_gapfill_locf_same_bucket_tie_broken_by_id(spark):
+    # two observations at the IDENTICAL ts — higher event_id wins
+    rows = [("a", HOUR, 1.0, 10), ("a", HOUR, 9.0, 11)]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    (r,) = gapfill_locf(df).collect()
+    assert r["value_filled"] == 9.0
+
+
+def test_funnel_strictly_after_semantics(spark):
+    rows = [
+        # u1 completes all four steps in order
+        ("u1", 1 * NS, "signup"),
+        ("u1", 2 * NS, "view"),
+        ("u1", 3 * NS, "click"),
+        ("u1", 5 * NS, "purchase"),
+        # u2: view at the SAME instant as signup — does not advance
+        ("u2", 1 * NS, "signup"),
+        ("u2", 1 * NS, "view"),
+        # u3: purchase BEFORE signup — never converts, depth 1
+        ("u3", 9 * NS, "signup"),
+        ("u3", 2 * NS, "purchase"),
+        # u4: no signup at all — depth 0
+        ("u4", 1 * NS, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {
+        r["key"]: (r["steps_completed"], r["converted"], r["ms_to_convert"])
+        for r in funnel_steps(df).collect()
+    }
+    assert got == {
+        "u1": (4, True, 4000),
+        "u2": (1, False, -1),
+        "u3": (1, False, -1),
+        "u4": (0, False, -1),
+    }
+
+
+def test_funnel_uses_earliest_previous_completion(spark):
+    # signup at t=10; an early view at t=5 must NOT count, the one at
+    # t=20 does; click between them (t=15) counts only if after view
+    # completion (20) — it is not, so depth stops at 2.
+    rows = [
+        ("u", 10 * NS, "signup"),
+        ("u", 5 * NS, "view"),
+        ("u", 20 * NS, "view"),
+        ("u", 15 * NS, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    (r,) = funnel_steps(df).collect()
+    assert (r["steps_completed"], r["converted"]) == (2, False)
+
+
+def test_scd2_history_versions_and_validity(spark):
+    rows = [
+        ("k1", 1, 1_000_000 * 1, "A"),
+        ("k1", 2, 1_000_000 * 2, "A"),   # unchanged — same version
+        ("k1", 3, 1_000_000 * 5, "B"),   # change -> version 2
+        ("k1", 4, 1_000_000 * 9, "A"),   # back to A -> version 3
+        ("k2", 5, 1_000_000 * 4, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts long, event_type string"
+    )
+    out = scd2_history(
+        df, keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        tracked=["event_type"],
+    )
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"], r["valid_from_ms"], r["valid_to_ms"], r["is_current"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("k1", 1): ("A", 1, 5, False),
+        ("k1", 2): ("B", 5, 9, False),
+        ("k1", 3): ("A", 9, -1, True),
+        ("k2", 1): ("X", 4, -1, True),
+    }
+
+
+def test_scd2_history_null_tracked_values_distinct(spark):
+    # NULL -> "A" -> NULL must produce three versions (null-aware hash)
+    rows = [("k", 1, 1_000_000, None), ("k", 2, 2_000_000, "A"),
+            ("k", 3, 3_000_000, None)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts long, event_type string"
+    )
+    out = scd2_history(
+        df, keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        tracked=["event_type"],
+    )
+    assert out.count() == 3
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    # target docs share the bigram vocabulary "x y"; raw-only docs use
+    # "p q". A held-out doc written in target language must outscore an
+    # equally long doc written in raw-only language.
+    rows = (
+        [(f"t{i}", "x y x y x y", "tgt") for i in range(20)]
+        + [(f"r{i}", "p q p q p q", "raw") for i in range(20)]
+        + [("probe_t", "x y x y", "probe"), ("probe_r", "p q p q", "probe")]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = dsir_weights(df, F.col("source") == "tgt")
+    got = {r["doc_id"]: (r["n_bigrams"], r["score_ppm"]) for r in out.collect()}
+    assert got["probe_t"][0] == got["probe_r"][0] == 3
+    assert got["probe_t"][1] > got["probe_r"][1]
+
+
+def test_dsir_weights_no_bigram_docs_absent(spark):
+    df = spark.createDataFrame(
+        [("a", "single", "s"), ("b", "two words", "s")],
+        "doc_id string, text string, source string",
+    )
+    out = dsir_weights(df, F.lit(True))
+    assert [r["doc_id"] for r in out.collect()] == ["b"]
+
+
+def test_ohlc_bars_open_close_tiebreak(spark):
+    DAY = 86400 * NS
+    rows = [
+        ("a", 0 * DAY + 2 * NS, 5.0, 1),
+        ("a", 0 * DAY + 2 * NS, 7.0, 2),   # same instant — open ties to the LOWER id (row 1)
+        ("a", 0 * DAY + 50 * NS, 1.0, 3),
+        ("a", 0 * DAY + 80 * NS, 9.0, 4),  # close
+        ("a", 1 * DAY + 1 * NS, 4.0, 5),
+        ("b", 0 * DAY, 2.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    got = {
+        (r["key"], r["bucket_start_s"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    assert got == {
+        ("a", 0): (5.0, 9.0, 1.0, 9.0, 4),
+        ("a", 86400): (4.0, 4.0, 4.0, 4.0, 1),
+        ("b", 0): (2.0, 2.0, 2.0, 2.0, 1),
+    }
+
+
+def test_time_weighted_avg_locf_integral(spark):
+    rows = [
+        ("a", 0, 10.0, 1),
+        ("a", 10 * NS, 20.0, 2),
+        ("a", 30 * NS, 99.0, 3),   # last obs spans no time
+        ("solo", 5 * NS, 7.0, 4),  # single event — omitted
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    out = time_weighted_avg(df).collect()
+    assert len(out) == 1
+    (r,) = out
+    # integral = 10*10e9 + 20*20e9 = 500e9 over span 30e9 -> 50/3
+    assert r["key"] == "a" and r["n_segments"] == 2 and r["span_ns"] == 30 * NS
+    assert abs(r["twa"] - 500 / 30) < 1e-9
+
+
+def test_cohort_retention_triangle(spark):
+    WEEK = 604800 * NS
+    rows = [
+        ("u1", 0 * WEEK), ("u1", 1 * WEEK + NS),
+        ("u2", 0 * WEEK + 5 * NS),
+        ("u3", 1 * WEEK), ("u3", 1 * WEEK + 9 * NS),  # same week twice
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    got = {
+        (r["cohort_bucket_s"], r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (1, 2, 500_000),
+        (604800, 0): (1, 1, 1_000_000),
+    }
+
+
+def test_bm25_ranking_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),     # tf(cat)=2
+            (2, "cat bird"),        # tf(cat)=1, shorter doc
+            (3, "dog dog dog"),
+            (4, "fish"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "cat"), (1, "fish"), (1, "dog"), (2, "absent")],
+        "qid long, term string",
+    )
+    out = bm25_topk(docs, q, k=10)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["n_terms_matched"], r["score_ppm"])
+        )
+    # q0: only docs 1,2 match; doc 1 has higher tf but longer dl — with
+    # k1=1.2,b=0.75 the double 'cat' still outranks the single
+    assert [d for _, d, _, _ in sorted(by_q[0])] == [1, 2]
+    # q1: doc 4 matches rare 'fish' (df=1), doc 3 common 'dog' (df=2);
+    # rare-term doc must rank first; doc 1 matches 'dog' too
+    ranked_q1 = [d for _, d, _, _ in sorted(by_q[1])]
+    assert ranked_q1[0] == 4 and set(ranked_q1) == {1, 3, 4}
+    # q2: term absent from corpus -> no rows at all
+    assert 2 not in by_q
+    # every score positive, ranks contiguous from 1
+    for rows_ in by_q.values():
+        assert [rk for rk, *_ in sorted(rows_)] == list(range(1, len(rows_) + 1))
+        assert all(s > 0 for *_, s in rows_)
+
+
+def test_bm25_two_stage_equals_plain_window(spark):
+    # 60 docs sharing one term with varying tf — the bucketed two-stage
+    # top-k must equal the naive global ordering
+    docs = spark.createDataFrame(
+        [(i, " ".join(["term"] * (i % 7 + 1) + ["pad"] * (i % 5))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "term")], "qid long, term string")
+    out = bm25_topk(docs, q, k=8).orderBy("rank").collect()
+    scored = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(docs, q, k=60).collect()}
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r["doc_id"], r["score_ppm"]) for r in out] == expect
