@@ -29,7 +29,9 @@ CARRIED21_COUNT = 21
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
-    "join_inner_agg",
+    # parked to z_ in the r8 rotation that promoted bm25_topk into the
+    # driver window — same query, so carried21 stays comparable
+    "z_join_inner_agg",
     "count_distinct_parts",
     "window_suite",
     "topk_per_segment",

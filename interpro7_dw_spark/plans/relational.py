@@ -284,7 +284,7 @@ register(QuerySpec(
 # --------------------------------------------------------------------------
 
 register(QuerySpec(
-    name="join_inner_agg",
+    name="z_join_inner_agg",
     tags=("J1", "A2"),
     description="The workhorse keyed equi-join + aggregate (reference zipped "
     "sort-merge join over co-partitioned stores, interpro/xrefs/entries.py:175-191).",
