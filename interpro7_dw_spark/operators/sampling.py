@@ -448,11 +448,15 @@ def dsir_weights(
     smoothed distribution estimation, broadcast join-back scoring —
     is identical, only the per-bucket weight column changes.
 
-    Shape: bucket counts are two vocabulary-sized hash aggregates
-    (map-side partial); the B-row weight table is broadcast back onto
-    the exploded (doc, bucket, count) relation — never a window over
-    the bucket key (hot-bucket rule, see text.py ``_token_df``) — and
-    the per-doc sum is one hash aggregate on the doc id. Selection is
+    Shape: the corpus is exploded and shuffled ONCE — the per-doc
+    (doc, bucket) count aggregate — and every distribution table
+    derives from that relation (raw = per-bucket sum, target = the
+    same over flagged docs, totals = sums of the B-row tables), so
+    the three extra aggregates ride Spark's ReuseExchange over the
+    single doc-count shuffle instead of re-scanning the corpus. The
+    B-row weight table is broadcast back — never a window over the
+    bucket key (hot-bucket rule, see text.py ``_token_df``) — and the
+    per-doc sum is one hash aggregate on the doc id. Selection is
     ``orderBy(score desc, id).limit(k)`` downstream, which Spark runs
     as TakeOrderedAndProject (per-partition partial top-k, no global
     sort).
@@ -487,19 +491,19 @@ def dsir_weights(
         F.count(F.lit(1)).cast("long").alias("__c"),
         F.max("__is_target").alias("__is_target"),
     )
-    raw = feats.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__qc"))
+    raw = doc_counts.groupBy("__b").agg(F.sum("__c").cast("long").alias("__qc"))
     tgt = (
-        feats.filter("__is_target")
+        doc_counts.filter("__is_target")
         .groupBy("__b")
-        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
+        .agg(F.sum("__c").cast("long").alias("__tc"))
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).cast("long").alias("__nq"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).cast("long").alias("__nt"),
+    base = raw.join(tgt, "__b", "left")
+    totals = base.agg(
+        F.sum("__qc").cast("long").alias("__nq"),
+        F.sum(F.coalesce("__tc", F.lit(0))).cast("long").alias("__nt"),
     )
     weights = (
-        raw.join(tgt, "__b", "left")
-        .crossJoin(F.broadcast(totals))
+        base.crossJoin(F.broadcast(totals))
         .select(
             "__b",
             F.floor(
