@@ -322,3 +322,74 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 10).alias("pagerank"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation — the
+    classic distributed triangle algorithm (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    The input is treated as an undirected simple graph: edges are
+    canonicalized (least, greatest), self-loops dropped, duplicates
+    collapsed. Every edge is then ORIENTED from its lower to its
+    higher endpoint under the total order (degree, node id). In the
+    oriented graph each triangle appears as exactly one wedge
+    ``u -> v, u -> w`` (with v before w in orientation order) closed
+    by the oriented edge ``v -> w`` — so the count is one self-join
+    on the wedge apex plus one semi-join against the edge set, and
+    no triangle is found twice.
+
+    Why orientation matters at 100 TB: a naive wedge join keyed on an
+    unoriented adjacency puts a celebrity node's full degree d on one
+    join key — d^2 candidate wedges in one place (the "last reducer").
+    Orientation bounds every out-degree by O(sqrt(2m)) regardless of
+    skew, so the wedge fan-out is O(m^1.5) TOTAL and no single key
+    explodes. All steps are hash joins/aggregates — AQE-splittable,
+    no windows, no collects.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("n")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("n")
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+        .alias("kv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = o1.join(o2, "u").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = tri.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

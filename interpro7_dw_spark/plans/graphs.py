@@ -180,6 +180,50 @@ register(QuerySpec(
 ))
 
 
+def _triangles(spark: SparkSession, sf: str):
+    from ..operators.graph import triangle_counts
+
+    edges = _part_pairs(spark, sf)
+    return triangle_counts(edges, "pa", "pb")
+
+
+register(QuerySpec(
+    name="z_triangle_counts",
+    tags=("G8", "J6", "A2"),
+    description="Per-node triangle counts on the co-occurrence graph "
+    "(operators/graph.py::triangle_counts): degree-ordered edge "
+    "orientation bounds every out-degree by O(sqrt(2m)) so the wedge "
+    "self-join has no celebrity-key blowup (Suri & Vassilvitskii "
+    "2011); wedges closed by one semi-join against the oriented edge "
+    "set. Oracle enumerates a<b<c triangles directly on canonical "
+    "edges — orientation is invisible in the result.",
+    build=_triangles,
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY 1
+    """,
+))
+
+
 def _rollup_orders_to_ancestors(spark: SparkSession, sf: str):
     closure = transitive_closure(_parent_edges(spark, sf), "child", "parent")
     facts = (

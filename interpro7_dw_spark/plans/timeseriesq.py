@@ -195,3 +195,50 @@ register(QuerySpec(
         FROM cells JOIN sizes USING (cwk)
     """,
 ))
+
+
+def _trailing_rate(spark: SparkSession, sf: str):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf, "events")
+    HOUR_NS = 3_600_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-HOUR_NS, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("ts_ns"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+        F.min("value").over(w).alias("min_value_1h"),
+    )
+
+
+register(QuerySpec(
+    name="z_trailing_rate_window",
+    tags=("W5", "W2"),
+    description="Trailing-hour sliding aggregates per event via a "
+    "RANGE frame on the epoch-nanos order key (the value-based frame "
+    "the rest of the window family doesn't cover): count plus "
+    "max/min selections — no float accumulation, so the frame "
+    "contents alone determine every output. The frame is defined by "
+    "VALUES, so same-ts ties resolve identically in any engine. "
+    "Window group = one user's history (sessionize precedent).",
+    build=_trailing_rate,
+    oracle="""
+        SELECT event_id,
+               user_id,
+               epoch_ns(ts) AS ts_ns,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+               max(value) OVER w AS max_value_1h,
+               min(value) OVER w AS min_value_1h
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY epoch_ns(ts)
+          RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+))

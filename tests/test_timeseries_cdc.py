@@ -281,3 +281,40 @@ def test_bm25_two_stage_equals_plain_window(spark):
     scored = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(docs, q, k=60).collect()}
     expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     assert [(r["doc_id"], r["score_ppm"]) for r in out] == expect
+
+
+def test_triangle_counts_k4_and_square(spark):
+    from interpro7_dw_spark.operators.graph import triangle_counts
+
+    # K4: 4 triangles, every node in exactly 3; square 10-13: none;
+    # duplicates / reversed edges / self-loops must not change counts
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    noise = [(2, 1), (3, 3), (4, 2)]
+    df = spark.createDataFrame(k4 + square + noise, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce_with_hub(spark):
+    from itertools import combinations
+
+    from interpro7_dw_spark.operators.graph import triangle_counts
+
+    # hub node 0 connected to everyone (the "last reducer" shape) plus
+    # a deterministic sparse remainder
+    edges = [(0, i) for i in range(1, 30)]
+    edges += [(i, (i * 7) % 29 + 1) for i in range(1, 30)]
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(list(canon), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expect and sum(expect.values()) % 3 == 0
