@@ -318,3 +318,36 @@ def test_triangle_counts_matches_bruteforce_with_hub(spark):
     df = spark.createDataFrame(list(canon), "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == expect and sum(expect.values()) % 3 == 0
+
+
+def test_bm25_persisted_index_matches_inline(spark, tmp_path):
+    """write_inverted_index + bm25_topk_on_index == bm25_topk inline —
+    the index is a pure re-layout — and the postings scan must carry a
+    static shard IN (...) partition filter (built from the query's
+    bounded distinct-shard set), not a full-index scan."""
+    from interpro7_dw_spark.operators.retrieval import (
+        bm25_topk_on_index,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_inverted_index(docs, path, n_shards=8)
+    q = spark.createDataFrame(
+        [(0, "hash"), (0, "merge"), (1, "table")], "qid long, term string"
+    )
+    out = bm25_topk_on_index(q, path, k=7, n_shards=8)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, bm25_topk(docs, q, k=7).collect()))
+    assert got == want and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # long tmp paths get truncated out of the Location field, so key
+    # off the scanned columns instead: the postings scan reads tf/dl
+    index_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and ("tf#" in ln or "df#" in ln)
+    ]
+    assert index_scans
+    assert all(
+        "shard#" in ln and " IN (" in ln for ln in index_scans
+    ), index_scans[0][:500]
