@@ -1,0 +1,117 @@
+"""Exact grouped order statistics at scale: per-key quantiles without
+a per-key sort.
+
+``approx_percentile`` (A5 family, z_approx_quantile_bounds) is the
+sketch path; this is the exact path — the value a
+``row_number() OVER (PARTITION BY key ORDER BY value)`` pick would
+return, computed WITHOUT that window, whose group for a hot key is a
+single-task sort of the key's whole history (the recurring scale bug,
+see sampling.py module docstring).
+
+Plan shape (the value-cut two-phase rank, generalized from
+text.py::perplexity_buckets):
+
+1. collapse the input to (key, value, weight) — one hash aggregate,
+   the only full-data shuffle; ties in value become one weighted row,
+   so duplicate-heavy metrics shrink drastically;
+2. assign each row an order-preserving VALUE-range bucket from the
+   global [min, max] (two driver scalars) — monotone in value order,
+   so a local weighted prefix within (bucket, key) plus per-bucket
+   offsets IS the exact global weighted rank interval of each value;
+3. the offsets/totals tables are windowed per key over <= n_ranges
+   bucket rows (bounded groups) and joined back on (bucket, key) —
+   plain equi-joins, AQE picks broadcast when they fit;
+4. a quantile q with target rank ``r = q_ppm*(n-1) DIV 1e6 + 1``
+   (lower/"disc" interpolation — reports an actual data value, no
+   float blending, so any engine agrees bit-for-bit) selects the row
+   whose rank interval covers r.
+
+Value cuts can be unbalanced when values cluster (hash cuts cannot);
+that costs bucket balance, never correctness, and the collapse in
+step 1 already absorbed the worst clustering (a million identical
+readings is ONE weighted row). A pathological key whose distinct
+values all land in one cut still bounds its window group by that
+key's distinct-value count inside the cut — strictly no worse than
+the naive per-key window, and usually orders of magnitude smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def grouped_quantiles_exact(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q_ppms: list[int] = (250_000, 500_000, 750_000),
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Per-``key_col`` exact quantiles of ``value_col`` at the given
+    PPM fractions (250_000 = p25). NULL values are ignored. Returns
+    (key, q_ppm, n, quantile_value) — one row per key per fraction,
+    ``n`` the key's non-null count, ``quantile_value`` the element at
+    1-based rank ``q_ppm*(n-1) DIV 1e6 + 1`` of the key's ascending
+    value sequence (an actual data value).
+    """
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("key", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    n = min(
+        n_ranges
+        or int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        65536,
+    )
+    bounds = rows.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+    if bounds.mn is None:
+        return spark.createDataFrame(
+            [], "key string, q_ppm long, n long, quantile_value double"
+        )
+    mn, mx = float(bounds.mn), float(bounds.mx)
+    span = (mx - mn) or 1.0
+    pid = F.least(
+        F.lit(n - 1),
+        F.floor((F.col("v") - F.lit(mn)) / F.lit(span) * n).cast("int"),
+    )
+    ranged = rows.withColumn("__pid", pid)
+    w_local = (
+        Window.partitionBy("__pid", "key")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum("w").over(w_local))
+    counts = ranged.groupBy("__pid", "key").agg(
+        F.sum("w").cast("long").alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("key").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).select("__pid", "key", "__off")
+    totals = counts.groupBy("key").agg(F.sum("__cnt").cast("long").alias("n"))
+    qs = spark.createDataFrame([(int(q),) for q in q_ppms], "q_ppm long")
+    # rank interval of each collapsed value: (lo, hi] in the key's
+    # global weighted order
+    positioned = (
+        local.join(offsets, ["__pid", "key"])
+        .join(totals, "key")
+        .select(
+            "key", "v", "n",
+            (F.col("__off") + F.col("__cum") - F.col("w")).alias("__lo"),
+            (F.col("__off") + F.col("__cum")).alias("__hi"),
+        )
+    )
+    target = F.expr("q_ppm * (n - 1) DIV 1000000") + F.lit(1)
+    return (
+        positioned.join(F.broadcast(qs))
+        .filter((F.col("__lo") < target) & (target <= F.col("__hi")))
+        .select("key", "q_ppm", "n", F.col("v").alias("quantile_value"))
+    )

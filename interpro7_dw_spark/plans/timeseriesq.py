@@ -242,3 +242,115 @@ register(QuerySpec(
         )
     """,
 ))
+
+
+def _pit_enrichment(spark: SparkSession, sf: str):
+    from ..operators.cdc import scd2_history
+    from ..operators.joins import as_of_join
+
+    ev = t(spark, sf, "events")
+    hist = scd2_history(
+        ev, keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        tracked=["event_type"],
+    )
+    probes = ev.select(
+        "event_id", "user_id", F.expr("ts DIV 1000000").alias("probe_ms")
+    )
+    out = as_of_join(
+        probes, hist, ["user_id"], "probe_ms", "valid_from_ms",
+        ["version", "event_type"], tiebreak="version",
+    )
+    return out.select(
+        "event_id", "user_id", "probe_ms",
+        F.col("version_asof").alias("version"),
+        F.col("event_type_asof").alias("type_at"),
+    )
+
+
+register(QuerySpec(
+    name="z_pit_enrichment",
+    tags=("CDC2", "J7"),
+    description="Point-in-time dimension lookup: every event probe "
+    "joined to the SCD2 version valid at its timestamp — "
+    "scd2_history composed with as_of_join (backward on "
+    "valid_from_ms, version tiebreak so same-millisecond versions "
+    "resolve to the latest). The warehouse 'what did this row look "
+    "like then' query, answered without interval theta-joins. Oracle "
+    "replays the history CTE and joins on the validity interval "
+    "directly.",
+    build=_pit_enrichment,
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ),
+        changes AS (
+          SELECT user_id, event_id, event_type, ts,
+                 epoch_ns(ts) // 1000000 AS from_ms
+          FROM marked WHERE prev IS NULL OR prev <> event_type
+        ),
+        hist AS (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS BIGINT) AS version,
+                 event_type,
+                 from_ms AS valid_from_ms,
+                 coalesce(lead(from_ms) OVER w, -1) AS valid_to_ms
+          FROM changes
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        probes AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS probe_ms
+          FROM events
+        )
+        SELECT p.event_id, p.user_id, p.probe_ms,
+               h.version, h.event_type AS type_at
+        FROM probes p JOIN hist h
+          ON p.user_id = h.user_id
+         AND h.valid_from_ms <= p.probe_ms
+         AND (h.valid_to_ms = -1 OR p.probe_ms < h.valid_to_ms)
+    """,
+))
+
+
+def _grouped_quantiles(spark: SparkSession, sf: str):
+    from ..operators.quantiles import grouped_quantiles_exact
+
+    return grouped_quantiles_exact(
+        t(spark, sf, "events"), "user_id", "value"
+    ).select(
+        F.col("key").cast("long").alias("key"), "q_ppm", "n", "quantile_value"
+    )
+
+
+register(QuerySpec(
+    name="z_grouped_quantiles",
+    tags=("A5", "W1", "F9"),
+    description="EXACT per-key quantiles (p25/p50/p75) without a "
+    "per-key sort (operators/quantiles.py::grouped_quantiles_exact): "
+    "collapse to weighted distinct values (the only full shuffle), "
+    "order-preserving value-range cuts from two driver scalars, "
+    "local weighted prefix + per-bucket offsets = exact global rank "
+    "interval, disc-interpolation pick at q_ppm*(n-1) DIV 1e6 + 1. "
+    "The exact complement to the approx_percentile sketch bound "
+    "(z_approx_quantile_bounds). Oracle replays rank arithmetic over "
+    "a plain per-key window.",
+    build=_grouped_quantiles,
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id AS key, value AS v,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY value
+                 ) AS r,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events WHERE value IS NOT NULL
+        ),
+        qs(q_ppm) AS (VALUES (250000), (500000), (750000))
+        SELECT key, CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST(n AS BIGINT) AS n, v AS quantile_value
+        FROM ranked, qs
+        WHERE r = q_ppm * (n - 1) // 1000000 + 1
+    """,
+))

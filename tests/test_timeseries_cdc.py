@@ -351,3 +351,38 @@ def test_bm25_persisted_index_matches_inline(spark, tmp_path):
     assert all(
         "shard#" in ln and " IN (" in ln for ln in index_scans
     ), index_scans[0][:500]
+
+
+def test_grouped_quantiles_exact_matches_sorted_pick(spark):
+    import random
+
+    from interpro7_dw_spark.operators.quantiles import grouped_quantiles_exact
+
+    rng = random.Random(7)
+    rows = []
+    data = {}
+    for key, cnt in (("a", 101), ("b", 4), ("c", 1)):
+        vals = [round(rng.uniform(-5, 5), 3) for _ in range(cnt)]
+        vals += vals[: cnt // 3]  # force duplicates
+        data[key] = sorted(vals)
+        rows += [(key, v) for v in vals]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    out = grouped_quantiles_exact(df, "user_id", "value", n_ranges=8)
+    got = {(r["key"], r["q_ppm"]): (r["n"], r["quantile_value"]) for r in out.collect()}
+    for key, vals in data.items():
+        n = len(vals)
+        for q in (250_000, 500_000, 750_000):
+            r = q * (n - 1) // 1_000_000 + 1
+            assert got[(key, q)] == (n, vals[r - 1]), (key, q)
+    assert len(got) == 9
+
+
+def test_grouped_quantiles_null_and_constant(spark):
+    from interpro7_dw_spark.operators.quantiles import grouped_quantiles_exact
+
+    df = spark.createDataFrame(
+        [("k", 3.0), ("k", 3.0), ("k", None), ("k", 3.0)],
+        "user_id string, value double",
+    )
+    out = grouped_quantiles_exact(df, "user_id", "value", q_ppms=[500_000])
+    assert [tuple(r) for r in out.collect()] == [("k", 500_000, 3, 3.0)]
