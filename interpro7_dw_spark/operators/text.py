@@ -740,3 +740,77 @@ def tag_blocked_domains(
         "host",
         F.coalesce("__b", F.lit(False)).alias("is_blocked"),
     )
+
+
+def minimizer_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 5,
+) -> DataFrame:
+    """(w,k)-minimizer sampling (Roberts et al. 2004; the seeding
+    primitive under minimap2 and most modern sequence indexes, and a
+    sound sparse fingerprint for near-dup text too): slide a window of
+    ``window`` consecutive k-mers over each document's character
+    sequence and keep each window's minimum-hash k-mer. Consecutive
+    windows usually share their minimizer, so the output is a sparse,
+    shift-robust subset of k-mer positions — two sequences sharing a
+    long substring share most minimizers inside it, which is what
+    makes the fingerprint joinable for candidate generation at 100 TB
+    where all-kmers inverted indexes are ~|corpus| x |len| rows.
+
+    Entirely map-side until the final dedup: per row, k-mer hashes
+    come from a ``transform`` over the position sequence (a 60-bit
+    md5 prefix as BIGINT — engine-replayable, no seed state), window
+    minima from ``aggregate`` over each window slice, and the
+    per-document distinct minimizer set via ``array_distinct``
+    BEFORE the explode — the only shuffle is whatever the caller does
+    with the result. Ties inside a window break toward the LEFTMOST
+    minimal hash (the standard convention) — the strict ``<`` fold
+    keeps the first minimum, which equals min-by (hash, position), so
+    any engine replays the pick.
+
+    Returns (doc_id, pos, kmer, h60) — one row per selected
+    (document, window-minimizer occurrence), ``pos`` 1-based.
+    """
+    toks = F.expr(
+        f"""
+        transform(
+          sequence(1, greatest(length(__t) - {k - 1}, 0)),
+          i -> named_struct(
+            'p', i,
+            'km', substring(__t, i, {k}),
+            'h', cast(conv(substring(md5(binary(substring(__t, i, {k}))), 1, 15),
+                           16, 10) as bigint)
+          )
+        )
+        """
+    )
+    mins = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(size(__kms) - {window - 1}, 0)),
+          w -> aggregate(
+            slice(__kms, w, {window}),
+            cast(null as struct<p:int, km:string, h:bigint>),
+            (acc, x) -> case
+              when acc is null then x
+              when x.h < acc.h then x
+              else acc end
+          )
+        ))
+        """
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .withColumn("__kms", toks)
+        .withColumn("__mins", mins)
+        .select("doc_id", F.explode("__mins").alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.p").cast("long").alias("pos"),
+            F.col("m.km").alias("kmer"),
+            F.col("m.h").alias("h60"),
+        )
+    )

@@ -2431,3 +2431,41 @@ register(QuerySpec(
         GROUP BY 1
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_minimizers",
+    tags=("TX8", "F3", "F11"),
+    description="(w,k)-minimizer sampling (operators/text.py::"
+    "minimizer_fingerprints, k=8, window=5 — the minimap2 seeding "
+    "primitive): per-window min-hash k-mer with leftmost tie-break, "
+    "entirely map-side HOFs (transform/aggregate/array_distinct "
+    "before the explode) — zero shuffles in the operator. Oracle "
+    "replays the k-mer hashing and window minima with DuckDB list "
+    "comprehensions; the strict-< fold equals min-by (hash, pos) so "
+    "both engines pick identical minimizers.",
+    build=lambda spark, sf: X.minimizer_fingerprints(
+        t(spark, sf, "documents"), k=8, window=5
+    ),
+    oracle="""
+        WITH base AS (SELECT doc_id, text AS t FROM documents),
+        kms AS (
+          SELECT doc_id,
+            [ {'p': i,
+               'km': substring(t, i, 8),
+               'h': ('0x' || substring(md5(substring(t, i, 8)), 1, 15))::BIGINT}
+              FOR i IN generate_series(1, greatest(length(t) - 7, 0)) ] AS kms
+          FROM base
+        ),
+        wins AS (
+          SELECT doc_id,
+            [ list_sort(list_transform(
+                kms[w : w + 4], x -> {'h': x.h, 'p': x.p, 'km': x.km}))[1]
+              FOR w IN generate_series(1, greatest(len(kms) - 4, 0)) ] AS wins
+          FROM kms
+        )
+        SELECT DISTINCT doc_id, CAST(m.p AS BIGINT) AS pos,
+               m.km AS kmer, m.h AS h60
+        FROM wins, unnest(wins) AS u(m)
+    """,
+))

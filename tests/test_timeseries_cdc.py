@@ -386,3 +386,42 @@ def test_grouped_quantiles_null_and_constant(spark):
     )
     out = grouped_quantiles_exact(df, "user_id", "value", q_ppms=[500_000])
     assert [tuple(r) for r in out.collect()] == [("k", 500_000, 3, 3.0)]
+
+
+def test_minimizers_shift_robust_and_bruteforce(spark):
+    import hashlib
+
+    from interpro7_dw_spark.operators.text import minimizer_fingerprints
+
+    k, w = 4, 3
+    s = "the quick brown fox jumps over it"
+    docs = spark.createDataFrame(
+        [(1, s), (2, "XYZPAD" + s)], "doc_id long, text string"
+    )
+    out = minimizer_fingerprints(docs, k=k, window=w)
+    rows = out.collect()
+
+    def brute(t):
+        kms = [
+            (
+                int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16),
+                i + 1,
+                t[i : i + k],
+            )
+            for i in range(len(t) - k + 1)
+        ]
+        picked = set()
+        for j in range(len(kms) - w + 1):
+            picked.add(min(kms[j : j + w]))
+        return {(p, km, h) for h, p, km in picked}
+
+    got1 = {(r["pos"], r["kmer"], r["h60"]) for r in rows if r["doc_id"] == 1}
+    got2 = {(r["pos"], r["kmer"], r["h60"]) for r in rows if r["doc_id"] == 2}
+    assert got1 == brute(s)
+    assert got2 == brute("XYZPAD" + s)
+    # shift-robustness: the shared suffix contributes the same k-mer
+    # set (positions differ by the pad length)
+    shared1 = {(km, h) for p, km, h in got1 if p > w * 2}
+    shifted = {(km, h) for p, km, h in got2 if p > 6 + w * 2}
+    assert shared1 and shared1 <= {(km, h) for _, km, h in got2}
+    assert shifted <= {(km, h) for _, km, h in got1}
