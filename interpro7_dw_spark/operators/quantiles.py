@@ -115,3 +115,49 @@ def grouped_quantiles_exact(
         .filter((F.col("__lo") < target) & (target <= F.col("__hi")))
         .select("key", "q_ppm", "n", F.col("v").alias("quantile_value"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Robust per-key anomaly flags via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``M = 0.6745 * (v - median) / MAD``,
+    flagged when ``|M| > 3.5``. Median and MAD (median absolute
+    deviation) both come from :func:`grouped_quantiles_exact` — the
+    skew-safe exact path — so the two statistics are actual data
+    values and every float step (one subtraction, one constant
+    multiply, one division, one abs, one compare, in that pinned
+    order) replays identically in any IEEE engine. A key whose MAD is
+    zero (over half its readings identical) degenerates to flagging
+    any deviation at all, sidestepping the division.
+
+    NULL values are ignored. Returns (id, key, v, median, mad,
+    is_outlier) for every non-null input row.
+    """
+    vals = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    med = grouped_quantiles_exact(vals, "key", "v", q_ppms=[500_000]).select(
+        "key", F.col("quantile_value").alias("median")
+    )
+    dev = vals.join(med, "key").withColumn(
+        "d", F.abs(F.col("v") - F.col("median"))
+    )
+    mad = grouped_quantiles_exact(dev, "key", "d", q_ppms=[500_000]).select(
+        "key", F.col("quantile_value").alias("mad")
+    )
+    out = dev.join(mad, "key")
+    flag = F.when(
+        F.col("mad") == 0.0, F.abs(F.col("v") - F.col("median")) > 0.0
+    ).otherwise(
+        F.abs(F.lit(0.6745) * (F.col("v") - F.col("median")) / F.col("mad"))
+        > F.lit(3.5)
+    )
+    return out.select(
+        "id", "key", "v", "median", "mad", flag.alias("is_outlier")
+    )

@@ -354,3 +354,54 @@ register(QuerySpec(
         WHERE r = q_ppm * (n - 1) // 1000000 + 1
     """,
 ))
+
+
+def _mad_outliers(spark: SparkSession, sf: str):
+    from ..operators.quantiles import mad_outliers
+
+    return mad_outliers(t(spark, sf, "events"), "event_id", "user_id", "value")
+
+
+register(QuerySpec(
+    name="z_mad_outliers",
+    tags=("A5", "F9"),
+    description="Robust per-key anomaly flags — modified z-score "
+    "0.6745*(v-median)/MAD > 3.5 (operators/quantiles.py::"
+    "mad_outliers): median and MAD are exact data values from the "
+    "skew-safe grouped_quantiles_exact path, so the float chain is "
+    "pinned and engine-agnostic; MAD=0 keys degenerate to any-"
+    "deviation flagging. Oracle replays the two rank picks and the "
+    "identical expression.",
+    build=_mad_outliers,
+    oracle="""
+        WITH vals AS (
+          SELECT user_id AS key, event_id AS id, value AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+          SELECT key, v AS median FROM (
+            SELECT key, v,
+                   row_number() OVER (PARTITION BY key ORDER BY v) AS r,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM vals
+          ) WHERE r = 500000 * (n - 1) // 1000000 + 1
+        ),
+        dev AS (
+          SELECT vals.key, id, v, median, abs(v - median) AS d
+          FROM vals JOIN med USING (key)
+        ),
+        mad AS (
+          SELECT key, d AS mad FROM (
+            SELECT key, d,
+                   row_number() OVER (PARTITION BY key ORDER BY d) AS r,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM dev
+          ) WHERE r = 500000 * (n - 1) // 1000000 + 1
+        )
+        SELECT id, dev.key, v, median, mad,
+               CASE WHEN mad = 0.0 THEN abs(v - median) > 0.0
+                    ELSE abs(0.6745 * (v - median) / mad) > 3.5
+               END AS is_outlier
+        FROM dev JOIN mad USING (key)
+    """,
+))

@@ -425,3 +425,19 @@ def test_minimizers_shift_robust_and_bruteforce(spark):
     shifted = {(km, h) for p, km, h in got2 if p > 6 + w * 2}
     assert shared1 and shared1 <= {(km, h) for _, km, h in got2}
     assert shifted <= {(km, h) for _, km, h in got1}
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    from interpro7_dw_spark.operators.quantiles import mad_outliers
+
+    rows = [("k", i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 500])]
+    rows += [("const", 100 + i, 5.0) for i in range(4)] + [("const", 199, 6.0)]
+    rows += [("k", 999, None)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, value double")
+    out = mad_outliers(df, "event_id", "user_id", "value")
+    got = {r["id"]: r["is_outlier"] for r in out.collect()}
+    assert 999 not in got            # null ignored
+    assert got[8]                    # the 500 spike
+    assert not any(got[i] for i in range(8))
+    # MAD=0 key: any deviation flags
+    assert got[199] and not got[100]
