@@ -203,3 +203,33 @@ register(QuerySpec(
         FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
     """,
 ))
+
+
+def _stream_ohlc(spark, sf):
+    from ..streaming.events_stream import streaming_ohlc_bars
+
+    return streaming_ohlc_bars(spark, f"{sf}/events.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_ohlc",
+    tags=("ST1", "TS3", "A6", "A7"),
+    description="Daily OHLC candlesticks maintained as a STREAMING "
+    "aggregate (streaming/events_stream.py::streaming_ohlc_bars): "
+    "min_by/max_by/count are mergeable, so the (key, window) cells "
+    "update incrementally with bounded state; same contract as the "
+    "batch ohlc_bars, same oracle shape — out-of-order arrival "
+    "cannot change the picks because ties carry the unique event id.",
+    build=_stream_ohlc,
+    oracle="""
+        SELECT user_id AS key,
+               epoch_ns(ts) // 86400000000000 * 86400 AS bucket_start_s,
+               first(value ORDER BY ts, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+))

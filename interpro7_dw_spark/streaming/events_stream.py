@@ -182,3 +182,38 @@ def windowed_event_counts(
         )
     )
     return _run_to_table(spark, agg)
+
+
+def streaming_ohlc_bars(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 day",
+) -> DataFrame:
+    """Daily OHLC candlesticks maintained AS A STREAMING AGGREGATE
+    (complete mode, availableNow on the finite fixture; unbounded in
+    production with state bounded by keys x open windows): the
+    min_by/max_by open/close picks and high/low/count are all
+    mergeable aggregates, so Structured Streaming maintains each
+    (key, window) cell incrementally — the streaming twin of
+    operators/timeseries.py::ohlc_bars, same output contract.
+
+    Same-instant ties break on the unique event id, so replays and
+    out-of-order arrival cannot change open/close."""
+    stream = _event_stream(spark, events_path)
+    pos = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.groupBy(F.window("ts", window), "user_id")
+        .agg(
+            F.min_by("value", pos).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pos).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("window.start").cast("double").cast("long").alias("bucket_start_s"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+    return _run_to_table(spark, agg)

@@ -187,3 +187,19 @@ def test_stateful_change_stream_across_batches(spark, tmp_path):
     assert (1, 50, "a", "b") in second
     assert (1, 40, "b", "a") not in second          # unchanged, suppressed
     assert sum(1 for r in second if r[0] == 2) == 1  # user 2 never re-emits
+
+
+def test_streaming_ohlc_equals_batch(spark):
+    """The streamed candlestick table must equal the batch operator
+    run on the same fixture — the aggregate is mergeable, so the
+    incremental maintenance cannot change any cell."""
+    from interpro7_dw_spark.operators.timeseries import ohlc_bars
+    from interpro7_dw_spark.sources.catalog import load_table
+    from interpro7_dw_spark.streaming.events_stream import streaming_ohlc_bars
+
+    sf = "/root/testdata/sf0.001"
+    streamed = streaming_ohlc_bars(spark, f"{sf}/events.parquet")
+    batch = ohlc_bars(load_table(spark, sf, "events"))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    got, want = key(streamed), key(batch)
+    assert got == want and len(got) > 0
