@@ -76,6 +76,12 @@ HEADLINE = [
     # heaviest of the new LLM-ops family
     "exact_substr_dedup",
     "embedding_pq_topk",
+    # r8 part 3: the retrieval + exact-order-statistics + graph
+    # flagships — inverted-index BM25, the value-cut exact quantile
+    # plan, and degree-oriented triangle counting
+    "bm25_topk",
+    "z_grouped_quantiles",
+    "z_triangle_counts",
 ]
 
 
