@@ -7,7 +7,7 @@ with cores, not with Python serde.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # minimal marker-token sets per language for the n-gram/stopword
@@ -760,16 +760,22 @@ def minimizer_fingerprints(
     makes the fingerprint joinable for candidate generation at 100 TB
     where all-kmers inverted indexes are ~|corpus| x |len| rows.
 
-    Entirely map-side until the final dedup: per row, k-mer hashes
-    come from a ``transform`` over the position sequence (a 60-bit
-    md5 prefix as BIGINT — engine-replayable, no seed state), window
-    minima from ``aggregate`` over each window slice, and the
-    per-document distinct minimizer set via ``array_distinct``
-    BEFORE the explode — the only shuffle is whatever the caller does
-    with the result. Ties inside a window break toward the LEFTMOST
-    minimal hash (the standard convention) — the strict ``<`` fold
-    keeps the first minimum, which equals min-by (hash, position), so
-    any engine replays the pick.
+    Plan shape (the round-8 HOF version was O(len^2) per doc and
+    single-task — this is the measured fix): the k-mer/hash array is
+    built ONCE per document by a ``transform`` over the position
+    sequence (a 60-bit md5 prefix as BIGINT — engine-replayable, no
+    seed state), ``explode``d to one row per k-mer (Generate
+    evaluates the array once, so the md5 pass is O(len)), and the
+    per-window minimum comes from a sliding ``rowsBetween(0, w-1)``
+    window ``min`` over ``struct(h, p, km)`` — JVM-side, O(len*w)
+    comparisons, no per-window array slicing. The window's
+    hash-repartition on doc_id doubles as the exchange barrier that
+    frees the kernel from the input's split count (1 gz file no
+    longer means 1 task). Ties inside a window break toward the
+    LEFTMOST minimal hash (the standard convention) — lexicographic
+    struct ordering (h, then p) equals min-by (hash, position), so
+    any engine replays the pick. Final ``distinct`` collapses the
+    consecutive windows that share a minimizer.
 
     Returns (doc_id, pos, kmer, h60) — one row per selected
     (document, window-minimizer occurrence), ``pos`` 1-based.
@@ -787,30 +793,29 @@ def minimizer_fingerprints(
         )
         """
     )
-    mins = F.expr(
-        f"""
-        array_distinct(transform(
-          sequence(1, greatest(size(__kms) - {window - 1}, 0)),
-          w -> aggregate(
-            slice(__kms, w, {window}),
-            cast(null as struct<p:int, km:string, h:bigint>),
-            (acc, x) -> case
-              when acc is null then x
-              when x.h < acc.h then x
-              else acc end
-          )
-        ))
-        """
+    sess = docs.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    rows = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        # barrier: break the input's split count BEFORE the md5 pass so
+        # the O(len) hashing runs 32-wide even off a single gz split
+        .repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(toks).alias("x"))
+        .select("doc_id", "x.p", "x.km", "x.h")
+    )
+    per_doc = Window.partitionBy("doc_id")
+    sliding = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, window - 1)
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-        .withColumn("__kms", toks)
-        .withColumn("__mins", mins)
-        .select("doc_id", F.explode("__mins").alias("m"))
+        rows.withColumn("__nk", F.count(F.lit(1)).over(per_doc))
+        .withColumn("__m", F.min(F.struct("h", "p", "km")).over(sliding))
+        .where(F.col("p") <= F.col("__nk") - (window - 1))
         .select(
             "doc_id",
-            F.col("m.p").cast("long").alias("pos"),
-            F.col("m.km").alias("kmer"),
-            F.col("m.h").alias("h60"),
+            F.col("__m.p").cast("long").alias("pos"),
+            F.col("__m.km").alias("kmer"),
+            F.col("__m.h").alias("h60"),
         )
+        .distinct()
     )

@@ -2438,12 +2438,14 @@ register(QuerySpec(
     tags=("TX8", "F3", "F11"),
     description="(w,k)-minimizer sampling (operators/text.py::"
     "minimizer_fingerprints, k=8, window=5 — the minimap2 seeding "
-    "primitive): per-window min-hash k-mer with leftmost tie-break, "
-    "entirely map-side HOFs (transform/aggregate/array_distinct "
-    "before the explode) — zero shuffles in the operator. Oracle "
-    "replays the k-mer hashing and window minima with DuckDB list "
-    "comprehensions; the strict-< fold equals min-by (hash, pos) so "
-    "both engines pick identical minimizers.",
+    "primitive): one O(len) md5 pass per doc (transform, evaluated "
+    "once by the Generate), explode to k-mer rows, sliding "
+    "rowsBetween(0,w-1) window min over struct(h,p,km) — leftmost "
+    "tie-break via lexicographic struct order. Repartition-by-doc "
+    "barrier before the hash pass restores 32-way parallelism off "
+    "single-split inputs. Oracle replays the k-mer hashing and "
+    "window minima with DuckDB list comprehensions; min-by (hash, "
+    "pos) on both engines picks identical minimizers.",
     build=lambda spark, sf: X.minimizer_fingerprints(
         t(spark, sf, "documents"), k=8, window=5
     ),

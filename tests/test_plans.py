@@ -238,3 +238,30 @@ def test_hll_sketch_tight_contract(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) <= r.exact * 0.05, r
+
+
+def test_minimizers_parallel_and_linear(spark):
+    """minimizer_fingerprints must (a) hash-repartition on doc_id
+    BEFORE the md5 pass so a single-split input still runs wide, and
+    (b) compute window minima with a sliding Window frame — never the
+    round-8 aggregate(slice(__kms, ...)) HOF whose per-window
+    re-evaluation of the k-mer array was O(len^2) interpreted md5 per
+    document (measured 231s for 50 docs at sf0.001)."""
+    from interpro7_dw_spark.operators.text import minimizer_fingerprints
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    out = minimizer_fingerprints(docs, k=8, window=5)
+    assert out.count() > 0
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the sliding min is a Window node, not a HOF over array slices
+    assert "Window" in final
+    assert "slice(" not in final
+    # the kernel runs wide: an exchange on doc_id precedes the hash
+    # pass (hashpartitioning renders in the Exchange node)
+    assert "hashpartitioning(doc_id" in final
+    # and the exploded stage genuinely fans out past the input splits
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts > 1, n_parts
