@@ -61,18 +61,26 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
-    ).withColumn("__oh", _row_hash(compare_cols, "__o_"))
+    ).withColumn("__oh", _row_hash(compare_cols, "__o_")).withColumn(
+        "__op", F.lit(True)
+    )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
-    ).withColumn("__nh", _row_hash(compare_cols, "__n_"))
-    cond = [F.col(f"__ok_{k}") == F.col(f"__nk_{k}") for k in keys]
+    ).withColumn("__nh", _row_hash(compare_cols, "__n_")).withColumn(
+        "__np", F.lit(True)
+    )
+    # null-safe key equality: a row whose key contains a NULL must
+    # still match itself across snapshots (plain = would misclassify
+    # it as a delete+insert pair); presence is tested via the __op/__np
+    # literal markers, not key nullness, for the same reason
+    cond = [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys]
     on = cond[0]
     for c in cond[1:]:
         on = on & c
     joined = o.join(n, on=on, how="full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__op").isNotNull()
+    in_new = F.col("__np").isNotNull()
     change = (
         F.when(~in_old, F.lit("insert"))
         .when(~in_new, F.lit("delete"))

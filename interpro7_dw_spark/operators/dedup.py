@@ -124,6 +124,11 @@ def containment_pairs(
     per-doc size table joined back twice.
 
     Returns (da, db, containment_a_in_b, containment_b_in_a).
+
+    Cache note: persists an intermediate that the lazy result
+    reuses; the CALLER owns cache lifetime (long-lived drivers
+    should spark.catalog.clearCache() between queries, as
+    tools/differ.py and bench.py do).
     """
     if max_doc_freq is not None:
         sh = drop_hot_shingles(sh, max_doc_freq)
@@ -337,6 +342,11 @@ def repeated_passage_stats(
     materialize as pairs — at 100 TB this stays linear where pairwise
     substring dedup would explode; apply :func:`drop_hot_shingles`
     first if boilerplate passages dominate the index.
+
+    Cache note: persists an intermediate that the lazy result
+    reuses; the CALLER owns cache lifetime (long-lived drivers
+    should spark.catalog.clearCache() between queries, as
+    tools/differ.py and bench.py do).
     """
     sh = shingles(docs, n=window, id_col=id_col, text_col=text_col)
     # branch point: the shingle relation feeds both the df aggregate
@@ -396,6 +406,11 @@ def exact_substring_dedup(
     Returns (doc_id, n_tokens, n_spans, n_dup_tokens, dup_token_frac,
     cleaned_text); docs shorter than ``k`` tokens pass through
     untouched (no window, no span).
+
+    Cache note: persists an intermediate that the lazy result
+    reuses; the CALLER owns cache lifetime (long-lived drivers
+    should spark.catalog.clearCache() between queries, as
+    tools/differ.py and bench.py do).
     """
     from ..functions.intervals import condense_intervals, interval_union_length
 

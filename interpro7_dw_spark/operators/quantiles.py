@@ -70,8 +70,14 @@ def grouped_quantiles_exact(
     )
     bounds = rows.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
     if bounds.mn is None:
-        return spark.createDataFrame(
-            [], "key string, q_ppm long, n long, quantile_value double"
+        # empty fast path: derive the schema from the INPUT columns so
+        # a long key or decimal value keeps its type (a hardcoded DDL
+        # here would break downstream unions on empty inputs)
+        return rows.limit(0).select(
+            "key",
+            F.lit(0).cast("long").alias("q_ppm"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("v").alias("quantile_value"),
         )
     mn, mx = float(bounds.mn), float(bounds.mx)
     span = (mx - mn) or 1.0

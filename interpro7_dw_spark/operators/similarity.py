@@ -589,6 +589,18 @@ def pq_codebooks_df(
         .select("sub", "cid", F.col("sv").alias("cvec"))
         .localCheckpoint()
     )
+    # ordered_fold_sum needs a non-negative integral fold order: the id
+    # itself when integral (keeps the r8 oracle's fold order bit-exact),
+    # a 60-bit md5 of the id otherwise (string ids crash an ANSI cast)
+    integral = dict(emb.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
+    ord_expr = (
+        F.col("__vid").cast("long")
+        if integral
+        else F.expr(
+            "cast(conv(substring(md5(binary(cast(__vid as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+    )
     for _ in range(iters):
         assigned = _attach_pq_cents(sub, cdf).select(
             "__vid",
@@ -598,9 +610,12 @@ def pq_codebooks_df(
         )
         means = (
             ordered_fold_sum(
-                assigned.select("sub", "cid", "__vid", F.posexplode("sv").alias("pos", "x")),
+                assigned.select(
+                    "sub", "cid", ord_expr.alias("__ord"),
+                    F.posexplode("sv").alias("pos", "x"),
+                ),
                 ["sub", "cid", "pos"],
-                "__vid",
+                "__ord",
                 "x",
                 out_col="s",
                 count_col="cnt",
@@ -713,7 +728,12 @@ def pq_topk(
     # deterministic vid-buckets (bounded, AQE-splittable groups), then
     # top-k of the surviving <= 64k rows per query — top-k of bucket
     # top-ks is exactly the global top-k.
-    bucketed = adist.withColumn("__b", F.pmod(F.col("vid"), F.lit(64)))
+    # bucket on a hash of the id, not the id itself — a string vid
+    # would cast to null under pmod and collapse every candidate into
+    # one null bucket, reinstating the corpus-sized group
+    bucketed = adist.withColumn(
+        "__b", F.pmod(F.abs(F.hash("vid")), F.lit(64))
+    )
     w_local = Window.partitionBy("qid", "__b").orderBy(
         F.asc("adist"), F.asc("vid")
     )

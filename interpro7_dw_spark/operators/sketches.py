@@ -113,6 +113,11 @@ def heavy_hitters(
 
     Returns (key, exact_n, cms_est, overestimate); ``cms_est >=
     exact_n`` always (the one-sided CMS guarantee).
+
+    Cache note: persists an intermediate that the lazy result
+    reuses; the CALLER owns cache lifetime (long-lived drivers
+    should spark.catalog.clearCache() between queries, as
+    tools/differ.py and bench.py do).
     """
     occurrences = occurrences.persist()  # feeds sketch build + exact counts
     sketch = cms_build(occurrences, key_col, depth, width)

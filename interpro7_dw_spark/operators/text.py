@@ -348,6 +348,11 @@ def bigram_lm(
     ``min_count`` prunes the long tail before the join back.
 
     Returns (w1, w2, n_bigram, n_context, cond_p).
+
+    Cache note: persists an intermediate that the lazy result
+    reuses; the CALLER owns cache lifetime (long-lived drivers
+    should spark.catalog.clearCache() between queries, as
+    tools/differ.py and bench.py do).
     """
     toks = _tokens(text_col)
     pairs = docs.select(

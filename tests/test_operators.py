@@ -1400,3 +1400,64 @@ def test_containment_asymmetry_catches_inclusion(spark):
     assert (1, 3) not in cont and (2, 3) not in cont
     jac = jaccard_pairs(sh, 0.5).collect()
     assert not any({r.da, r.db} == {1, 2} for r in jac)  # Jaccard blind
+
+
+def test_snapshot_diff_null_key_matches_itself(spark):
+    """A row whose key contains a NULL must match itself across
+    snapshots (eqNullSafe join) — not show up as a delete+insert
+    pair, and presence must be read from the literal markers, not
+    key nullness."""
+    from interpro7_dw_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "a", 1.0), (1, "b", 2.0)], "k string, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 9.0), (1, "b", 2.0)], "k string, s string, v double"
+    )
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert r.k is None and r.change_type == "update" and r.changed_cols == "v"
+
+
+def test_pq_topk_string_ids(spark):
+    """The two-stage top-k buckets by a HASH of the id — a string
+    vec_id must not collapse into one null pmod bucket (the ADVICE
+    r8 finding)."""
+    from interpro7_dw_spark.operators.similarity import pq_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+        .select(
+            F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    top = pq_topk(
+        emb, F.col("vec_id") == "v0", k=3, m=8, ksub=4, iters=1
+    ).collect()
+    assert len(top) == 3
+    assert {r.rank for r in top} == {1, 2, 3}
+    assert all(r.vid.startswith("v") for r in top)
+
+
+def test_grouped_quantiles_empty_keeps_input_types(spark):
+    """Empty/all-null inputs must return the INPUT-derived schema
+    (long key, decimal value, ...) — not a hardcoded string/double
+    DDL that breaks downstream unions."""
+    from interpro7_dw_spark.operators.quantiles import grouped_quantiles_exact
+
+    df = spark.createDataFrame([], "user_id long, value float")
+    out = grouped_quantiles_exact(df, "user_id", "value")
+    assert out.count() == 0
+    dt = dict(out.dtypes)
+    assert dt == {
+        "key": "bigint", "q_ppm": "bigint", "n": "bigint",
+        "quantile_value": "float",
+    }
+    # and a non-empty input of the same shape unions cleanly
+    df2 = spark.createDataFrame([(7, 1.5)], "user_id long, value float")
+    both = grouped_quantiles_exact(df2, "user_id", "value").unionByName(out)
+    assert both.count() == 3  # one row per default q_ppm, none from empty

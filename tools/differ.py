@@ -50,6 +50,10 @@ def main() -> int:
         else:
             kind = "ok~  " if spec.oracle is None else "ok   "
             print(f"{kind} {name} ({time.time() - t0:.1f}s)")
+        # operators that persist() an intermediate return lazily, so
+        # the CALLER owns cache lifetime — drop blocks between queries
+        # or a full-catalog sweep accumulates every query's cache
+        spark.catalog.clearCache()
 
     print(f"\n{n_run - len(failures)}/{n_run} matched")
     return 1 if failures else 0
