@@ -71,10 +71,34 @@ def gapfill_locf(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
         )
     )
+    # two-level chunked grid synthesis: exploding sequence(mn, mx)
+    # directly would materialize a key's WHOLE bucket range as one
+    # array row (a mis-parameterized call — 1s buckets over years —
+    # is a 10^8-element row). Explode coarse chunks first, then the
+    # fine sequence within each chunk: no row holds more than
+    # max(range/C, C) elements, bounded for any range <= C^2 buckets.
+    chunk = 16384
+    spans = obs.groupBy("key").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
     grid = (
-        obs.groupBy("key")
-        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
-        .select("key", F.explode(F.sequence("mn", "mx")).alias("bucket"))
+        spans.select(
+            "key", "mn", "mx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"mn DIV {chunk}"), F.expr(f"mx DIV {chunk}")
+                )
+            ).alias("__c"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("mn"), F.col("__c") * chunk),
+                    F.least(F.col("mx"), (F.col("__c") + 1) * chunk - 1),
+                )
+            ).alias("bucket"),
+        )
     )
     joined = grid.join(obs, ["key", "bucket"], "left")
     w = (

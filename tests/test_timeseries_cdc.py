@@ -441,3 +441,25 @@ def test_mad_outliers_flags_only_the_spike(spark):
     assert not any(got[i] for i in range(8))
     # MAD=0 key: any deviation flags
     assert got[199] and not got[100]
+
+
+def test_gapfill_chunked_grid_wide_range(spark):
+    """A key whose bucket range is 10^6 must gapfill without any
+    single row materializing the whole range as one array (two-level
+    chunked sequence; the r8 version built sequence(mn, mx) in one
+    row)."""
+    from interpro7_dw_spark.operators.timeseries import gapfill_locf
+
+    sec = 1_000_000_000  # ns
+    n = 1_000_000
+    events = spark.createDataFrame(
+        [("k", 0 * sec, 1.0, 1), ("k", n * sec, 2.0, 2)],
+        "user_id string, ts long, value double, event_id long",
+    )
+    out = gapfill_locf(events, bucket_seconds=1)
+    assert out.count() == n + 1
+    got = {r.bucket_start_s: r for r in out.orderBy("bucket_start_s").limit(3).collect()}
+    assert got[0].observed and got[0].value_filled == 1.0
+    assert not got[1].observed and got[1].value_filled == 1.0
+    last = out.orderBy(F.desc("bucket_start_s")).limit(1).collect()[0]
+    assert last.observed and last.value_filled == 2.0
