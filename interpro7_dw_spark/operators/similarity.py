@@ -834,3 +834,159 @@ def ivf_topk_on_index(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vid", "sim")
     )
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build-once half of IVFADC (Jégou et al. 2011 §IV — the FAISS
+    IndexIVFPQ recipe): train the IVF coarse quantizer AND the PQ
+    codebooks, then persist the corpus as m-byte PQ codes PARTITIONED
+    BY coarse cell. Queries (:func:`ivfpq_topk`) probe ``nprobe``
+    cells and ADC-rank only those cells' codes — sublinear candidate
+    generation over a compressed corpus, the configuration a 100 TB
+    corpus actually runs (neither the flat ADC scan of
+    :func:`pq_topk` nor the full-vector cells of
+    :func:`write_ivf_index`).
+
+    Codebooks are trained on RAW vectors, not cell residuals —
+    FAISS's ``by_residual=false`` variant. Documented trade-off:
+    residual encoding buys accuracy at equal code size but couples
+    every code to its cell's centroid; raw-vector codes keep the
+    codes cell-independent (a vector can be re-assigned without
+    re-encoding) and make the ADC arithmetic — and therefore the
+    DuckDB value oracle — identical to the flat :func:`pq_topk`
+    family's, so the composition is value-checked end to end.
+
+    Layout: ``codes/`` (vid, sub, code; partitioned by cid),
+    ``pq_codebooks/`` (sub, cid, cvec), ``centroids/`` (cid, cvec).
+    """
+    cdf_ivf = ivf_centroids_df(
+        emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cdf_pq = pq_codebooks_df(
+        emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
+        F.col(id_col).alias("vid"),
+        _nearest_cid(F.col("__v")).alias("cid"),
+    )
+    codes = pq_encode(
+        emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "sub", "code")
+    (
+        codes.join(cells, "vid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path + "/codes")
+    )
+    cdf_pq.write.mode("overwrite").parquet(path + "/pq_codebooks")
+    cdf_ivf.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query half of :func:`write_ivfpq_index` — IVFADC proper: each
+    query probes its ``nprobe`` nearest coarse cells (broadcast
+    centroid DATA, same argmin as the builder), the (qid, cid) probe
+    pairs broadcast-join onto the cid-partitioned code table so
+    dynamic partition pruning restricts the read to the probed cells'
+    FILES, and the surviving candidates are ranked by PQ asymmetric
+    distance (per-query subspace lookup tables against the stored
+    codebooks, summed in pinned subspace order — m bounded rows per
+    (query, candidate) group, bit-replayable by the oracle).
+
+    Cost per query batch: O(batch x nlist) probe argmin +
+    O(batch x corpus/nlist x nprobe) m-lookup ADC sums — sublinear in
+    the corpus and 8-64x smaller I/O than full vectors. Final top-k
+    is the exact two-stage selection (hashed-vid local buckets, then
+    per-query rank) — never a corpus-sized single-task window group.
+
+    Returns (qid, rank, vid, adist) — ascending ADC distance, ties by
+    vid.
+    """
+    spark = queries.sparkSession
+    cents = spark.read.parquet(path + "/centroids")
+    codes = spark.read.parquet(path + "/codes")
+    cdf_pq = spark.read.parquet(path + "/pq_codebooks").select(
+        "sub", F.col("cid").alias("pcid"), "cvec"
+    )
+    probes = _attach_centroids(with_norm(queries, vec_col), cents).select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, nprobe)
+            .getField("cid")
+        ).alias("cid"),
+    )
+    qsub = _pq_subrows(queries, m, dim, id_col, vec_col)
+    dtab = (
+        qsub.join(F.broadcast(cdf_pq), "sub")
+        .select(
+            F.col("__vid").alias("qid"),
+            "sub",
+            "pcid",
+            (
+                _dot(F.col("sv"), F.col("sv"))
+                - F.lit(2.0) * _dot(F.col("sv"), F.col("cvec"))
+                + _dot(F.col("cvec"), F.col("cvec"))
+            ).alias("d"),
+        )
+    )
+    cand = (
+        F.broadcast(probes.select("qid", "cid"))
+        .join(codes, "cid")  # DPP: only probed cells' files are read
+        .filter(F.col("qid") != F.col("vid"))
+    )
+    adist = (
+        cand.join(
+            F.broadcast(dtab),
+            (cand["qid"] == dtab["qid"])
+            & (cand["sub"] == dtab["sub"])
+            & (cand["code"] == dtab["pcid"]),
+        )
+        .select(cand["qid"], "vid", cand["sub"], "d")
+        .groupBy("qid", "vid")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["d"],
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    bucketed = adist.withColumn(
+        "__b", F.pmod(F.abs(F.hash("vid")), F.lit(64))
+    )
+    w_local = Window.partitionBy("qid", "__b").orderBy(
+        F.asc("adist"), F.asc("vid")
+    )
+    pruned = (
+        bucketed.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vid"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "adist")
+    )

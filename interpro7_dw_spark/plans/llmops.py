@@ -2471,3 +2471,109 @@ register(QuerySpec(
         FROM wins, unnest(wins) AS u(m)
     """,
 ))
+
+
+def _ivfpq_build(spark: SparkSession, sf: str):
+    """IVFADC end-to-end: build the persisted index (IVF cells + PQ
+    codes partitioned by cell), then probe it for the query batch."""
+    import os
+
+    emb = t(spark, sf, "embeddings")
+    path = os.path.join(
+        "/root/repo/spark-warehouse/fixtures",
+        "ivfpq_" + sf.strip("/").replace("/", "_"),
+    )
+    S.write_ivfpq_index(emb, path, nlist=8, m=8, ksub=4, iters=2)
+    return S.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), path, k=5, nprobe=3, m=8
+    )
+
+
+# IVFADC oracle: the _IVF_CTES coarse quantizer (corpus = vid->cid)
+# composed with the PQ subspace-Lloyd CTEs under pa*/pc* names (the
+# raw-vector by_residual=false codebooks — identical arithmetic to
+# embedding_pq_topk's), candidates restricted to each query's 3
+# probed cells before the pinned-order ADC fold.
+_IVFPQ_ORACLE = (
+    "WITH " + _IVF_CTES + """,
+    subv AS (
+      SELECT vec_id, g.s AS sub, v[g.s * 8 + 1 : g.s * 8 + 8] AS sv
+      FROM n, LATERAL unnest(generate_series(0, 7)) AS g(s)
+    ),
+    pq_seed_ids AS (
+      SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
+      FROM n QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    pc0 AS (SELECT s.sub, si.cid, s.sv AS cv
+            FROM subv s JOIN pq_seed_ids si USING (vec_id)),"""
+    + _pq_assign_cte("pc0", "pa1") + ","
+    + _pq_mean_cte("pa1", "pc1", "pc0") + ","
+    + _pq_assign_cte("pc1", "pa2") + ","
+    + _pq_mean_cte("pa2", "pc2", "pc1") + ","
+    + """
+    codes AS (
+      SELECT vec_id AS vid, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_dot_product(c.cv, c.cv)
+                          - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+        FROM subv s JOIN pc2 c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+        FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rn <= 3
+    ),
+    dtab AS (
+      SELECT s.vec_id AS qid, s.sub, c.cid,
+             list_dot_product(s.sv, s.sv)
+             - 2 * list_dot_product(s.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d
+      FROM subv s JOIN pc2 c ON s.sub = c.sub
+      WHERE s.vec_id < 5
+    ),
+    cand AS (
+      SELECT p.qid, c.vid FROM probes p JOIN corpus c USING (cid)
+      WHERE p.qid <> c.vid
+    ),
+    scored AS (
+      SELECT ca.qid, ca.vid, d.sub, d.d
+      FROM cand ca
+      JOIN codes co ON co.vid = ca.vid
+      JOIN dtab d ON d.qid = ca.qid AND d.sub = co.sub AND d.cid = co.cid
+    ),
+    adist AS (
+      SELECT qid, vid,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                               (a, b) -> a + b), 6) AS adist
+      FROM scored GROUP BY qid, vid
+    )
+    SELECT qid, rank, vid, adist FROM (
+      SELECT qid, vid, adist,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY adist, vid) AS INT) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """
+)
+
+
+register(QuerySpec(
+    name="z_ivfpq_topk",
+    tags=("NN2", "F9", "J2", "S3"),
+    description="IVFADC — the FAISS IndexIVFPQ composition "
+    "(operators/similarity.py::write_ivfpq_index + ivfpq_topk, Jégou "
+    "et al. 2011 §IV, by_residual=false variant): PQ codes persisted "
+    "partitioned by IVF cell, query batch probes nprobe=3 cells "
+    "(dynamic partition pruning restricts the file read), ADC ranks "
+    "only the probed cells' codes — sublinear candidate generation "
+    "over an 8x-compressed corpus. FULL value oracle: coarse Lloyd, "
+    "subspace Lloyd, codes, probes, distance tables and pinned ADC "
+    "folds all replay bit-identically in DuckDB.",
+    build=_ivfpq_build,
+    oracle=_IVFPQ_ORACLE,
+))

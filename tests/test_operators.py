@@ -1461,3 +1461,69 @@ def test_grouped_quantiles_empty_keeps_input_types(spark):
     df2 = spark.createDataFrame([(7, 1.5)], "user_id long, value float")
     both = grouped_quantiles_exact(df2, "user_id", "value").unionByName(out)
     assert both.count() == 3  # one row per default q_ppm, none from empty
+
+
+def test_ivfpq_topk_equivalence_and_dpp(spark, tmp_path):
+    """IVFADC: (a) the probe read must be restricted to the probed
+    cells' partitions (DPP on cid, like the full-vector IVF index);
+    (b) probing ALL cells must reproduce the flat ADC scan
+    (pq_topk) EXACTLY — the composition changes candidate
+    generation, never scoring; (c) with nprobe < nlist every
+    candidate must come from a probed cell (genuine sublinearity)
+    and a planted exact duplicate must surface at rank 1 (its cell
+    is the query's own nearest cell by construction). Recall-floor
+    checks are meaningless here: the synthetic embeddings are
+    near-random in 64-d, so even the flat PQ scan has ~0 recall vs
+    exact L2 — equivalence and planted-duplicate checks are the
+    machine-checkable contracts."""
+    from interpro7_dw_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(corpus, path, nlist=8, m=8, ksub=16, iters=2)
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    # (a) DPP plan shape on the nprobe=3 path
+    out = ivfpq_topk(queries, path, k=5, nprobe=3, m=8)
+    rows = out.collect()
+    assert len(rows) == 5 * 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # (b) probing every cell == the flat ADC scan, value-exact
+    allcells = sorted(map(tuple, ivfpq_topk(
+        queries, path, k=5, nprobe=8, m=8
+    ).collect()))
+    flat = sorted(map(tuple, pq_topk(
+        corpus, F.col("vec_id") < 5, k=5, m=8, ksub=16, iters=2
+    ).collect()))
+    assert allcells == flat and len(allcells) == 25
+
+    # (c) sublinearity: every nprobe=3 candidate's cell was probed,
+    # and the planted duplicate of vec 0 ranks first for query 0
+    from interpro7_dw_spark.operators.similarity import (
+        _attach_centroids, _cand_structs, with_norm,
+    )
+    cells = {r.vid: r.cid for r in spark.read.parquet(path + "/codes")
+             .select("vid", "cid").distinct().collect()}
+    cents = spark.read.parquet(path + "/centroids")
+    pr = _attach_centroids(with_norm(queries), cents).select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, 3)
+                  .getField("cid")).alias("cid"),
+    ).collect()
+    probed = {}
+    for r in pr:
+        probed.setdefault(r.qid, set()).add(r.cid)
+    assert all(cells[r["vid"]] in probed[r["qid"]] for r in rows)
+    q0 = {r.rank: r.vid for r in rows if r.qid == 0}
+    assert q0[1] == 9000
