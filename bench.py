@@ -43,7 +43,7 @@ HEADLINE = [
     "coverage_length",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "embedding_topk",
+    "z_embedding_topk",
     "grouping_sets_pyramid",
     "domorg_fingerprint",
     "lca_per_nation",
@@ -80,8 +80,8 @@ HEADLINE = [
     # flagships — inverted-index BM25, the value-cut exact quantile
     # plan, and degree-oriented triangle counting
     "bm25_topk",
-    "z_grouped_quantiles",
-    "z_triangle_counts",
+    "grouped_quantiles",
+    "triangle_counts",
 ]
 
 

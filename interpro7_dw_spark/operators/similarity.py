@@ -673,9 +673,10 @@ def pq_topk(
 
     Scale: ADC is a LINEAR scan made cheap (m lookups per corpus row
     instead of dim multiplies; the 8x-64x compression is what lets the
-    scan stay in memory) — compose with the IVF cell pruning
-    (:func:`ivf_topk` / :func:`write_ivf_index`) for sublinear
-    candidate generation, exactly as FAISS pairs IVF with PQ. The
+    scan stay in memory) — :func:`write_ivfpq_index` /
+    :func:`ivfpq_topk` IS that composition with IVF cell pruning for
+    sublinear candidate generation, exactly as FAISS pairs IVF with
+    PQ; use this flat scan when the whole corpus fits a pass. The
     distance table and codebook ride as broadcasts; the per-(query,
     candidate) sum folds in pinned subspace order (m rows per group —
     bounded), so results replay bit-identically in the DuckDB oracle.

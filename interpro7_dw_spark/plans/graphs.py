@@ -188,7 +188,7 @@ def _triangles(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_triangle_counts",
+    name="triangle_counts",
     tags=("G8", "J6", "A2"),
     description="Per-node triangle counts on the co-occurrence graph "
     "(operators/graph.py::triangle_counts): degree-ordered edge "

@@ -93,7 +93,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="dedup_simhash",
+    name="z_dedup_simhash",
     tags=("DD4", "F3"),
     description="16-bit SimHash near-dup pairs (hamming <= 3).",
     build=lambda spark, sf: D.simhash_pairs(D.simhash(t(spark, sf, "documents")), 3),
@@ -186,7 +186,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="embedding_topk",
+    name="z_embedding_topk",
     tags=("NN1", "F9", "O5"),
     description="Exact brute-force cosine top-5 neighbors for query ids < 5 "
     "(broadcast queries x partitioned corpus; HOF dot product, no UDF).",
@@ -2236,7 +2236,7 @@ def _scd2_events(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_scd2_history",
+    name="scd2_history",
     tags=("CDC2", "W1", "W2"),
     description="SCD type-2 dimension build from a changelog "
     "(operators/cdc.py::scd2_history): per-user event_type versions "

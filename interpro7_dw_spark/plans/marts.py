@@ -243,7 +243,7 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="mart_proteome2xrefs",
+    name="z_mart_proteome2xrefs",
     tags=("X5", "A8", "A13"),
     description="proteome2xrefs mart (reference interpro/xrefs/"
     "proteomes.py:39-90): per-proteome protein/structure counts and the "

@@ -114,7 +114,7 @@ def _stream_cms(spark, sf):
 
 
 register(QuerySpec(
-    name="z_stream_cms_heavy_users",
+    name="stream_cms_heavy_users",
     tags=("ST1", "A5", "F3"),
     description="Heavy-hitter users from a STREAMED count-min sketch "
     "(streaming/cms_stream.py): the 3x32 counter table is maintained "

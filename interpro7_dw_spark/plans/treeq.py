@@ -64,7 +64,7 @@ def _tree_taxon_nodes(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="tree_taxon_nodes",
+    name="z_tree_taxon_nodes",
     tags=("A10", "A9", "G1"),
     description="Flat node relation of the per-entry taxonomic "
     "distribution tree (reference interpro/xrefs/entries.py:405-466): "

@@ -52,7 +52,7 @@ def test_no_cartesian_products_anywhere(spark):
     # else must plan without BroadcastNestedLoopJoin/CartesianProduct
     offenders = []
     for name, spec in sorted(SPECS.items()):
-        if name in ("cross_denorm", "embedding_topk", "z_embedding_lsh_topk"):
+        if name in ("cross_denorm", "z_embedding_topk", "z_embedding_lsh_topk"):
             # topk variants use deliberate bounded theta joins; simhash
             # is now a pigeonhole equi-join and must pass this check
             continue
