@@ -233,3 +233,24 @@ register(QuerySpec(
         GROUP BY 1, 2
     """,
 ))
+
+
+def _stream_dedup_exact(spark, sf):
+    from ..streaming.dedup_stream import dedup_content_stream
+
+    return dedup_content_stream(spark, f"{sf}/documents.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_dedup_exact",
+    tags=("ST3", "DD1", "F3"),
+    description="Streaming exact CONTENT dedup — the incremental "
+    "bridge to the batch dedup family "
+    "(streaming/dedup_stream.py::dedup_content_stream): md5 content "
+    "fingerprints through dropDuplicatesWithinWatermark, state "
+    "bounded by the distinct fingerprints inside one watermark "
+    "horizon. Streamed-equals-batch: the emitted set must equal the "
+    "batch DISTINCT md5(text).",
+    build=_stream_dedup_exact,
+    oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
+))

@@ -1,0 +1,75 @@
+"""Streaming exact content-dedup — the incremental bridge to the
+batch dedup family (operators/dedup.py).
+
+A 100 TB ingest pipeline dedups as documents ARRIVE, not in one batch
+pass: each document's content fingerprint (md5 of the text — same key
+as ``operators/dedup.py::dedup_exact``) is checked against streaming
+state and emitted at most once while the key is inside the watermark
+horizon. ``dropDuplicatesWithinWatermark`` gives exactly that with
+BOUNDED state: a fingerprint's state row is dropped once the
+watermark passes its event time + horizon (a plain ``dropDuplicates``
+on an unbounded feed would grow state forever) — so state holds at
+most the distinct fingerprints seen within one horizon, regardless of
+total stream length. The trade-off is the standard one: a duplicate
+arriving AFTER its original aged out re-emits; size the horizon to
+the feed's duplication lag.
+
+Streamed-equals-batch contract (tests/test_streaming.py): on a finite
+fixture the emitted fingerprint set equals the batch
+``SELECT DISTINCT md5(text)`` — the z_stream_dedup_exact catalog
+oracle checks the same equality at every scale factor.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dedup_content_stream(
+    spark: SparkSession,
+    docs_path: str,
+    late: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Emit each distinct document CONTENT exactly once from a stream
+    of documents. Event time is synthesized deterministically from the
+    doc id (the fixture has no arrival column; a production feed uses
+    its ingest timestamp) so watermark progression — and therefore
+    state aging — is reproducible.
+
+    Returns the emitted fingerprints (fp string) — one row per
+    distinct content within the watermark horizon.
+    """
+    batch = spark.read.parquet(docs_path)
+    directory, _, filename = docs_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", filename)
+        .parquet(directory)
+    )
+    # offset the synthetic event time by one day: epoch-0 event time
+    # equals the operator's INITIAL watermark and is discarded as late
+    keyed = stream.select(
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        F.timestamp_micros(
+            F.col("doc_id").cast("long") + F.lit(86_400_000_000)
+        ).alias("__ts"),
+    )
+    out = (
+        keyed.withWatermark("__ts", late)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

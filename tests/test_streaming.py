@@ -203,3 +203,30 @@ def test_streaming_ohlc_equals_batch(spark):
     key = lambda df: sorted(map(tuple, df.collect()))
     got, want = key(streamed), key(batch)
     assert got == want and len(got) > 0
+
+
+def test_streaming_content_dedup_equals_batch(spark, tmp_path):
+    """dedup_content_stream must emit each distinct CONTENT exactly
+    once — including a duplicate arriving in a LATER file (separate
+    micro-batch under availableNow) whose fingerprint is still in
+    state within the watermark horizon."""
+    from interpro7_dw_spark.streaming.dedup_stream import dedup_content_stream
+
+    src = tmp_path / "docs"
+    schema = "doc_id long, text string"
+    # file 1: three docs, one internal duplicate pair
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src / "documents.parquet"))
+    # file 2: a cross-file duplicate (same content as doc 2) + a new doc
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src / "documents.parquet"))
+    got = sorted(
+        r.fp for r in dedup_content_stream(
+            spark, str(src / "documents.parquet")
+        ).collect()
+    )
+    import hashlib
+    want = sorted(hashlib.md5(t.encode()).hexdigest() for t in ("alpha", "beta", "gamma"))
+    assert got == want
