@@ -224,7 +224,7 @@ def test_streaming_content_dedup_equals_batch(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src / "documents.parquet"))
     got = sorted(
         r.fp for r in dedup_content_stream(
-            spark, str(src / "documents.parquet")
+            spark, str(src / "documents.parquet") + "/*.parquet"
         ).collect()
     )
     import hashlib
