@@ -2577,3 +2577,88 @@ register(QuerySpec(
     build=_ivfpq_build,
     oracle=_IVFPQ_ORACLE,
 ))
+
+
+def _bpe_build(spark: SparkSession, sf: str):
+    from ..operators.bpe import bpe_tokenize, merges_table
+
+    return bpe_tokenize(t(spark, sf, "documents"), merges_table(spark))
+
+
+def _bpe_oracle() -> str:
+    """Recursive-CTE replay of the BPE application loop: each
+    recursion step applies ONE pass (merge all leftmost-nonoverlapping
+    occurrences of the word's best-ranked pair); a word exits the
+    recursion when no adjacent pair is in the merges table. The
+    leftmost-nonoverlap fold is the same list_prepend-initialized
+    list_reduce trick the pinned float folds use."""
+    from ..operators.bpe import DEFAULT_MERGES
+
+    values = ", ".join(
+        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(DEFAULT_MERGES)
+    )
+    best = (
+        "list_min([map_extract(mp, syms[i] || chr(1) || syms[i+1])[1] "
+        "FOR i IN generate_series(1, len(syms) - 1)])"
+    )
+    return f"""
+        WITH RECURSIVE
+        merges(rank, l, r) AS (VALUES {values}),
+        mm AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
+                          list(rank ORDER BY rank)) AS mp FROM merges),
+        words AS (
+          SELECT doc_id, CAST(wpos - 1 AS BIGINT) AS wpos, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS wpos
+            FROM documents)
+          WHERE word <> ''
+        ),
+        uniq AS (SELECT DISTINCT word FROM words),
+        bpe(word, syms) AS (
+          SELECT word, string_split(word, '') FROM uniq
+          UNION ALL
+          SELECT t.word,
+                 list_reduce(
+                   list_prepend([]::VARCHAR[], [[s] FOR s IN t.syms]),
+                   (a, b) -> CASE
+                     WHEN len(a) > 0 AND a[-1] = m.l AND b[1] = m.r
+                     THEN list_append(a[1:len(a)-1], m.l || m.r)
+                     ELSE list_concat(a, b) END)
+          FROM (
+            SELECT word, syms, {best} AS best FROM bpe, mm
+          ) t JOIN merges m ON m.rank = t.best
+        ),
+        final AS (
+          SELECT word, syms FROM (
+            SELECT word, syms, {best} AS best FROM bpe, mm
+          ) WHERE best IS NULL
+        ),
+        toks AS (
+          SELECT word, CAST(tpos - 1 AS BIGINT) AS tpos, token FROM (
+            SELECT word, unnest(syms) AS token,
+                   generate_subscripts(syms, 1) AS tpos
+            FROM final)
+        ),
+        mt AS (SELECT map(list(l || r ORDER BY rank),
+                          list(rank ORDER BY rank)) AS tp FROM merges)
+        SELECT w.doc_id, w.wpos, t.tpos, t.token,
+               CAST(CASE WHEN length(t.token) > 1
+                         THEN 256 + map_extract(tp, t.token)[1]
+                    ELSE ascii(t.token) END AS BIGINT) AS token_id
+        FROM words w JOIN toks t USING (word), mt
+    """
+
+
+register(QuerySpec(
+    name="z_bpe_tokenize",
+    tags=("TX9", "F3", "F11", "J2"),
+    description="Real BPE tokenization (operators/bpe.py::bpe_tokenize, "
+    "Sennrich et al. 2016 application loop): lowest-rank-first merges "
+    "with leftmost-nonoverlap folds over the corpus' DISTINCT words "
+    "(vocabulary-sized working set) against broadcast merge maps, "
+    "joined back to every (doc, word-position). Byte-level token ids "
+    "(code point / 256+rank). FULL value oracle: a recursive CTE "
+    "replays the identical pass structure in DuckDB.",
+    build=_bpe_build,
+    oracle=_bpe_oracle(),
+))

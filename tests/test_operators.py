@@ -1527,3 +1527,93 @@ def test_ivfpq_topk_equivalence_and_dpp(spark, tmp_path):
     assert all(cells[r["vid"]] in probed[r["qid"]] for r in rows)
     q0 = {r.rank: r.vid for r in rows if r.qid == 0}
     assert q0[1] == 9000
+
+
+def test_bpe_token_conservation_and_ids(spark):
+    """Concatenating a word's BPE tokens in tpos order must reproduce
+    the word exactly (no symbol lost or invented by the merge folds),
+    and token ids must round-trip: 256+rank for merged symbols, code
+    point for single characters."""
+    from interpro7_dw_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        bpe_tokenize,
+        merges_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = bpe_tokenize(docs, merges_table(spark))
+    rebuilt = (
+        toks.groupBy("doc_id", "wpos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                    lambda s: s["token"],
+                ),
+                "",
+            ).alias("w")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "word")
+    ).filter(F.col("word") != "")
+    diff = rebuilt.join(orig, ["doc_id", "wpos"]).filter(
+        F.col("w") != F.col("word")
+    )
+    assert diff.count() == 0
+    assert rebuilt.count() == orig.count()
+    # id round-trip
+    by_result = {l + r: 256 + i for i, (l, r) in enumerate(DEFAULT_MERGES)}
+    for r in toks.select("token", "token_id").distinct().collect():
+        if len(r.token) > 1:
+            assert r.token_id == by_result[r.token], r
+        else:
+            assert r.token_id == ord(r.token), r
+
+
+def test_bpe_feeds_training_packing(spark):
+    """The packing family consumes REAL BPE token ids: each document
+    re-rendered as its space-joined id stream, packed into seq_len
+    examples — token conservation must hold through the whole
+    composition (total non-separator tokens across examples equals
+    the corpus' BPE token count)."""
+    from interpro7_dw_spark.operators.bpe import bpe_tokenize, merges_table
+    from interpro7_dw_spark.operators.sampling import pack_training_examples
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = bpe_tokenize(docs, merges_table(spark))
+    id_stream = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wpos", "tpos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids_text"),
+            F.count(F.lit(1)).alias("n_bpe"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    packed = pack_training_examples(
+        id_stream, budget=512, seq_len=64, text_col="ids_text"
+    )
+    total_bpe = toks.count()
+    non_sep = packed.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split("example_text", " "), lambda t: t != F.lit("<eos>")
+                )
+            )
+        ).alias("n")
+    ).first().n
+    assert non_sep == total_bpe
+    # every packed token is a valid id or the separator
+    bad = packed.select(
+        F.explode(F.split("example_text", " ")).alias("t")
+    ).filter(~F.col("t").rlike(r"^(\d+|<eos>)$"))
+    assert bad.count() == 0
