@@ -202,3 +202,83 @@ def bpe_tokenize(
         "token",
         "token_id",
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merges table FROM the corpus (Sennrich et al. 2016
+    training loop): start from character symbols, repeatedly count
+    every adjacent symbol pair across the corpus (weighted by word
+    frequency, overlapping occurrences counted — the reference
+    ``get_stats`` convention) and merge the globally most frequent
+    pair, ties broken lexicographically on (l, r) so the result is
+    deterministic on any engine.
+
+    Scale shape: the working set is (distinct word, corpus frequency)
+    — vocabulary-sized, not corpus-sized; each of the ``n_merges``
+    iterations is ONE pair-count shuffle (map-side partial aggregate)
+    + a driver-side 1-row argmax + a map-side merge fold +
+    ``localCheckpoint`` (lineage stays flat, so a production 32k-merge
+    run is 32k linear vocab scans — the standard distributed BPE
+    trainer). The z_bpe_learn_merges oracle replays every iteration
+    as an unrolled CTE chain (pair counts → argmax → merged words),
+    the same structure as the Lloyd-iteration oracles.
+
+    Returns the learned (rank long, l string, r string) table —
+    feed it straight into :func:`bpe_tokenize`.
+    """
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    state = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+        .withColumn("syms", F.split("word", ""))
+        .localCheckpoint()
+    )
+    learned: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pairs = (
+            state.filter(F.size("syms") >= 2)
+            .select(
+                "wcount",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).first()
+        if best is None:
+            break
+        learned.append((rank, best.l, best.r))
+        lb, rb = F.lit(best.l), F.lit(best.r)
+        fold = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lb)
+                & (x == rb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = state.withColumn("syms", fold).localCheckpoint()
+    return spark.createDataFrame(
+        learned or [], "rank long, l string, r string"
+    )

@@ -2662,3 +2662,73 @@ register(QuerySpec(
     build=_bpe_build,
     oracle=_bpe_oracle(),
 ))
+
+
+_BPE_TRAIN_ITERS = 8
+
+
+def _bpe_train_build(spark: SparkSession, sf: str):
+    from ..operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(
+        t(spark, sf, "documents"), n_merges=_BPE_TRAIN_ITERS
+    )
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """Unrolled replay of the BPE trainer: per iteration a pair-count
+    CTE (overlapping adjacent occurrences, word-frequency weighted),
+    a 1-row argmax CTE (count DESC, then lexicographic (l, r)) and a
+    merged-words CTE using the same leftmost-nonoverlap fold as the
+    tokenizer oracle."""
+    ctes = ["""
+        w_0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+                 string_split(word, '') AS syms
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word
+        )"""]
+    for i in range(1, n + 1):
+        p = i - 1
+        ctes.append(f"""
+        pc_{i} AS (
+          SELECT l, r, sum(wcount) AS c FROM (
+            SELECT wcount, syms[j] AS l, syms[j+1] AS r
+            FROM w_{p}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(j)
+            WHERE len(syms) >= 2)
+          GROUP BY l, r
+        ),
+        best_{i} AS (SELECT l, r FROM pc_{i} ORDER BY c DESC, l, r LIMIT 1),
+        w_{i} AS (
+          SELECT word, wcount,
+                 CASE WHEN b.l IS NULL THEN syms ELSE
+                   list_reduce(
+                     list_prepend([]::VARCHAR[], [[s] FOR s IN syms]),
+                     (a, x) -> CASE
+                       WHEN len(a) > 0 AND a[-1] = b.l AND x[1] = b.r
+                       THEN list_append(a[1:len(a)-1], b.l || b.r)
+                       ELSE list_concat(a, x) END)
+                 END AS syms
+          FROM w_{p} LEFT JOIN best_{i} b ON TRUE
+        )""")
+    unions = "\n          UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS rank, l, r FROM best_{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",".join(ctes) + f"\n        {unions}"
+
+
+register(QuerySpec(
+    name="z_bpe_learn_merges",
+    tags=("TX9", "A1", "F11"),
+    description="BPE TRAINING (operators/bpe.py::bpe_learn_merges, "
+    "Sennrich et al. 2016): learn the top merges from the corpus — "
+    "per iteration one vocabulary-sized pair-count aggregate "
+    "(word-frequency weighted, overlapping occurrences counted), a "
+    "deterministic argmax (count DESC, lexicographic tiebreak) and a "
+    "map-side merge fold. FULL value oracle: every iteration "
+    "unrolled as a CTE chain in DuckDB, same structure as the Lloyd "
+    "oracles; the learned table feeds bpe_tokenize directly.",
+    build=_bpe_train_build,
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ITERS),
+))

@@ -1617,3 +1617,39 @@ def test_bpe_feeds_training_packing(spark):
         F.explode(F.split("example_text", " ")).alias("t")
     ).filter(~F.col("t").rlike(r"^(\d+|<eos>)$"))
     assert bad.count() == 0
+
+
+def test_bpe_learned_merges_roundtrip(spark):
+    """Train merges on a tiny corpus with a hand-checkable frequency
+    structure, then tokenize with them: the most frequent pair must
+    win rank 0 and the learned table must drive bpe_tokenize with
+    token conservation intact."""
+    from interpro7_dw_spark.operators.bpe import bpe_learn_merges, bpe_tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "ababab cd"), (2, "abab cd cd"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=3)
+    got = [(r.rank, r.l, r.r) for r in merges.orderBy("rank").collect()]
+    # (a,b) appears 6x weighted (3+2+1), clear rank 0
+    assert got[0] == (0, "a", "b")
+    toks = bpe_tokenize(docs, merges)
+    rebuilt = (
+        toks.groupBy("doc_id", "wpos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                    lambda s: s["token"],
+                ),
+                "",
+            ).alias("w")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "word")
+    ).filter(F.col("word") != "")
+    assert rebuilt.join(orig, ["doc_id", "wpos"]).filter(
+        F.col("w") != F.col("word")
+    ).count() == 0
