@@ -393,3 +393,56 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 60,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Matula-Beck linear peel, run as synchronized rounds): repeatedly
+    delete every vertex whose CURRENT degree is < k until the
+    remaining subgraph — the k-core — is stable. The standard
+    density/anchor primitive next to :func:`pagerank` /
+    :func:`triangle_counts` (spam cores, community seeds, graph
+    summarization).
+
+    Input: undirected edges as canonical (src < dst) pairs, one row
+    per edge. Each peel round is one degree hash-aggregate plus two
+    semi-joins against the surviving vertex set — everything
+    partitions on the vertex key, AQE-splittable, nothing driver-side
+    but the per-round 1-scalar convergence probe; lineage is
+    truncated per round (``localCheckpoint`` — swap durable on a
+    cluster). Round count is bounded by the peel depth (the
+    degeneracy ordering's layer count), typically tens on real
+    graphs; ``max_iters`` guards pathological chains and the DuckDB
+    oracle replays the same cap.
+
+    Returns (node, core_degree) for every k-core member —
+    ``core_degree`` the degree WITHIN the core (>= k by definition).
+    """
+    both = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    und = both.localCheckpoint()
+    for _ in range(max_iters):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        n_low = deg.filter(F.col("deg") < k).count()
+        if n_low == 0:
+            break
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
+    return und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

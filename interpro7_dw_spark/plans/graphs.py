@@ -607,3 +607,54 @@ r3 AS (
 SELECT node, round(r, 10) AS pagerank FROM r3
     """,
 ))
+
+
+def _kcore(spark: SparkSession, sf: str):
+    from ..operators.graph import kcore
+
+    return kcore(_part_pairs(spark, sf), k=3, src_col="pa", dst_col="pb")
+
+
+register(QuerySpec(
+    name="z_kcore",
+    tags=("G9", "A2", "J4"),
+    description="3-core decomposition of the co-occurrence graph "
+    "(operators/graph.py::kcore, Seidman 1983 iterative peel): each "
+    "round drops every vertex of current degree < k via one degree "
+    "aggregate + two semi-joins, to fixpoint. Oracle replays the "
+    "synchronized peel as a recursive CTE carrying the surviving "
+    "vertex set per round (same 60-round cap both engines); the "
+    "result is the surviving set at the cap with its in-core "
+    "degrees.",
+    build=_kcore,
+    oracle="""
+        WITH RECURSIVE li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ce AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        ),
+        und AS (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+        verts(v, it) AS (
+          SELECT DISTINCT a AS v, 0 FROM und
+          UNION ALL
+          SELECT v, it + 1 FROM (
+            SELECT u.a AS v, max(cur.it) AS it, count(*) AS deg
+            FROM und u
+            JOIN verts cur  ON cur.v  = u.a
+            JOIN verts cur2 ON cur2.v = u.b AND cur2.it = cur.it
+            GROUP BY u.a
+          ) WHERE deg >= 3 AND it < 60
+        ),
+        core AS (SELECT v FROM verts WHERE it = 60)
+        SELECT u.a AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM und u
+        JOIN core c1 ON c1.v = u.a
+        JOIN core c2 ON c2.v = u.b
+        GROUP BY 1
+    """,
+))

@@ -1653,3 +1653,20 @@ def test_bpe_learned_merges_roundtrip(spark):
     assert rebuilt.join(orig, ["doc_id", "wpos"]).filter(
         F.col("w") != F.col("word")
     ).count() == 0
+
+
+def test_kcore_peels_pendants(spark):
+    """Pendant chains must peel away transitively: removing a leaf can
+    drop its neighbor below k in a LATER round — the fixpoint loop,
+    not a single degree filter."""
+    from interpro7_dw_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3 plus a chain 3-4-5-6 hanging off it
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k above the graph's degeneracy: empty core, no error
+    assert kcore(edges, k=3).count() == 0
