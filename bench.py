@@ -82,6 +82,12 @@ HEADLINE = [
     "bm25_topk",
     "grouped_quantiles",
     "triangle_counts",
+    # r9 additions: IVFADC (persisted cell-partitioned PQ codes, DPP
+    # probe), real BPE tokenization (distinct-word merge loop), and
+    # the k-core iterative peel
+    "z_ivfpq_topk",
+    "z_bpe_tokenize",
+    "z_kcore",
 ]
 
 

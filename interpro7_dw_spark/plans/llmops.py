@@ -2732,3 +2732,51 @@ register(QuerySpec(
     build=_bpe_train_build,
     oracle=_bpe_train_oracle(_BPE_TRAIN_ITERS),
 ))
+
+
+def _cdc_apply_build(spark: SparkSession, sf: str):
+    """Roundtrip the CDC loop: derive the synthetic new snapshot (same
+    derivation as z_snapshot_diff), ship only the applyable changelog,
+    merge it into the base — the result must BE the new snapshot,
+    which is exactly what the oracle selects."""
+    from ..operators.cdc import cdc_apply, snapshot_delta_rows
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    delta = snapshot_delta_rows(base, new, ["o_orderkey"])
+    return cdc_apply(base, delta, ["o_orderkey"])
+
+
+register(QuerySpec(
+    name="z_cdc_apply",
+    tags=("CD2", "J5", "U1"),
+    description="CDC merge/apply (operators/cdc.py::cdc_apply + "
+    "snapshot_delta_rows): the applyable changelog (new row images "
+    "for insert/update, null-safe keys) merged into the base snapshot "
+    "— one anti join + one union, cost driven by |changes| not "
+    "|base|. The oracle IS the new snapshot: the roundtrip "
+    "apply(old, delta(old, new)) == new is checked value-for-value.",
+    build=_cdc_apply_build,
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0
+    """,
+))

@@ -1670,3 +1670,31 @@ def test_kcore_peels_pendants(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     # k above the graph's degeneracy: empty core, no error
     assert kcore(edges, k=3).count() == 0
+
+
+def test_cdc_apply_roundtrip_with_null_keys(spark):
+    """cdc_apply(old, snapshot_delta_rows(old, new)) must equal new
+    EXACTLY — including a null-keyed row updated across snapshots and
+    a deleted key (absent from the result)."""
+    from interpro7_dw_spark.operators.cdc import cdc_apply, snapshot_delta_rows
+
+    old = spark.createDataFrame(
+        [(None, "a", 1.0), ("1", "b", 2.0), ("2", "c", 3.0)],
+        "k string, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 9.0), ("1", "b", 2.0), ("3", "d", 4.0)],
+        "k string, s string, v double",
+    )
+    delta = snapshot_delta_rows(old, new, ["k"])
+    kinds = {r.k: r.change_type for r in delta.collect()}
+    assert kinds == {None: "update", "2": "delete", "3": "insert"}
+    # delete rows carry null images; upsert rows carry the new image
+    imgs = {r.k: (r.s, r.v) for r in delta.collect()}
+    assert imgs["2"] == (None, None)
+    assert imgs[None] == ("a", 9.0) and imgs["3"] == ("d", 4.0)
+    applied = cdc_apply(old, delta, ["k"])
+    key = lambda t: (t[0] is None, t[0] or "", t[1] or "")
+    got = sorted(((r.k, r.s, r.v) for r in applied.collect()), key=key)
+    want = sorted(((r.k, r.s, r.v) for r in new.collect()), key=key)
+    assert got == want
