@@ -615,3 +615,39 @@ def bloom_probe(
         .withColumn(out_col, hit)
         .drop("__bloom")
     )
+
+
+def rowwise_simhash64(text_col: str = "text") -> "F.Column":
+    """64-bit SimHash as ONE map-side column expression (no shuffle,
+    no aggregate) — bit-identical to ``simhash(docs, bits=64)`` but
+    computable per row, which is what makes it legal inside a
+    Structured Streaming projection (streaming/dedup_stream.py's
+    near-dup stage: a stateless fingerprint + a watermarked dedup,
+    where the batch operator's two hash aggregates would be a
+    disallowed chained stateful plan).
+
+    The per-token 64-bit hash is the same two-conv md5 composition as
+    the batch operator; the 64 bit-counters ride an array accumulator
+    folded over the distinct tokens, and the finish lambda re-packs
+    the sign vector into the (wrapping, signed) fingerprint long.
+    Equivalence is unit-tested against the batch operator.
+    """
+    h64 = (
+        "shiftleft(cast(conv(substring(md5(binary(t)), 1, 8), 16, 10) as bigint), 32)"
+        " | cast(conv(substring(md5(binary(t)), 9, 8), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          transform(array_distinct(split({text_col}, ' ')), t -> {h64}),
+          array_repeat(cast(0 as bigint), 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, b) -> a + (shiftright(h, b) & 1) * 2 - 1),
+          acc -> aggregate(
+            zip_with(acc, sequence(0, 63),
+                     (s, b) -> if(s > 0, shiftleft(cast(1 as bigint), b),
+                                  cast(0 as bigint))),
+            cast(0 as bigint), (x, y) -> x + y)
+        )
+        """
+    )

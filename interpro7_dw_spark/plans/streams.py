@@ -254,3 +254,57 @@ register(QuerySpec(
     build=_stream_dedup_exact,
     oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
 ))
+
+
+def _stream_neardup(spark, sf):
+    from ..streaming.dedup_stream import neardup_simhash_stream
+
+    return neardup_simhash_stream(spark, f"{sf}/documents.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_neardup_simhash",
+    tags=("ST3", "DD4", "F3"),
+    description="Streaming NEAR-dup suppression "
+    "(streaming/dedup_stream.py::neardup_simhash_stream): map-side "
+    "row-wise 64-bit SimHash (bit-identical to the batch operator — "
+    "unit-tested) through dropDuplicatesWithinWatermark; each "
+    "distinct fingerprint emitted exactly once within the horizon. "
+    "Oracle rebuilds every fingerprint in HUGEINT and takes the "
+    "distinct set.",
+    build=_stream_neardup,
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t.token
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT
+                      ELSE hu END AS BIGINT) AS h
+          FROM (
+            SELECT doc_id,
+                   (('0x' || substring(md5(token), 1, 8))::UBIGINT)::HUGEINT
+                     * 4294967296::HUGEINT
+                   + (('0x' || substring(md5(token), 9, 8))::UBIGINT)::HUGEINT AS hu
+            FROM tok
+          )
+        ),
+        bit AS (
+          SELECT doc_id, b.b AS b, sum(((h >> b.b) & 1) * 2 - 1) AS s
+          FROM hashed, LATERAL unnest(generate_series(0, 63)) AS b(b)
+          GROUP BY 1, 2
+        )
+        SELECT DISTINCT
+               CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                    THEN su - 18446744073709551616::HUGEINT
+                    ELSE su END AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+                     ELSE 0::HUGEINT END) AS su
+          FROM bit GROUP BY 1
+        )
+    """,
+))

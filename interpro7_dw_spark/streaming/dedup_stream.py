@@ -73,3 +73,53 @@ def dedup_content_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def neardup_simhash_stream(
+    spark: SparkSession,
+    docs_path: str,
+    late: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: emit each distinct 64-bit
+    SimHash fingerprint exactly once while it is inside the watermark
+    horizon — documents whose fingerprints collide (near-identical
+    token sets) are suppressed as they arrive. The fingerprint is the
+    map-side row-wise SimHash (operators/dedup.py::rowwise_simhash64
+    — the batch operator's aggregate pipeline would be a disallowed
+    chained stateful plan in streaming), so the whole query is one
+    stateless projection + one watermarked dedup with state bounded
+    by the distinct fingerprints in one horizon.
+
+    Returns the emitted fingerprints (simhash long).
+    """
+    from ..operators.dedup import rowwise_simhash64
+
+    batch = spark.read.parquet(docs_path)
+    directory, _, filename = docs_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", filename)
+        .parquet(directory)
+    )
+    keyed = stream.select(
+        rowwise_simhash64(text_col).alias("simhash"),
+        F.timestamp_micros(
+            F.col("doc_id").cast("long") + F.lit(86_400_000_000)
+        ).alias("__ts"),
+    )
+    out = (
+        keyed.withWatermark("__ts", late)
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("simhash")
+    )
+    name = "stream_neardup_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

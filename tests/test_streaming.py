@@ -230,3 +230,35 @@ def test_streaming_content_dedup_equals_batch(spark, tmp_path):
     import hashlib
     want = sorted(hashlib.md5(t.encode()).hexdigest() for t in ("alpha", "beta", "gamma"))
     assert got == want
+
+
+def test_rowwise_simhash_equals_batch_and_stream_neardup(spark, tmp_path):
+    """The map-side row-wise SimHash must be bit-identical to the
+    batch two-aggregate operator, and the streaming near-dup stage
+    must suppress a cross-file fingerprint duplicate (same token
+    multiset, different doc) while keeping distinct contents."""
+    from interpro7_dw_spark.operators.dedup import rowwise_simhash64, simhash
+    from interpro7_dw_spark.streaming.dedup_stream import neardup_simhash_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = {r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()}
+    roww = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", rowwise_simhash64().alias("sh")).collect()
+    }
+    assert batch == roww and len(batch) == docs.count()
+
+    src = tmp_path / "docs"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src / "documents.parquet"))
+    # token-permuted duplicate of doc 1 (same distinct-token set ->
+    # same fingerprint) plus a new doc, in a later micro-batch
+    spark.createDataFrame(
+        [(3, "gamma alpha beta"), (4, "zeta")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src / "documents.parquet"))
+    got = neardup_simhash_stream(
+        spark, str(src / "documents.parquet") + "/*.parquet"
+    ).collect()
+    assert len(got) == 3  # doc 3 suppressed as a near-dup of doc 1
