@@ -837,6 +837,24 @@ def ivf_topk_on_index(
     )
 
 
+def _with_residual(
+    df: DataFrame, cdf_ivf: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cid, rvec): each vector's coarse cell plus its RESIDUAL
+    against that cell's centroid (``rvec = v - centroid[cid]``,
+    elementwise double) — the encoding input of FAISS's
+    ``by_residual=true`` IVFPQ. Centroids travel twice as broadcast
+    DATA: once as the argmin array, once as a (cid, cvec) join side."""
+    assigned = _attach_centroids(with_norm(df, vec_col), cdf_ivf).select(
+        F.col(id_col), F.col("__v"), _nearest_cid(F.col("__v")).alias("cid")
+    )
+    return assigned.join(F.broadcast(cdf_ivf), "cid").select(
+        F.col(id_col),
+        "cid",
+        F.zip_with("__v", "cvec", lambda x, c: x - c).alias("rvec"),
+    )
+
+
 def write_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -847,6 +865,7 @@ def write_ivfpq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> None:
     """Build-once half of IVFADC (Jégou et al. 2011 §IV — the FAISS
     IndexIVFPQ recipe): train the IVF coarse quantizer AND the PQ
@@ -858,14 +877,21 @@ def write_ivfpq_index(
     :func:`pq_topk` nor the full-vector cells of
     :func:`write_ivf_index`).
 
-    Codebooks are trained on RAW vectors, not cell residuals —
-    FAISS's ``by_residual=false`` variant. Documented trade-off:
-    residual encoding buys accuracy at equal code size but couples
-    every code to its cell's centroid; raw-vector codes keep the
-    codes cell-independent (a vector can be re-assigned without
-    re-encoding) and make the ADC arithmetic — and therefore the
-    DuckDB value oracle — identical to the flat :func:`pq_topk`
-    family's, so the composition is value-checked end to end.
+    ``by_residual`` selects what the codebooks are trained on — BOTH
+    published FAISS configurations are implemented and oracle-checked:
+
+    - ``False``: RAW vectors. Codes are cell-independent (a vector
+      can be re-assigned without re-encoding) and the ADC arithmetic
+      is identical to the flat :func:`pq_topk` family's.
+    - ``True`` (the FAISS default): CELL RESIDUALS ``v -
+      centroid[cell]`` — residual magnitudes are smaller than raw
+      ones, so the same code budget quantizes finer (better recall at
+      equal bytes); the cost is one distance table PER (query,
+      probed cell) instead of per query, and codes that must be
+      re-encoded if a vector changes cell.
+
+    Query with the SAME ``by_residual`` value — the layouts are not
+    interchangeable (codes mean different things).
 
     Layout: ``codes/`` (vid, sub, code; partitioned by cid),
     ``pq_codebooks/`` (sub, cid, cvec), ``centroids/`` (cid, cvec).
@@ -873,17 +899,29 @@ def write_ivfpq_index(
     cdf_ivf = ivf_centroids_df(
         emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    cdf_pq = pq_codebooks_df(
-        emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
-        vec_col=vec_col,
-    )
-    cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
-        F.col(id_col).alias("vid"),
-        _nearest_cid(F.col("__v")).alias("cid"),
-    )
-    codes = pq_encode(
-        emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("vid"), "sub", "code")
+    if by_residual:
+        res = _with_residual(emb, cdf_ivf, id_col, vec_col).localCheckpoint()
+        train = res.select(id_col, "rvec")
+        cdf_pq = pq_codebooks_df(
+            train, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+            vec_col="rvec",
+        )
+        codes = pq_encode(
+            train, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col="rvec"
+        ).select(F.col(id_col).alias("vid"), "sub", "code")
+        cells = res.select(F.col(id_col).alias("vid"), "cid")
+    else:
+        cdf_pq = pq_codebooks_df(
+            emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+            vec_col=vec_col,
+        )
+        codes = pq_encode(
+            emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("vid"), "sub", "code")
+        cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
+            F.col(id_col).alias("vid"),
+            _nearest_cid(F.col("__v")).alias("cid"),
+        )
     (
         codes.join(cells, "vid")
         .write.mode("overwrite")
@@ -903,6 +941,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """Query half of :func:`write_ivfpq_index` — IVFADC proper: each
     query probes its ``nprobe`` nearest coarse cells (broadcast
@@ -913,6 +952,13 @@ def ivfpq_topk(
     distance (per-query subspace lookup tables against the stored
     codebooks, summed in pinned subspace order — m bounded rows per
     (query, candidate) group, bit-replayable by the oracle).
+
+    ``by_residual`` must match the index build. In residual mode the
+    lookup table is built per (query, PROBED CELL) — the query's
+    residual against that cell's centroid scored against the
+    residual-trained codebooks, exactly FAISS's per-cell table in
+    IndexIVFPQ — an nprobe-times-larger (still tiny, broadcast)
+    table for finer quantization at the same code bytes.
 
     Cost per query batch: O(batch x nlist) probe argmin +
     O(batch x corpus/nlist x nprobe) m-lookup ADC sums — sublinear in
@@ -929,39 +975,72 @@ def ivfpq_topk(
     cdf_pq = spark.read.parquet(path + "/pq_codebooks").select(
         "sub", F.col("cid").alias("pcid"), "cvec"
     )
+    w = dim // m
     probes = _attach_centroids(with_norm(queries, vec_col), cents).select(
         F.col(id_col).alias("qid"),
+        F.col("__v").alias("qv"),
         F.explode(
             F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, nprobe)
             .getField("cid")
         ).alias("cid"),
     )
-    qsub = _pq_subrows(queries, m, dim, id_col, vec_col)
-    dtab = (
-        qsub.join(F.broadcast(cdf_pq), "sub")
-        .select(
-            F.col("__vid").alias("qid"),
-            "sub",
-            "pcid",
-            (
-                _dot(F.col("sv"), F.col("sv"))
-                - F.lit(2.0) * _dot(F.col("sv"), F.col("cvec"))
-                + _dot(F.col("cvec"), F.col("cvec"))
-            ).alias("d"),
-        )
+    adc = (
+        _dot(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * _dot(F.col("sv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
     )
+    if by_residual:
+        # one table per (query, probed cell): the query RESIDUAL
+        # against that cell's centroid, sliced into subvectors
+        qres = probes.join(
+            F.broadcast(cents.select("cid", F.col("cvec").alias("__cc"))),
+            "cid",
+        ).select(
+            "qid",
+            "cid",
+            F.zip_with("qv", "__cc", lambda x, c: x - c).alias("rv"),
+        )
+        qsub = qres.select(
+            "qid",
+            "cid",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice("rv", j * w + 1, w).alias("sv"),
+                    )
+                    for j in range(m)
+                ])
+            ).alias("__s"),
+        ).select("qid", "cid", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
+        dtab = qsub.join(F.broadcast(cdf_pq), "sub").select(
+            "qid", "cid", "sub", "pcid", adc.alias("d")
+        )
+    else:
+        qsub = _pq_subrows(queries, m, dim, id_col, vec_col)
+        dtab = (
+            qsub.join(F.broadcast(cdf_pq), "sub")
+            .select(
+                F.col("__vid").alias("qid"),
+                "sub",
+                "pcid",
+                adc.alias("d"),
+            )
+        )
     cand = (
         F.broadcast(probes.select("qid", "cid"))
         .join(codes, "cid")  # DPP: only probed cells' files are read
         .filter(F.col("qid") != F.col("vid"))
     )
+    join_cond = (
+        (cand["qid"] == dtab["qid"])
+        & (cand["sub"] == dtab["sub"])
+        & (cand["code"] == dtab["pcid"])
+    )
+    if by_residual:
+        join_cond = join_cond & (cand["cid"] == dtab["cid"])
     adist = (
-        cand.join(
-            F.broadcast(dtab),
-            (cand["qid"] == dtab["qid"])
-            & (cand["sub"] == dtab["sub"])
-            & (cand["code"] == dtab["pcid"]),
-        )
+        cand.join(F.broadcast(dtab), join_cond)
         .select(cand["qid"], "vid", cand["sub"], "d")
         .groupBy("qid", "vid")
         .agg(

