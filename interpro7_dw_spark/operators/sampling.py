@@ -525,3 +525,75 @@ def dsir_weights(
             F.sum(F.col("__c") * F.col("__r_ppm")).cast("long").alias("score_ppm"),
         )
     )
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling by the systematic
+    (Madow 1949) method, fully integer-exact: rows are laid on a line
+    in deterministic md5(id) order (the standard randomized-order
+    prerequisite, no RNG state), each occupying an interval equal to
+    its weight; the ``n`` selection points ``p_j = (2j+1)*W / (2n)``
+    (midpoints of equal strides over the total weight ``W``) pick the
+    rows whose intervals contain them. Every comparison is cross-
+    multiplied to integers — ``(2j+1)*W <= 2n*x`` — so there is not
+    one float anywhere and any engine replays the selection exactly.
+
+    Inclusion probability of a row is ``min(1, n*w/W)`` — the PPS
+    property; a row heavier than one stride can contain several
+    points (``n_hits`` > 1 — the standard with-multiplicity
+    convention; downstream either repeats or caps it).
+
+    Scale: the running weight sum comes from the same two-phase
+    bucket-split rank plan as the packing family (ONE full-row
+    shuffle, no global single-partition window —
+    :func:`_range_annotated`); the total ``W`` is one scalar
+    aggregate. Weights must be positive integers (nulls and
+    non-positives are filtered out, documented contract).
+
+    Returns (id, weight, run_end, n_hits) for sampled rows —
+    ``run_end`` the row's inclusive running-weight position (ties the
+    selection to the replayable order).
+    """
+    base = docs.select(
+        F.col(id_col), F.col(weight_col).cast("long").alias("__w")
+    ).filter(F.col("__w") > 0)
+    total = base.agg(F.sum("__w")).first()[0]
+    if not total:
+        return base.select(
+            F.col(id_col),
+            F.col("__w").alias("weight"),
+            F.lit(0).cast("long").alias("run_end"),
+            F.lit(0).cast("long").alias("n_hits"),
+        ).limit(0)
+    W = int(total)
+    annotated = _range_annotated(
+        base, [], id_col, num_ranges, token_col="__w", seed=seed
+    )
+    # points <= x: count of j in [0, n) with (2j+1)*W <= 2n*x —
+    # pure integer DIV throughout (Spark's DIV truncates toward zero,
+    # so the q <= 0 branch must short-circuit before (q-1) DIV 2)
+    def cle(x: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN (2 * {n} * ({x})) DIV {W} <= 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE least(((2 * {n} * ({x})) DIV {W} - 1) DIV 2 + 1, "
+            f"CAST({n} AS BIGINT)) END"
+        )
+
+    hits = (cle("__run") - cle("__run - __w")).cast("long")
+    return (
+        annotated.withColumn("n_hits", hits)
+        .filter(F.col("n_hits") >= 1)
+        .select(
+            F.col(id_col),
+            F.col("__w").alias("weight"),
+            F.col("__run").alias("run_end"),
+            "n_hits",
+        )
+    )

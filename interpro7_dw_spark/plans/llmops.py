@@ -2900,3 +2900,52 @@ register(QuerySpec(
     build=_ivfpq_res_build,
     oracle=_IVFPQ_RES_ORACLE,
 ))
+
+
+register(QuerySpec(
+    name="z_pps_sample",
+    tags=("SP5", "F3", "A1"),
+    description="Systematic PPS sampling (operators/sampling.py::"
+    "pps_systematic_sample, Madow 1949): rows on a weight line in "
+    "md5(id) order, n stride-midpoint selection points, every "
+    "comparison cross-multiplied to integers — zero floats, "
+    "inclusion probability min(1, n*w/W) exactly. Running sums ride "
+    "the two-phase bucket-split rank plan (one full-row shuffle). "
+    "Oracle replays the order, running sums and point arithmetic "
+    "verbatim.",
+    build=lambda spark, sf: SM.pps_systematic_sample(
+        t(spark, sf, "documents"), n=100, weight_col="n_chars"
+    ),
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE n_chars > 0
+        ),
+        tot AS (SELECT sum(wt) AS W FROM w),
+        r AS (
+          SELECT doc_id, wt,
+                 sum(wt) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run
+          FROM w
+        ),
+        q AS (
+          SELECT doc_id, wt, run,
+                 (2 * 100 * run) // W AS q1,
+                 (2 * 100 * (run - wt)) // W AS q0
+          FROM r, tot
+        )
+        SELECT doc_id, wt AS weight, CAST(run AS BIGINT) AS run_end,
+               CAST((CASE WHEN q1 <= 0 THEN 0
+                          ELSE least((q1 - 1) // 2 + 1, 100) END)
+                  - (CASE WHEN q0 <= 0 THEN 0
+                          ELSE least((q0 - 1) // 2 + 1, 100) END)
+                 AS BIGINT) AS n_hits
+        FROM q
+        WHERE (CASE WHEN q1 <= 0 THEN 0
+                    ELSE least((q1 - 1) // 2 + 1, 100) END)
+            - (CASE WHEN q0 <= 0 THEN 0
+                    ELSE least((q0 - 1) // 2 + 1, 100) END) >= 1
+    """,
+))

@@ -1730,3 +1730,25 @@ def test_ivfpq_residual_planted_duplicate(spark, tmp_path):
     plan_df = ivfpq_topk(queries, path, k=5, nprobe=3, m=8, by_residual=True)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pps_sample_properties(spark):
+    """Systematic PPS invariants: exactly n points land (sum of
+    n_hits == n when no weight exceeds a stride it can't absorb —
+    always true since hits count points, which total n); a row
+    heavier than W/n must ALWAYS be selected; zero/null weights are
+    excluded; determinism across runs."""
+    from interpro7_dw_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, 10) for i in range(50)] + [(99, 1000), (100, 0), (101, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = pps_systematic_sample(docs, n=20, weight_col="n_chars")
+    got = out.collect()
+    assert sum(r.n_hits for r in got) == 20
+    heavy = [r for r in got if r.doc_id == 99]
+    # W = 1500, stride = 75; weight 1000 covers >= 13 points
+    assert heavy and heavy[0].n_hits >= 13
+    assert all(r.doc_id not in (100, 101) for r in got)
+    again = sorted(map(tuple, pps_systematic_sample(
+        docs, n=20, weight_col="n_chars").collect()))
+    assert again == sorted(map(tuple, got))
