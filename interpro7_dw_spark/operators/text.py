@@ -630,8 +630,13 @@ def linear_quality_score(
     ``weights`` is a (bucket: long, w_milli: long) table — integer
     milli-weights, so the per-document sum is exact and
     order-independent on every engine (a float dot product would be
-    partition-order-dependent); the single float appears only in the
-    final mean.
+    partition-order-dependent). The mean is kept integer too:
+    ``score_micro = (1000 * sum) DIV n + 1000 * bias`` (floor
+    division — round() on a float mean is NOT engine-portable: Spark
+    rounds the shortest decimal repr HALF_UP while DuckDB rounds the
+    binary value, and they disagree on exact .5 boundaries like
+    10473/80/1000, found by the sf0.1 sweep); the ``score`` double is
+    the exact division of that integer by 1e6.
 
     Scale: this is how a trained linear model scores a 100 TB corpus —
     the model IS a broadcast dim table (n_buckets rows), the feature
@@ -655,15 +660,16 @@ def linear_quality_score(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("w_milli").cast("long").alias("score_milli_sum"),
     )
-    score = F.round(
-        (F.col("score_milli_sum") / F.col("n_tokens") + bias_milli) / 1000.0, 6
+    micro = (
+        F.expr("(1000 * score_milli_sum) DIV n_tokens").cast("long")
+        + F.lit(1000 * bias_milli)
     )
-    return scored.select(
+    return scored.withColumn("score_micro", micro).select(
         "doc_id",
         "n_tokens",
         "score_milli_sum",
-        score.alias("score"),
-        (score >= 0).alias("label"),
+        (F.col("score_micro") / F.lit(1_000_000.0)).alias("score"),
+        (F.col("score_micro") >= 0).alias("label"),
     )
 
 

@@ -1821,8 +1821,8 @@ register(QuerySpec(
           FROM occ JOIN w USING (bucket) GROUP BY 1
         )
         SELECT doc_id, n_tokens, score_milli_sum,
-               round((score_milli_sum / n_tokens + 0) / 1000.0, 6) AS score,
-               round((score_milli_sum / n_tokens + 0) / 1000.0, 6) >= 0 AS label
+               ((1000 * score_milli_sum) // n_tokens + 0) / 1000000.0 AS score,
+               ((1000 * score_milli_sum) // n_tokens + 0) >= 0 AS label
         FROM agg
     """,
 ))
