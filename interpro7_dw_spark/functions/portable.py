@@ -1,0 +1,46 @@
+"""Engine-portable rounding of integer ratios.
+
+``F.round(a / b, d)`` on an integer ratio is NOT portable between
+engines: Spark rounds the double's SHORTEST DECIMAL REPR half-up
+(BigDecimal.valueOf), DuckDB rounds the BINARY value — they disagree
+exactly when a/b terminates at d+1 decimals with a trailing 5 and is
+not binary-representable (e.g. 10473/80/1000 = 0.1309125 → Spark
+0.130913, DuckDB 0.130912 — found by the round-9 sf0.1 full sweep on
+z_quality_classifier; 1/160 → 0.00625 is the round-4 analogue).
+
+:func:`round_div` computes round-half-up EXACTLY in integers:
+``round(a/b, d) = floor((a/b)*10^d + 1/2) = (2*10^d*a + b) DIV (2b)``
+for a >= 0, b > 0 — no float touches the decision, so any engine
+replays it. :func:`round_div_sql` is the DuckDB twin (``//``
+truncates toward zero = floor for non-negatives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_div(numer: Column, denom: Column, digits: int) -> Column:
+    """Round-half-up of ``numer/denom`` to ``digits`` decimals as an
+    exact integer computation, returned as double. Preconditions:
+    ``numer >= 0``, ``denom > 0``, both integral, and
+    ``2*10^digits*numer < 2^53`` (holds for every count ratio in this
+    engine). The quotient is extracted with the ``(q - q%d)/d``
+    identity — an exactly-divisible long division, exact in double."""
+    p = 10 ** digits
+    n_l = numer.cast("long")   # int inputs would overflow at 2*10^d*n
+    d_l = denom.cast("long")
+    q = F.lit(2 * p).cast("long") * n_l + d_l
+    d = F.lit(2).cast("long") * d_l
+    quot = (q - F.pmod(q, d)) / d
+    return quot.cast("long") / F.lit(float(p))
+
+
+def round_div_sql(numer: str, denom: str, digits: int) -> str:
+    """DuckDB fragment replaying :func:`round_div` verbatim."""
+    p = 10 ** digits
+    return (
+        f"((2 * {p} * ({numer}) + ({denom})) // (2 * ({denom})))"
+        f" / {p}.0"
+    )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable import round_div
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group identical texts by content hash; keep the lowest id."""
@@ -101,7 +103,7 @@ def jaccard_pairs(
     return (
         common.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
         .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
-        .withColumn("jaccard", F.round(F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 4))
+        .withColumn("jaccard", round_div(F.col("common"), F.col("sa") + F.col("sb") - F.col("common"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("da", "db", "jaccard")
     )
@@ -142,8 +144,8 @@ def containment_pairs(
         .groupBy("da", "db")
         .agg(F.count("*").alias("common"))
     )
-    c_ab = F.round(F.col("common") / F.col("sa"), 4)
-    c_ba = F.round(F.col("common") / F.col("sb"), 4)
+    c_ab = round_div(F.col("common"), F.col("sa"), 4)
+    c_ba = round_div(F.col("common"), F.col("sb"), 4)
     return (
         common.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
         .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
@@ -366,7 +368,7 @@ def repeated_passage_stats(
         "doc_id",
         "n_passages",
         "n_shared",
-        F.round(F.col("n_shared") / F.col("n_passages"), 4).alias("shared_frac"),
+        round_div(F.col("n_shared"), F.col("n_passages"), 4).alias("shared_frac"),
     )
 
 
@@ -476,9 +478,9 @@ def exact_substring_dedup(
         F.size("__spans").cast("long").alias("n_spans"),
         F.coalesce(interval_union_length(F.col("__spans")), F.lit(0).cast("long"))
         .alias("n_dup_tokens"),
-        F.round(
-            F.coalesce(interval_union_length(F.col("__spans")), F.lit(0).cast("long"))
-            / F.size("__t"),
+        round_div(
+            F.coalesce(interval_union_length(F.col("__spans")), F.lit(0).cast("long")),
+            F.size("__t"),
             4,
         ).alias("dup_token_frac"),
         F.concat_ws(
@@ -533,7 +535,7 @@ def contamination_stats(
         "doc_id",
         "n_passages",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_passages"), 4)
+        round_div(F.col("n_contaminated"), F.col("n_passages"), 4)
         .alias("contaminated_frac"),
     )
 

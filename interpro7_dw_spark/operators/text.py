@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import round_div
+
 # minimal marker-token sets per language for the n-gram/stopword
 # heuristic; extend freely — classification picks argmax with a fixed
 # priority-order tiebreak so results are deterministic.
@@ -41,9 +43,9 @@ def quality_features(
         id_col,
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
-        F.round(n_uniq / n_tokens, 4).alias("ttr"),
+        round_div(n_uniq, n_tokens, 4).alias("ttr"),
         F.length(text_col).alias("n_chars_actual"),
-        F.round((F.length(text_col) - (n_tokens - 1)) / n_tokens, 4).alias("avg_token_len"),
+        round_div(F.length(text_col) - (n_tokens - 1), n_tokens, 4).alias("avg_token_len"),
         F.when(n_tokens >= 20, "long").when(n_tokens >= 10, "medium").otherwise("short").alias("len_bucket"),
         *extra_cols,
     )
@@ -263,7 +265,7 @@ def token_rarity_stats(
             "doc_id",
             "n_token_types",
             "df_bits_sum",
-            F.round(F.col("df_bits_sum") / F.col("n_token_types"), 4)
+            round_div(F.col("df_bits_sum"), F.col("n_token_types"), 4)
             .alias("mean_commonness"),
         )
     )
@@ -390,8 +392,8 @@ def bigram_lm(
             "w2",
             "n_bigram",
             "n_context",
-            F.round(
-                (F.col("n_bigram") + 1) / (F.col("n_context") + F.lit(int(vocab))), 6
+            round_div(
+                F.col("n_bigram") + 1, F.col("n_context") + F.lit(int(vocab)), 6
             ).alias("cond_p"),
         )
     )
@@ -563,11 +565,11 @@ def repetition_stats(
         "n_distinct",
         F.when(
             F.col("n_ngrams") > 0,
-            F.round(F.col("__dup_occ") / F.col("n_ngrams"), 4),
+            round_div(F.col("__dup_occ"), F.col("n_ngrams"), 4),
         ).otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
         F.when(
             F.col("n_ngrams") > 0,
-            F.round(F.col("__top") / F.col("n_ngrams"), 4),
+            round_div(F.col("__top"), F.col("n_ngrams"), 4),
         ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
     )
 

@@ -57,11 +57,11 @@ register(QuerySpec(
           GROUP BY 1, 2
         )
         SELECT da, db,
-               round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+               ((2 * 10000 * (common) + (sa.sz + sb.sz - common)) // (2 * (sa.sz + sb.sz - common))) / 10000.0 AS jaccard
         FROM common
         JOIN sizes sa ON common.da = sa.doc_id
         JOIN sizes sb ON common.db = sb.doc_id
-        WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.1
+        WHERE ((2 * 10000 * (common) + (sa.sz + sb.sz - common)) // (2 * (sa.sz + sb.sz - common))) / 10000.0 >= 0.1
     """,
 ))
 
@@ -420,11 +420,9 @@ register(QuerySpec(
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-               round(len(list_distinct(string_split(text, ' '))) /
-                     len(string_split(text, ' ')), 4) AS ttr,
+               ((2 * 10000 * (len(list_distinct(string_split(text, ' ')))) + (len(string_split(text, ' ')))) // (2 * (len(string_split(text, ' '))))) / 10000.0 AS ttr,
                length(text) AS n_chars_actual,
-               round((length(text) - (len(string_split(text, ' ')) - 1)) /
-                     len(string_split(text, ' ')), 4) AS avg_token_len,
+               ((2 * 10000 * (length(text) - (len(string_split(text, ' ')) - 1)) + (len(string_split(text, ' ')))) // (2 * (len(string_split(text, ' '))))) / 10000.0 AS avg_token_len,
                CASE WHEN len(string_split(text, ' ')) >= 20 THEN 'long'
                     WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
                     ELSE 'short' END AS len_bucket,
@@ -881,7 +879,7 @@ register(QuerySpec(
         SELECT t.doc_id,
                CAST(t.n_passages AS BIGINT) AS n_passages,
                CAST(coalesce(f.n_shared, 0) AS BIGINT) AS n_shared,
-               round(coalesce(f.n_shared, 0) / t.n_passages, 4) AS shared_frac
+               ((2 * 10000 * (coalesce(f.n_shared, 0)) + (t.n_passages)) // (2 * (t.n_passages))) / 10000.0 AS shared_frac
         FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id
     """,
 ))
@@ -1008,7 +1006,7 @@ register(QuerySpec(
         )
         SELECT t.doc_id, t.n_passages,
                coalesce(h.n_contaminated, 0) AS n_contaminated,
-               round(coalesce(h.n_contaminated, 0) / t.n_passages, 4)
+               ((2 * 10000 * (coalesce(h.n_contaminated, 0)) + (t.n_passages)) // (2 * (t.n_passages))) / 10000.0
                  AS contaminated_frac
         FROM tot t LEFT JOIN hit h USING (doc_id)
     """,
@@ -1165,7 +1163,7 @@ register(QuerySpec(
         SELECT doc_id,
                count(*) AS n_token_types,
                CAST(sum(bits) AS BIGINT) AS df_bits_sum,
-               round(sum(bits) / count(*), 4) AS mean_commonness
+               ((2 * 10000 * (sum(bits)) + (count(*))) // (2 * (count(*)))) / 10000.0 AS mean_commonness
         FROM toks JOIN dfr USING (token)
         GROUP BY doc_id
     """,
@@ -1412,9 +1410,9 @@ register(QuerySpec(
         SELECT d.doc_id,
                coalesce(a.n_ngrams, 0) AS n_ngrams,
                coalesce(a.n_distinct, 0) AS n_distinct,
-               coalesce(round(a.dup_occ / a.n_ngrams, 4), 0.0)
+               coalesce(((2 * 10000 * (a.dup_occ) + (a.n_ngrams)) // (2 * (a.n_ngrams))) / 10000.0, 0.0)
                  AS dup_ngram_frac,
-               coalesce(round(a.top / a.n_ngrams, 4), 0.0)
+               coalesce(((2 * 10000 * (a.top) + (a.n_ngrams)) // (2 * (a.n_ngrams))) / 10000.0, 0.0)
                  AS top_ngram_frac
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
@@ -1446,7 +1444,7 @@ register(QuerySpec(
         SELECT doc_id,
                count(*) AS n_token_types,
                CAST(sum(bits) AS BIGINT) AS df_bits_sum,
-               round(sum(bits) / count(*), 4) AS mean_commonness
+               ((2 * 10000 * (sum(bits)) + (count(*))) // (2 * (count(*)))) / 10000.0 AS mean_commonness
         FROM toks JOIN dfr USING (token)
         GROUP BY doc_id
     """,
@@ -1595,13 +1593,13 @@ register(QuerySpec(
           GROUP BY 1, 2
         )
         SELECT da, db,
-               round(common / sa.sz, 4) AS containment_a_in_b,
-               round(common / sb.sz, 4) AS containment_b_in_a
+               ((2 * 10000 * (common) + (sa.sz)) // (2 * (sa.sz))) / 10000.0 AS containment_a_in_b,
+               ((2 * 10000 * (common) + (sb.sz)) // (2 * (sb.sz))) / 10000.0 AS containment_b_in_a
         FROM common
         JOIN sizes sa ON common.da = sa.doc_id
         JOIN sizes sb ON common.db = sb.doc_id
-        WHERE round(common / sa.sz, 4) >= 0.6
-           OR round(common / sb.sz, 4) >= 0.6
+        WHERE ((2 * 10000 * (common) + (sa.sz)) // (2 * (sa.sz))) / 10000.0 >= 0.6
+           OR ((2 * 10000 * (common) + (sb.sz)) // (2 * (sb.sz))) / 10000.0 >= 0.6
     """,
 ))
 
@@ -1683,7 +1681,7 @@ register(QuerySpec(
                CAST(len(t.ts) AS BIGINT) AS n_tokens,
                CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
                CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
-               round(coalesce(a.n_dup, 0) / len(t.ts), 4) AS dup_token_frac,
+               ((2 * 10000 * (coalesce(a.n_dup, 0)) + (len(t.ts))) // (2 * (len(t.ts)))) / 10000.0 AS dup_token_frac,
                coalesce(c.cleaned_text, '') AS cleaned_text
         FROM tok t
         LEFT JOIN agg a USING (doc_id)
@@ -1768,7 +1766,7 @@ register(QuerySpec(
           FROM toks GROUP BY token
         ),
         score AS (
-          SELECT doc_id, round(sum(bits) / count(*), 4) AS mean_commonness
+          SELECT doc_id, ((2 * 10000 * (sum(bits)) + (count(*))) // (2 * (count(*)))) / 10000.0 AS mean_commonness
           FROM toks JOIN dfr USING (token)
           GROUP BY doc_id
         ),
@@ -2139,7 +2137,7 @@ register(QuerySpec(
           FROM tok, LATERAL unnest(ts) AS t(w)
         )
         SELECT w1, w2, n_bigram, n_context,
-               round((n_bigram + 1) / (n_context + (SELECT vocab FROM v)), 6)
+               ((2 * 1000000 * (n_bigram + 1) + (n_context + (SELECT vocab FROM v))) // (2 * (n_context + (SELECT vocab FROM v)))) / 1000000.0
                  AS cond_p
         FROM bi JOIN ctx USING (w1)
     """,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.portable import round_div
+
 from ..functions.intervals import interval_union_length
 from ..operators.joins import as_of_join, interval_overlap_join
 from .spec import QuerySpec, dbl, dec, register, t
@@ -878,14 +880,22 @@ register(QuerySpec(
         )
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("__sk"),
             F.max("k").alias("max_k"),
             F.count("k").alias("n"),
+        )
+        # integer-exact mean: round() of a float avg is not portable
+        # at decimal-half boundaries (functions/portable.py)
+        .select(
+            "event_type",
+            round_div(F.col("__sk"), F.col("n"), 4).alias("avg_k"),
+            "max_k",
+            "n",
         )
     ),
     oracle="""
         SELECT event_type,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               ((2 * 10000 * (sum(CAST(json_extract_string(props, '$.k') AS INT))) + (count(CAST(json_extract_string(props, '$.k') AS INT)))) // (2 * (count(CAST(json_extract_string(props, '$.k') AS INT))))) / 10000.0 AS avg_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                count(CAST(json_extract_string(props, '$.k') AS INT)) AS n
         FROM events GROUP BY event_type
