@@ -1752,3 +1752,42 @@ def test_pps_sample_properties(spark):
     again = sorted(map(tuple, pps_systematic_sample(
         docs, n=20, weight_col="n_chars").collect()))
     assert again == sorted(map(tuple, got))
+
+
+def test_round_div_portable_at_decimal_half_boundaries(spark):
+    """The exact cases where F.round(a/b, d) and DuckDB round()
+    disagree (shortest-decimal-repr HALF_UP vs binary value) must
+    come out identical — and half-up — from round_div/round_div_sql
+    on BOTH engines: 10473/80 at 3 digits (the z_quality_classifier
+    sf0.1 find) and 1/160 at 4 digits."""
+    import duckdb
+
+    from interpro7_dw_spark.functions.portable import round_div, round_div_sql
+
+    df = spark.createDataFrame(
+        [(10473, 80, 3), (1, 160, 4), (33, 80, 4), (0, 7, 4), (7, 7, 4)],
+        "a long, b long, d int",
+    )
+    got = {
+        (r.a, r.b): (r.r3, r.r4)
+        for r in df.select(
+            "a", "b",
+            round_div(F.col("a"), F.col("b"), 3).alias("r3"),
+            round_div(F.col("a"), F.col("b"), 4).alias("r4"),
+        ).collect()
+    }
+    # exact rational half-up: 130.9125 -> .913 / .9125; 0.00625 -> .0063
+    assert got[(10473, 80)] == (130.913, 130.9125)
+    assert got[(1, 160)] == (0.006, 0.0063)
+    assert got[(33, 80)] == (0.413, 0.4125)
+    assert got[(0, 7)] == (0.0, 0.0)
+    assert got[(7, 7)] == (1.0, 1.0)
+    con = duckdb.connect()
+    for (a, b), (r3, r4) in got.items():
+        d3 = con.execute(f"SELECT {round_div_sql(str(a), str(b), 3)}").fetchone()[0]
+        d4 = con.execute(f"SELECT {round_div_sql(str(a), str(b), 4)}").fetchone()[0]
+        assert (d3, d4) == (r3, r4), (a, b, d3, d4, r3, r4)
+    # and the motivating counter-example: plain round() DISAGREES here
+    duck_round = con.execute("SELECT round(10473 / 80 / 1000.0, 6)").fetchone()[0]
+    spark_round = spark.sql("SELECT round(10473 / 80 / 1000.0, 6)").first()[0]
+    assert duck_round != spark_round  # the bug round_div exists to avoid
