@@ -9,10 +9,15 @@ not binary-representable (e.g. 10473/80/1000 = 0.1309125 → Spark
 z_quality_classifier; 1/160 → 0.00625 is the round-4 analogue).
 
 :func:`round_div` computes round-half-up EXACTLY in integers:
-``round(a/b, d) = floor((a/b)*10^d + 1/2) = (2*10^d*a + b) DIV (2b)``
-for a >= 0, b > 0 — no float touches the decision, so any engine
-replays it. :func:`round_div_sql` is the DuckDB twin (``//``
-truncates toward zero = floor for non-negatives).
+``round(a/b, d) = floor((a/b)*10^d + 1/2) = (2*10^d*a + b) FLOORDIV
+(2b)`` for b > 0 and ANY-SIGN a — "half up" meaning half toward
++infinity (-0.0055 at 3 digits → -0.005), the same convention on both
+engines. No float touches the decision, so any engine replays it.
+:func:`round_div_sql` is the DuckDB twin; DuckDB's ``//`` truncates
+toward ZERO on negatives (``-7 // 2 = -3``) while Spark's
+pmod-subtract quotient floors, so the SQL side materializes the same
+pmod-subtract form — the dividend is made exactly divisible first,
+where truncation and floor agree.
 """
 
 from __future__ import annotations
@@ -22,12 +27,14 @@ from pyspark.sql import functions as F
 
 
 def round_div(numer: Column, denom: Column, digits: int) -> Column:
-    """Round-half-up of ``numer/denom`` to ``digits`` decimals as an
-    exact integer computation, returned as double. Preconditions:
-    ``numer >= 0``, ``denom > 0``, both integral, and
-    ``2*10^digits*numer < 2^53`` (holds for every count ratio in this
-    engine). The quotient is extracted with the ``(q - q%d)/d``
-    identity — an exactly-divisible long division, exact in double."""
+    """Round-half-up (half toward +inf) of ``numer/denom`` to
+    ``digits`` decimals as an exact integer computation, returned as
+    double. Preconditions: ``denom > 0``, both integral, and
+    ``|2*10^digits*numer| < 2^53`` (holds for every count ratio in
+    this engine); ``numer`` may be negative. The quotient is extracted
+    with the ``(q - pmod(q, d))/d`` identity — pmod is non-negative,
+    so the subtraction lands on the FLOOR multiple for either sign and
+    the division is exact in double."""
     p = 10 ** digits
     n_l = numer.cast("long")   # int inputs would overflow at 2*10^d*n
     d_l = denom.cast("long")
@@ -38,9 +45,12 @@ def round_div(numer: Column, denom: Column, digits: int) -> Column:
 
 
 def round_div_sql(numer: str, denom: str, digits: int) -> str:
-    """DuckDB fragment replaying :func:`round_div` verbatim."""
+    """DuckDB fragment replaying :func:`round_div` verbatim, including
+    for negative numerators: DuckDB ``%`` follows the dividend's sign
+    and ``//`` truncates toward zero, so the non-negative remainder is
+    rebuilt as ``((q % d) + d) % d`` and subtracted before the
+    division — exactly divisible, where trunc == floor."""
     p = 10 ** digits
-    return (
-        f"((2 * {p} * ({numer}) + ({denom})) // (2 * ({denom})))"
-        f" / {p}.0"
-    )
+    q = f"(2 * {p} * ({numer}) + ({denom}))"
+    d = f"(2 * ({denom}))"
+    return f"((({q}) - ((({q}) % ({d})) + ({d})) % ({d})) // ({d})) / {p}.0"

@@ -228,6 +228,14 @@ def bpe_learn_merges(
     as an unrolled CTE chain (pair counts → argmax → merged words),
     the same structure as the Lloyd-iteration oracles.
 
+    Result uniqueness: two distinct pairs can produce the SAME merged
+    string (('a','bc') and ('ab','c') once 'ab' and 'bc' exist), which
+    would break :func:`bpe_tokenize`'s merged-token -> rank map (and
+    trip :func:`merges_table`'s validation). A candidate pair whose
+    concatenation collides with an earlier merge's result is SKIPPED
+    at the argmax — the oracle replays the identical exclusion — so
+    the returned table always feeds :func:`bpe_tokenize` directly.
+
     Returns the learned (rank long, l string, r string) table —
     feed it straight into :func:`bpe_tokenize`.
     """
@@ -260,6 +268,12 @@ def bpe_learn_merges(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wcount").alias("c"))
         )
+        # skip candidates whose merged string collides with an earlier
+        # merge result (result uniqueness — see docstring); the learned
+        # list is rank-sized, a cheap NOT-IN literal
+        taken = [l + r for _, l, r in learned]
+        if taken:
+            pairs = pairs.filter(~F.concat("l", "r").isin(taken))
         best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).first()
         if best is None:
             break

@@ -414,12 +414,16 @@ def kcore(
     per edge. Each peel round is one degree hash-aggregate plus two
     semi-joins against the surviving vertex set — everything
     partitions on the vertex key, AQE-splittable, nothing driver-side
-    but the per-round 1-scalar convergence probe; lineage is
-    truncated per round (``localCheckpoint`` — swap durable on a
-    cluster). Round count is bounded by the peel depth (the
-    degeneracy ordering's layer count), typically tens on real
-    graphs; ``max_iters`` guards pathological chains and the DuckDB
-    oracle replays the same cap.
+    but the per-round 1-scalar convergence probe; the degree
+    aggregate is persisted for the round so the probe and the
+    keep-filter share one computation (one scan of the surviving
+    edge set per round); lineage is truncated per round
+    (``localCheckpoint`` — swap durable on a cluster). Round count is
+    bounded by the peel depth (the degeneracy ordering's layer
+    count), typically tens on real graphs; at the ``max_iters`` cap
+    the CURRENT surviving set is returned — the DuckDB oracle replays
+    the identical cap, so both engines agree even on a
+    deeper-than-cap pathological chain.
 
     Returns (node, core_degree) for every k-core member —
     ``core_degree`` the degree WITHIN the core (>= k by definition).
@@ -431,18 +435,21 @@ def kcore(
     )
     und = both.localCheckpoint()
     for _ in range(max_iters):
-        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        n_low = deg.filter(F.col("deg") < k).count()
-        if n_low == 0:
-            break
-        keep = deg.filter(F.col("deg") >= k).select("a")
-        und = (
-            und.join(keep, "a", "left_semi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .localCheckpoint()
-        )
-    else:
-        raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
+        try:
+            n_low = deg.filter(F.col("deg") < k).count()
+            if n_low == 0:
+                break
+            keep = deg.filter(F.col("deg") >= k).select("a")
+            und = (
+                und.join(keep, "a", "left_semi")
+                .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+                .localCheckpoint()  # also materializes keep before unpersist
+            )
+        finally:
+            deg.unpersist()
+    # falling out at the cap returns the CURRENT survivors (matching
+    # the oracle's capped recursive CTE) rather than raising
     return und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )

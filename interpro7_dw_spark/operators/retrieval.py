@@ -188,15 +188,23 @@ def write_inverted_index(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
         .withColumn("shard", _term_shard(F.col("term"), n_shards))
     )
-    tf.write.mode("overwrite").partitionBy("shard").parquet(path + "/postings")
-    (
-        tf.groupBy("shard", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path + "/terms")
-    )
-    stats.write.mode("overwrite").parquet(path + "/stats")
+    # persist across the two consumers (postings write + df aggregate)
+    # so the corpus is tokenized ONCE; this function fully materializes
+    # before returning, so the cache is released in the finally — no
+    # persist outlives the builder
+    tf = tf.persist()
+    try:
+        tf.write.mode("overwrite").partitionBy("shard").parquet(path + "/postings")
+        (
+            tf.groupBy("shard", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path + "/terms")
+        )
+        stats.write.mode("overwrite").parquet(path + "/stats")
+    finally:
+        tf.unpersist()
 
 
 def bm25_topk_on_index(

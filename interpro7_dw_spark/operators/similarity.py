@@ -899,37 +899,47 @@ def write_ivfpq_index(
     cdf_ivf = ivf_centroids_df(
         emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    # res is consumed by BOTH the codebook trainer and the encoder:
+    # persist (released in the finally — this function fully
+    # materializes before returning, so no cache outlives the builder;
+    # the shallow assign+zip_with lineage needs no checkpoint)
+    res = None
     if by_residual:
-        res = _with_residual(emb, cdf_ivf, id_col, vec_col).localCheckpoint()
-        train = res.select(id_col, "rvec")
-        cdf_pq = pq_codebooks_df(
-            train, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
-            vec_col="rvec",
+        res = _with_residual(emb, cdf_ivf, id_col, vec_col).persist()
+    try:
+        if by_residual:
+            train = res.select(id_col, "rvec")
+            cdf_pq = pq_codebooks_df(
+                train, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+                vec_col="rvec",
+            )
+            codes = pq_encode(
+                train, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col="rvec"
+            ).select(F.col(id_col).alias("vid"), "sub", "code")
+            cells = res.select(F.col(id_col).alias("vid"), "cid")
+        else:
+            cdf_pq = pq_codebooks_df(
+                emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+                vec_col=vec_col,
+            )
+            codes = pq_encode(
+                emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+            ).select(F.col(id_col).alias("vid"), "sub", "code")
+            cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
+                F.col(id_col).alias("vid"),
+                _nearest_cid(F.col("__v")).alias("cid"),
+            )
+        (
+            codes.join(cells, "vid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(path + "/codes")
         )
-        codes = pq_encode(
-            train, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col="rvec"
-        ).select(F.col(id_col).alias("vid"), "sub", "code")
-        cells = res.select(F.col(id_col).alias("vid"), "cid")
-    else:
-        cdf_pq = pq_codebooks_df(
-            emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
-            vec_col=vec_col,
-        )
-        codes = pq_encode(
-            emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
-        ).select(F.col(id_col).alias("vid"), "sub", "code")
-        cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
-            F.col(id_col).alias("vid"),
-            _nearest_cid(F.col("__v")).alias("cid"),
-        )
-    (
-        codes.join(cells, "vid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(path + "/codes")
-    )
-    cdf_pq.write.mode("overwrite").parquet(path + "/pq_codebooks")
-    cdf_ivf.write.mode("overwrite").parquet(path + "/centroids")
+        cdf_pq.write.mode("overwrite").parquet(path + "/pq_codebooks")
+        cdf_ivf.write.mode("overwrite").parquet(path + "/centroids")
+    finally:
+        if res is not None:
+            res.unpersist()
 
 
 def ivfpq_topk(

@@ -28,6 +28,7 @@ def gapfill_locf(
     value_col: str = "value",
     id_col: str = "event_id",
     bucket_seconds: int = 3600,
+    chunk: int = 16384,
 ) -> DataFrame:
     """Regularize an irregular per-key series onto a fixed time grid
     and fill the gaps by carrying the last observation forward
@@ -43,16 +44,19 @@ def gapfill_locf(
     id and both engines agree. The grid spans each key's own observed
     [min_bucket, max_bucket] range (no global range assumption);
     missing buckets are synthesized with ``sequence`` + ``explode``
-    and filled with ``last(value, ignorenulls)`` over an
-    unbounded-preceding row frame. The first grid row per key is an
-    observation by construction, so ``value_filled`` is never null.
+    and filled with a TWO-PHASE last-observation carry. The first grid
+    row per key is an observation by construction, so ``value_filled``
+    is never null.
 
-    Scale: the per-key agg, the grid join, and the LOCF window all
-    hash on the key — one shuffle partitioning reused across the
-    plan. A window group is one key's grid (time-range / granularity
-    buckets — bounded by the retention window, not by event volume);
-    the explode fan-out is the gap count, which is what the operator
-    exists to materialize.
+    Scale: the grid is synthesized in fixed-size chunks (no row holds
+    more than ``chunk`` sequence elements, no range assumption beyond
+    ``chunk**2`` buckets per key), and the LOCF carry is two-phase so
+    NO window partition ever holds a key's whole grid: phase 1 fills
+    within each (key, chunk) — at most ``chunk`` rows per window group
+    — and phase 2 carries across chunk boundaries via a per-(key,
+    chunk) summary window (one row per chunk) joined back. Every
+    stage hashes on (key) or (key, chunk); a 10^6-bucket key fans out
+    over ~range/chunk tasks instead of one.
 
     Returns (key, bucket_start_s, observed, n_obs, value_filled).
     """
@@ -77,7 +81,11 @@ def gapfill_locf(
     # is a 10^8-element row). Explode coarse chunks first, then the
     # fine sequence within each chunk: no row holds more than
     # max(range/C, C) elements, bounded for any range <= C^2 buckets.
-    chunk = 16384
+    # Chunk ids use FLOOR division (`DIV` truncates toward zero, which
+    # for a negative min bucket — pre-1970 event times — would start
+    # the enumeration one chunk too high and silently drop every
+    # bucket in [mn, -1] outside the truncated first chunk; pmod is
+    # non-negative, so mn - pmod(mn, chunk) is the floor multiple).
     spans = obs.groupBy("key").agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
     )
@@ -86,12 +94,14 @@ def gapfill_locf(
             "key", "mn", "mx",
             F.explode(
                 F.sequence(
-                    F.expr(f"mn DIV {chunk}"), F.expr(f"mx DIV {chunk}")
+                    F.expr(f"(mn - pmod(mn, {chunk})) DIV {chunk}"),
+                    F.expr(f"(mx - pmod(mx, {chunk})) DIV {chunk}"),
                 )
             ).alias("__c"),
         )
         .select(
             "key",
+            "__c",
             F.explode(
                 F.sequence(
                     F.greatest(F.col("mn"), F.col("__c") * chunk),
@@ -101,17 +111,42 @@ def gapfill_locf(
         )
     )
     joined = grid.join(obs, ["key", "bucket"], "left")
-    w = (
-        Window.partitionBy("key")
+    # two-phase LOCF: (1) carry within each (key, chunk) — window
+    # groups are <= chunk rows by construction; (2) per-chunk summary
+    # (the intra-chunk fill at the chunk's last bucket IS the chunk's
+    # last observation, null when it saw none), carried across chunks
+    # by a window over ONE ROW PER CHUNK, joined back to fill
+    # chunk-leading nulls. No partition ever holds a key's full grid.
+    w1 = (
+        Window.partitionBy("key", "__c")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    filled = joined.withColumn(
+        "__f1", F.last("v", ignorenulls=True).over(w1)
+    )
+    summary = filled.groupBy("key", "__c").agg(
+        # max_by skips null ORDERING keys, so unobserved rows never win
+        F.max_by(
+            "__f1", F.when(F.col("__f1").isNotNull(), F.col("bucket"))
+        ).alias("__cl")
+    )
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        "key",
+        "__c",
+        F.last("__cl", ignorenulls=True).over(wc).alias("__carry"),
+    )
+    return filled.join(carry, ["key", "__c"]).select(
         "key",
         (F.col("bucket") * bucket_seconds).cast("long").alias("bucket_start_s"),
         F.col("v").isNotNull().alias("observed"),
         F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.coalesce("__f1", "__carry").alias("value_filled"),
     )
 
 

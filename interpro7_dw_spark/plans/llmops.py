@@ -2679,8 +2679,12 @@ def _bpe_train_oracle(n: int) -> str:
     a 1-row argmax CTE (count DESC, then lexicographic (l, r)) and a
     merged-words CTE using the same leftmost-nonoverlap fold as the
     tokenizer oracle."""
+    # CTEs are MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and the uniqueness exclusion makes best_i reference every
+    # earlier best_j — without materialization the replay tree grows
+    # exponentially in the iteration count
     ctes = ["""
-        w_0 AS (
+        w_0 AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS wcount,
                  string_split(word, '') AS syms
           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -2688,6 +2692,16 @@ def _bpe_train_oracle(n: int) -> str:
         )"""]
     for i in range(1, n + 1):
         p = i - 1
+        # replay the trainer's result-uniqueness skip: a candidate
+        # whose concatenation equals an earlier merge's result string
+        # is excluded from the argmax
+        if p:
+            prior = " UNION ALL ".join(
+                f"SELECT l || r AS res FROM best_{j}" for j in range(1, i)
+            )
+            excl = f"WHERE l || r NOT IN (SELECT res FROM ({prior}))"
+        else:
+            excl = ""
         ctes.append(f"""
         pc_{i} AS (
           SELECT l, r, sum(wcount) AS c FROM (
@@ -2696,8 +2710,8 @@ def _bpe_train_oracle(n: int) -> str:
             WHERE len(syms) >= 2)
           GROUP BY l, r
         ),
-        best_{i} AS (SELECT l, r FROM pc_{i} ORDER BY c DESC, l, r LIMIT 1),
-        w_{i} AS (
+        best_{i} AS MATERIALIZED (SELECT l, r FROM pc_{i} {excl} ORDER BY c DESC, l, r LIMIT 1),
+        w_{i} AS MATERIALIZED (
           SELECT word, wcount,
                  CASE WHEN b.l IS NULL THEN syms ELSE
                    list_reduce(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.portable import round_div
+from ..functions.portable import round_div, round_div_sql
 
 from ..functions.intervals import interval_union_length
 from ..operators.joins import as_of_join, interval_overlap_join
@@ -893,9 +893,15 @@ register(QuerySpec(
             "n",
         )
     ),
-    oracle="""
+    # round_div_sql handles a possibly-NEGATIVE summed k in lockstep
+    # with the Spark side (floor-based half-up on both engines)
+    oracle=f"""
         SELECT event_type,
-               ((2 * 10000 * (sum(CAST(json_extract_string(props, '$.k') AS INT))) + (count(CAST(json_extract_string(props, '$.k') AS INT)))) // (2 * (count(CAST(json_extract_string(props, '$.k') AS INT))))) / 10000.0 AS avg_k,
+               {round_div_sql(
+                   "sum(CAST(json_extract_string(props, '$.k') AS INT))",
+                   "count(CAST(json_extract_string(props, '$.k') AS INT))",
+                   4,
+               )} AS avg_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                count(CAST(json_extract_string(props, '$.k') AS INT)) AS n
         FROM events GROUP BY event_type

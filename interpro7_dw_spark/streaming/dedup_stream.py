@@ -26,6 +26,23 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _require_integral_id(schema: T.StructType, id_col: str) -> None:
+    """The synthetic event time is ``timestamp_micros(id)``; a
+    non-integral id would cast to null, and null-event-time rows are
+    silently dropped as late by the watermarked dedup — fail fast
+    instead of emitting nothing."""
+    dt = schema[id_col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            f"dedup stream synthesizes event time from {id_col!r}, which "
+            f"must be an integral column (got {dt.simpleString()}); hash "
+            "string ids to a long or supply a real ingest timestamp"
+        )
 
 
 def dedup_content_stream(
@@ -44,6 +61,7 @@ def dedup_content_stream(
     distinct content within the watermark horizon.
     """
     batch = spark.read.parquet(docs_path)
+    _require_integral_id(batch.schema, "doc_id")
     directory, _, filename = docs_path.rpartition("/")
     stream = (
         spark.readStream.schema(batch.schema)
@@ -96,6 +114,7 @@ def neardup_simhash_stream(
     from ..operators.dedup import rowwise_simhash64
 
     batch = spark.read.parquet(docs_path)
+    _require_integral_id(batch.schema, "doc_id")
     directory, _, filename = docs_path.rpartition("/")
     stream = (
         spark.readStream.schema(batch.schema)

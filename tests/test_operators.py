@@ -1655,6 +1655,28 @@ def test_bpe_learned_merges_roundtrip(spark):
     ).count() == 0
 
 
+def test_bpe_learned_merges_results_unique(spark):
+    """Learned merge tables must satisfy merges_table's result-string
+    uniqueness (bpe_tokenize's merged-token -> rank map needs unique
+    keys): the trainer skips any argmax candidate whose concatenation
+    collides with an earlier merge result, so its output always
+    validates. Run on a repetition-heavy corpus where multi-level
+    merges (aa, aaaa, ...) stack up."""
+    from interpro7_dw_spark.operators.bpe import bpe_learn_merges, merges_table
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa aa aaaaa"), (2, "aa aaaa aaaaaaa a"),
+         (3, "ab abab ba bab abc"), (4, "bc abc ab abc bc")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=10)
+    rows = [(r.rank, r.l, r.r) for r in merges.orderBy("rank").collect()]
+    results = [l + r for _, l, r in rows]
+    assert len(set(results)) == len(results)
+    # and the validating constructor accepts it verbatim
+    merges_table(spark, [(l, r) for _, l, r in rows])
+
+
 def test_kcore_peels_pendants(spark):
     """Pendant chains must peel away transitively: removing a leaf can
     drop its neighbor below k in a LATER round — the fixpoint loop,
@@ -1670,6 +1692,23 @@ def test_kcore_peels_pendants(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     # k above the graph's degeneracy: empty core, no error
     assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_returns_current_survivors_at_cap(spark):
+    """A peel deeper than max_iters must return the CURRENT surviving
+    set at the cap — the same semantics as the z_kcore oracle's capped
+    recursive CTE — never raise. A 10-vertex path at k=2 sheds one
+    endpoint pair per round: after 2 capped rounds vertices 3..8
+    survive (with their in-core degrees, which may be < k at a cap)."""
+    from interpro7_dw_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "src long, dst long"
+    )
+    got = {r.node: r.core_degree for r in kcore(path, k=2, max_iters=2).collect()}
+    assert got == {3: 1, 4: 2, 5: 2, 6: 2, 7: 2, 8: 1}
+    # uncapped, the same graph peels to the empty 2-core
+    assert kcore(path, k=2).count() == 0
 
 
 def test_cdc_apply_roundtrip_with_null_keys(spark):
@@ -1765,7 +1804,10 @@ def test_round_div_portable_at_decimal_half_boundaries(spark):
     from interpro7_dw_spark.functions.portable import round_div, round_div_sql
 
     df = spark.createDataFrame(
-        [(10473, 80, 3), (1, 160, 4), (33, 80, 4), (0, 7, 4), (7, 7, 4)],
+        [(10473, 80, 3), (1, 160, 4), (33, 80, 4), (0, 7, 4), (7, 7, 4),
+         # NEGATIVE numerators (half toward +inf on both engines):
+         # -10473/80 at 3 -> -130.912; -1/160 at 4 -> -0.0062
+         (-10473, 80, 3), (-1, 160, 4), (-7, 7, 4)],
         "a long, b long, d int",
     )
     got = {
@@ -1782,6 +1824,11 @@ def test_round_div_portable_at_decimal_half_boundaries(spark):
     assert got[(33, 80)] == (0.413, 0.4125)
     assert got[(0, 7)] == (0.0, 0.0)
     assert got[(7, 7)] == (1.0, 1.0)
+    # negatives: -130.9125 half-toward-+inf at 3 digits is -130.912;
+    # -0.00625 at 4 digits is -0.0062; -1.0 exact stays -1.0
+    assert got[(-10473, 80)] == (-130.912, -130.9125)
+    assert got[(-1, 160)] == (-0.006, -0.0062)
+    assert got[(-7, 7)] == (-1.0, -1.0)
     con = duckdb.connect()
     for (a, b), (r3, r4) in got.items():
         d3 = con.execute(f"SELECT {round_div_sql(str(a), str(b), 3)}").fetchone()[0]

@@ -262,3 +262,25 @@ def test_rowwise_simhash_equals_batch_and_stream_neardup(spark, tmp_path):
         spark, str(src / "documents.parquet") + "/*.parquet"
     ).collect()
     assert len(got) == 3  # doc 3 suppressed as a near-dup of doc 1
+
+
+def test_dedup_stream_rejects_non_integral_id(spark, tmp_path):
+    """A string doc_id would cast to null event time and the
+    watermarked dedup would silently emit NOTHING — the stream must
+    fail fast instead."""
+    import pytest
+
+    from interpro7_dw_spark.streaming.dedup_stream import (
+        dedup_content_stream,
+        neardup_simhash_stream,
+    )
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [("a", "alpha")], "doc_id string, text string"
+    ).coalesce(1).write.parquet(str(src / "documents.parquet"))
+    path = str(src / "documents.parquet") + "/*.parquet"
+    with pytest.raises(TypeError, match="integral"):
+        dedup_content_stream(spark, path)
+    with pytest.raises(TypeError, match="integral"):
+        neardup_simhash_stream(spark, path)

@@ -463,3 +463,62 @@ def test_gapfill_chunked_grid_wide_range(spark):
     assert not got[1].observed and got[1].value_filled == 1.0
     last = out.orderBy(F.desc("bucket_start_s")).limit(1).collect()[0]
     assert last.observed and last.value_filled == 2.0
+
+
+def test_gapfill_negative_buckets_not_dropped(spark):
+    """Pre-1970 timestamps yield NEGATIVE buckets; the chunk ids must
+    use floor semantics (trunc `DIV` would start the enumeration one
+    chunk too high and silently drop every bucket in [mn, -1] outside
+    the truncated first chunk — the r9 regression)."""
+    sec = 1_000_000_000  # ns
+    # buckets -5..-1 and +2 for key "a" (1s buckets)
+    events = spark.createDataFrame(
+        [("a", -5 * sec, 1.0, 1), ("a", 2 * sec, 9.0, 2)],
+        "user_id string, ts long, value double, event_id long",
+    )
+    out = gapfill_locf(events, bucket_seconds=1)
+    got = {r.bucket_start_s: r for r in out.collect()}
+    # full grid -5..2 present (8 buckets), nothing dropped
+    assert sorted(got) == list(range(-5, 3))
+    assert got[-5].observed and got[-5].value_filled == 1.0
+    assert all(got[b].value_filled == 1.0 for b in range(-5, 2))
+    assert got[2].observed and got[2].value_filled == 9.0
+    # same with a range crossing MANY chunk boundaries around zero
+    events2 = spark.createDataFrame(
+        [("a", -10 * sec, 3.0, 1), ("a", 10 * sec, 4.0, 2)],
+        "user_id string, ts long, value double, event_id long",
+    )
+    out2 = gapfill_locf(events2, bucket_seconds=1, chunk=4)
+    rows2 = out2.collect()
+    assert len(rows2) == 21
+    assert all(r.value_filled == (4.0 if r.bucket_start_s == 10 else 3.0)
+               for r in rows2)
+
+
+def test_gapfill_two_phase_fill_matches_single_chunk(spark):
+    """The two-phase LOCF (per-(key, chunk) window + chunk-summary
+    carry join-back) must equal the single-window semantics: run the
+    same data with chunk=4 (many chunk boundaries, incl. chunks with
+    no observation at all) and chunk=16384 (one chunk) and compare."""
+    sec = 1_000_000_000
+    rows = [
+        ("a", 0 * sec, 1.0, 1),
+        ("a", 1 * sec, 2.0, 2),
+        ("a", 17 * sec, 7.0, 3),   # chunks 1..3 fully unobserved at chunk=4
+        ("a", 30 * sec, 8.0, 4),
+        ("b", 5 * sec, 4.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    small = gapfill_locf(df, bucket_seconds=1, chunk=4)
+    big = gapfill_locf(df, bucket_seconds=1, chunk=16384)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    # plan guard: the fill window partitions by (key, chunk) — never
+    # by the key alone, so no partition holds a key's whole grid
+    plan = small._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "bucket" in spec:  # the phase-1 fill window (orders by bucket)
+            assert "__c" in spec, spec
