@@ -84,10 +84,11 @@ HEADLINE = [
     "triangle_counts",
     # r9 additions: IVFADC (persisted cell-partitioned PQ codes, DPP
     # probe), real BPE tokenization (distinct-word merge loop), and
-    # the k-core iterative peel
-    "z_ivfpq_topk",
-    "z_bpe_tokenize",
-    "z_kcore",
+    # the k-core iterative peel (promoted from z_ names in the r10
+    # driver-window rotation — same queries, timings stay comparable)
+    "ivfpq_topk",
+    "bpe_tokenize",
+    "kcore",
 ]
 
 

@@ -11,7 +11,7 @@ merges table, merge every LEFTMOST-NONOVERLAPPING occurrence of the
 LOWEST-RANKED applicable pair, then rescan (newly formed symbols
 create new candidate pairs). The loop is deterministic — rank order
 plus left-to-right tie handling — so any engine replays it exactly;
-the z_bpe_tokenize DuckDB oracle does, with a recursive CTE running
+the bpe_tokenize DuckDB oracle does, with a recursive CTE running
 the identical pass structure.
 
 Scale shape: tokenization is a FUNCTION OF THE WORD, so the merge

@@ -616,7 +616,8 @@ def _kcore(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_kcore",
+    name="kcore",
+    # promoted into the driver window in the r10 rotation (was z_kcore)
     tags=("G9", "A2", "J4"),
     description="3-core decomposition of the co-occurrence graph "
     "(operators/graph.py::kcore, Seidman 1983 iterative peel): each "

@@ -32,7 +32,9 @@ _SHINGLE_CTE = """
 """
 
 register(QuerySpec(
-    name="dedup_exact",
+    name="z_dedup_exact",
+    # z_-parked in the r10 rotation that promoted ivfpq_topk: DD1 is
+    # redundantly covered by exact_substr_dedup + dedup_minhash_lsh
     tags=("DD1", "A1", "F3"),
     description="Exact dedup: content-hash groupBy, keep lowest id.",
     build=lambda spark, sf: D.exact_dedup(t(spark, sf, "documents")),
@@ -2561,7 +2563,8 @@ _IVFPQ_ORACLE = (
 
 
 register(QuerySpec(
-    name="z_ivfpq_topk",
+    name="ivfpq_topk",
+    # promoted into the driver window in the r10 rotation (was z_ivfpq_topk)
     tags=("NN2", "F9", "J2", "S3"),
     description="IVFADC — the FAISS IndexIVFPQ composition "
     "(operators/similarity.py::write_ivfpq_index + ivfpq_topk, Jégou "
@@ -2648,7 +2651,8 @@ def _bpe_oracle() -> str:
 
 
 register(QuerySpec(
-    name="z_bpe_tokenize",
+    name="bpe_tokenize",
+    # promoted into the driver window in the r10 rotation (was z_bpe_tokenize)
     tags=("TX9", "F3", "F11", "J2"),
     description="Real BPE tokenization (operators/bpe.py::bpe_tokenize, "
     "Sennrich et al. 2016 application loop): lowest-rank-first merges "

@@ -603,7 +603,9 @@ def _isoforms_mart(spark, sf):
 
 
 register(QuerySpec(
-    name="mart_isoforms",
+    name="z_mart_isoforms",
+    # z_-parked in the r10 rotation that promoted bpe_tokenize: X1 stays
+    # covered by domain_match_summary + the golden-tested merge pipeline
     tags=("X1", "J1", "P4", "A5"),
     description="Isoform master + match attach (reference export_isoforms, "
     "interpro/oracle/matches.py:585-640): VARSPLIC master INNER JOIN uniparc "
@@ -682,7 +684,9 @@ def _pfam_alignments_mart(spark, sf):
 
 
 register(QuerySpec(
-    name="mart_pfam_alignments",
+    name="z_mart_pfam_alignments",
+    # z_-parked in the r10 rotation that promoted kcore: X5/F4 stay
+    # covered by mart_structure2xrefs + z_binary_payload_meta goldens
     tags=("X5", "U1", "F3", "F4"),
     description="Pfam seed/full alignment fan-out (reference "
     "export_alignments, interpro/oracle/pfam.py:140-166): 2-way stack "

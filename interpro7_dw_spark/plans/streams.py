@@ -61,7 +61,9 @@ def _stream_suite(spark, sf):
 
 
 register(QuerySpec(
-    name="stream_counts",
+    name="z_stream_counts",
+    # z_-parked in the r10 rotation that promoted stream_dedup_exact:
+    # ST1/ST2 windowed streaming stays covered by stream_cms_heavy_users
     tags=("ST1", "ST2", "A2"),
     description="Both Structured Streaming shapes through real streaming "
     "queries (availableNow trigger, memory sink), tagged and unioned: "
@@ -242,7 +244,8 @@ def _stream_dedup_exact(spark, sf):
 
 
 register(QuerySpec(
-    name="z_stream_dedup_exact",
+    name="stream_dedup_exact",
+    # promoted into the driver window in the r10 rotation
     tags=("ST3", "DD1", "F3"),
     description="Streaming exact CONTENT dedup — the incremental "
     "bridge to the batch dedup family "

@@ -16,7 +16,7 @@ the feed's duplication lag.
 
 Streamed-equals-batch contract (tests/test_streaming.py): on a finite
 fixture the emitted fingerprint set equals the batch
-``SELECT DISTINCT md5(text)`` — the z_stream_dedup_exact catalog
+``SELECT DISTINCT md5(text)`` — the stream_dedup_exact catalog
 oracle checks the same equality at every scale factor.
 """
 

@@ -1696,7 +1696,7 @@ def test_kcore_peels_pendants(spark):
 
 def test_kcore_returns_current_survivors_at_cap(spark):
     """A peel deeper than max_iters must return the CURRENT surviving
-    set at the cap — the same semantics as the z_kcore oracle's capped
+    set at the cap — the same semantics as the kcore oracle's capped
     recursive CTE — never raise. A 10-vertex path at k=2 sheds one
     endpoint pair per round: after 2 capped rounds vertices 3..8
     survive (with their in-core degrees, which may be < k at a cap)."""
