@@ -89,6 +89,10 @@ HEADLINE = [
     "ivfpq_topk",
     "bpe_tokenize",
     "kcore",
+    # r10 addition: the probe-only IVFADC half over a build-once index
+    # fixture — pass 1 pays the one-time build, the per-query min then
+    # reflects the steady-state DPP-pruned probe cost
+    "z_ivfpq_probe",
 ]
 
 

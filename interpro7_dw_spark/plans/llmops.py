@@ -2580,6 +2580,43 @@ register(QuerySpec(
 ))
 
 
+def _ivfpq_probe_build(spark: SparkSession, sf: str):
+    """Probe half of IVFADC in isolation: build the persisted index
+    only if its fixture is missing (write-once; a real deployment
+    builds nightly and serves query batches all day), so the steady-
+    state cost measured here is the DPP-pruned probe alone — the
+    operator's actual selling point, which the end-to-end ivfpq_topk
+    spec's per-run rebuild hides. Same parameters and same value
+    oracle as ivfpq_topk (the result is build-count independent)."""
+    import os
+
+    emb = t(spark, sf, "embeddings")
+    path = os.path.join(
+        "/root/repo/spark-warehouse/fixtures",
+        "ivfpq_probe_" + sf.strip("/").replace("/", "_"),
+    )
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        S.write_ivfpq_index(emb, path, nlist=8, m=8, ksub=4, iters=2)
+    return S.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), path, k=5, nprobe=3, m=8
+    )
+
+
+register(QuerySpec(
+    name="z_ivfpq_probe",
+    tags=("NN2", "F9", "J2", "S3"),
+    description="IVFADC probe against a PREBUILT index "
+    "(operators/similarity.py::ivfpq_topk over a build-once "
+    "write_ivfpq_index fixture): nprobe=3 of nlist=8 cells read via "
+    "dynamic partition pruning, per-query distance tables, ADC over "
+    "probed codes only. Benchmarks the steady-state query path the "
+    "end-to-end ivfpq_topk spec (train+write per run) cannot show; "
+    "identical FULL value oracle.",
+    build=_ivfpq_probe_build,
+    oracle=_IVFPQ_ORACLE,
+))
+
+
 def _bpe_build(spark: SparkSession, sf: str):
     from ..operators.bpe import bpe_tokenize, merges_table
 

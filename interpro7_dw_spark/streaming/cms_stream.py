@@ -13,13 +13,12 @@ state without bound). This is the standard sketch-over-stream shape
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_estimate
 from .events_stream import _event_stream
+from .runner import run_stream
 
 
 def streaming_cms_heavy_users(
@@ -28,6 +27,8 @@ def streaming_cms_heavy_users(
     depth: int = 3,
     width: int = 32,
     threshold: int = 30,
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Heavy-hitter users from a STREAMED count-min sketch: the
     counter table is maintained by a Structured Streaming aggregation
@@ -58,16 +59,9 @@ def streaming_cms_heavy_users(
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    name = "stream_cms_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sketch = spark.table(name)
+    # complete-mode sketch table: the files path goes through
+    # foreachBatch overwrite (runner.py) — depth*width rows either way
+    sketch = run_stream(spark, agg, "complete", sink=sink, sink_dir=sink_dir)
     exact = (
         spark.read.parquet(events_path)
         .groupBy("user_id")

@@ -22,11 +22,11 @@ oracle checks the same equality at every scale factor.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .runner import run_stream
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
@@ -50,12 +50,19 @@ def dedup_content_stream(
     docs_path: str,
     late: str = "1 hour",
     text_col: str = "text",
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Emit each distinct document CONTENT exactly once from a stream
     of documents. Event time is synthesized deterministically from the
     doc id (the fixture has no arrival column; a production feed uses
     its ingest timestamp) so watermark progression — and therefore
     state aging — is reproducible.
+
+    ``sink='files'`` (with ``sink_dir``) routes the output through the
+    exactly-once parquet file sink instead of the driver-side memory
+    table — the production path (streaming/runner.py); the
+    streamed-equals-batch test runs both and asserts equality.
 
     Returns the emitted fingerprints (fp string) — one row per
     distinct content within the watermark horizon.
@@ -81,16 +88,7 @@ def dedup_content_stream(
         .dropDuplicatesWithinWatermark(["fp"])
         .select("fp")
     )
-    name = "stream_dedup_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, out, "append", sink=sink, sink_dir=sink_dir)
 
 
 def neardup_simhash_stream(
@@ -98,6 +96,8 @@ def neardup_simhash_stream(
     docs_path: str,
     late: str = "1 hour",
     text_col: str = "text",
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup suppression: emit each distinct 64-bit
     SimHash fingerprint exactly once while it is inside the watermark
@@ -132,13 +132,4 @@ def neardup_simhash_stream(
         .dropDuplicatesWithinWatermark(["simhash"])
         .select("simhash")
     )
-    name = "stream_neardup_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, out, "append", sink=sink, sink_dir=sink_dir)

@@ -17,10 +17,10 @@ result deterministic.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .runner import run_stream
 
 
 def _event_stream(spark: SparkSession, events_path: str):
@@ -59,17 +59,10 @@ def _event_stream(spark: SparkSession, events_path: str):
     )
 
 
-def _run_to_table(spark: SparkSession, agg) -> DataFrame:
-    name = "stream_events_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+def _run_to_table(
+    spark: SparkSession, agg, sink: str = "memory", sink_dir: str | None = None
+) -> DataFrame:
+    return run_stream(spark, agg, "complete", sink=sink, sink_dir=sink_dir)
 
 
 def sliding_event_counts(
@@ -77,6 +70,8 @@ def sliding_event_counts(
     events_path: str,
     window: str = "12 hours",
     slide: str = "6 hours",
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Sliding event-time windows: each event lands in
     window/slide overlapping windows."""
@@ -90,7 +85,7 @@ def sliding_event_counts(
             "n",
         )
     )
-    return _run_to_table(spark, agg)
+    return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)
 
 
 def watermarked_event_counts(
@@ -122,16 +117,7 @@ def watermarked_event_counts(
             "n",
         )
     )
-    name = "stream_events_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, agg, "append")
 
 
 def dedup_event_stream(
@@ -152,20 +138,12 @@ def dedup_event_stream(
     out = deduped.select(
         "event_id", "event_type", F.col("ts").cast("double").cast("long").alias("ts_s")
     )
-    name = "stream_events_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, out, "append")
 
 
 def windowed_event_counts(
-    spark: SparkSession, events_path: str, window: str = "6 hours"
+    spark: SparkSession, events_path: str, window: str = "6 hours",
+    sink: str = "memory", sink_dir: str | None = None,
 ) -> DataFrame:
     stream = _event_stream(spark, events_path)
     agg = (
@@ -181,13 +159,15 @@ def windowed_event_counts(
             F.col("total_value").cast("double").alias("total_value"),
         )
     )
-    return _run_to_table(spark, agg)
+    return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)
 
 
 def streaming_ohlc_bars(
     spark: SparkSession,
     events_path: str,
     window: str = "1 day",
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Daily OHLC candlesticks maintained AS A STREAMING AGGREGATE
     (complete mode, availableNow on the finite fixture; unbounded in
@@ -216,4 +196,4 @@ def streaming_ohlc_bars(
             "open", "high", "low", "close", "n_events",
         )
     )
-    return _run_to_table(spark, agg)
+    return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)

@@ -264,6 +264,42 @@ def test_rowwise_simhash_equals_batch_and_stream_neardup(spark, tmp_path):
     assert len(got) == 3  # doc 3 suppressed as a near-dup of doc 1
 
 
+def test_file_sink_equals_memory_sink(spark, tmp_path):
+    """The production file-sink path (streaming/runner.py) must yield
+    the same results as the memory sink the oracle harness uses —
+    checked for an APPEND-mode stateful query (watermarked content
+    dedup through the exactly-once parquet sink) and a COMPLETE-mode
+    aggregate (the CMS sketch through foreachBatch overwrite). No
+    result row transits the driver on the files path."""
+    from interpro7_dw_spark.streaming.cms_stream import streaming_cms_heavy_users
+    from interpro7_dw_spark.streaming.dedup_stream import dedup_content_stream
+
+    src = tmp_path / "docs"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")], schema
+    ).coalesce(1).write.parquet(str(src / "documents.parquet"))
+    docs = str(src / "documents.parquet") + "/*.parquet"
+    mem = sorted(r.fp for r in dedup_content_stream(spark, docs).collect())
+    fil = sorted(
+        r.fp
+        for r in dedup_content_stream(
+            spark, docs, sink="files", sink_dir=str(tmp_path / "dedup_sink")
+        ).collect()
+    )
+    assert mem == fil and len(mem) == 3
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    key = lambda df: sorted(map(tuple, df.collect()))
+    mem_cms = key(streaming_cms_heavy_users(spark, events))
+    fil_cms = key(
+        streaming_cms_heavy_users(
+            spark, events, sink="files", sink_dir=str(tmp_path / "cms_sink")
+        )
+    )
+    assert mem_cms == fil_cms and len(mem_cms) > 0
+
+
 def test_dedup_stream_rejects_non_integral_id(spark, tmp_path):
     """A string doc_id would cast to null event time and the
     watermarked dedup would silently emit NOTHING — the stream must

@@ -218,15 +218,17 @@ def test_interpro2go_header_and_parent_child_tree(warehouse):
 
 
 def test_ranged_build_matches_single_stream_scaled(spark, tmp_path_factory):
-    """The ranged/single equivalence at ~60x the fixture scale
-    (n_proteins=3000, ~10k match rows): ranged_files=4 on the heaviest
-    flat sink (protein2ipr) and the heaviest XML sink (match_complete)
-    must still concatenate byte-identically to the single-file build —
-    range boundaries now fall mid-protein-run, exercising real splits
-    rather than the 48-protein toy."""
+    """The ranged/single equivalence at ~300x the fixture scale
+    (n_proteins=15000, ~50k match rows — raised from 3000 in r10;
+    30000 measured 3.5 min solo, over the suite budget):
+    ranged_files=4 on the heaviest flat sink (protein2ipr) and the
+    heaviest XML sink (match_complete) must still concatenate
+    byte-identically to the single-file build — range boundaries now
+    fall mid-protein-run, exercising real splits rather than the
+    48-protein toy."""
     root = tmp_path_factory.mktemp("whs")
     fx = str(root / "fixtures")
-    write_warehouse_fixtures(spark, fx, n_proteins=3000)
+    write_warehouse_fixtures(spark, fx, n_proteins=15000)
     steps = ["flat_files", "match_complete_xml"]
 
     out_s = str(root / "single")
@@ -252,7 +254,7 @@ def test_ranged_build_matches_single_stream_scaled(spark, tmp_path_factory):
         assert len(parts) == 4, rel
         _, single_text = cat(os.path.join(out_s, rel), gz)
         assert ranged_text == single_text, rel
-        assert len(single_text) > 200_000, rel  # genuinely scaled
+        assert len(single_text) > 1_000_000, rel  # genuinely scaled
 
 
 def test_curate_corpus_dag_and_resume(spark, tmp_path):
