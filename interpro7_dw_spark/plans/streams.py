@@ -237,6 +237,55 @@ register(QuerySpec(
 ))
 
 
+def _stream_sessions(spark, sf):
+    from ..streaming.events_stream import streaming_session_windows
+
+    return streaming_session_windows(spark, f"{sf}/events.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_sessions",
+    tags=("ST1", "W3", "A1"),
+    description="Per-key SESSION windows as a STREAMING aggregate "
+    "(streaming/events_stream.py::streaming_session_windows, "
+    "F.session_window 30 min): dynamic windows merge while "
+    "consecutive events arrive strictly closer than the gap; "
+    "sess_end is last event + gap (window.end). The streaming twin "
+    "of sessionize_events' lag()+island batch plan — the oracle "
+    "replays the merge rule and the end arithmetic "
+    "exactly, decimal-exact value sums per session.",
+    build=_stream_sessions,
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, ts_us, value,
+                 CASE WHEN ts_us - lag(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us)
+                      <= 1800000000
+                      THEN 0 ELSE 1 END AS new_sess
+          FROM e
+        ),
+        s AS (
+          SELECT user_id, ts_us, value,
+                 CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS sid
+          FROM m
+        )
+        SELECT user_id AS key,
+               min(ts_us) AS sess_start_us,
+               max(ts_us) + 1800000000 AS sess_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM s GROUP BY user_id, sid
+    """,
+))
+
+
 def _stream_dedup_exact(spark, sf):
     from ..streaming.dedup_stream import dedup_content_stream
 

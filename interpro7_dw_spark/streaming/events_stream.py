@@ -197,3 +197,46 @@ def streaming_ohlc_bars(
         )
     )
     return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    sink: str = "memory",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Per-key SESSION windows maintained as a streaming aggregate
+    (``F.session_window`` — dynamic-length windows that merge while
+    consecutive events arrive closer than ``gap``): the streaming twin
+    of the batch gaps-and-islands sessionization (sessionize_events),
+    with Spark's native session-state merging instead of the
+    lag()+running-sum island trick. Complete mode on the finite
+    fixture keeps the result batch-comparable; in production the same
+    plan runs append-mode behind a watermark, state bounded by keys x
+    open sessions.
+
+    Merge rule (oracled exactly, boundary pinned in
+    tests/test_streaming.py): consecutive events merge iff their gap
+    is <= ``gap`` — TOUCHING windows coalesce, so an event at exactly
+    last+gap still merges (same rule as the batch sessionize_events);
+    ``sess_end_us`` is last event time + gap, Spark's window.end.
+
+    Returns (key, sess_start_us, sess_end_us, n_events, total_value).
+    """
+    stream = _event_stream(spark, events_path)
+    agg = (
+        stream.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sv"),
+        )
+        .select(
+            F.col("user_id").alias("key"),
+            F.unix_micros("session_window.start").alias("sess_start_us"),
+            F.unix_micros("session_window.end").alias("sess_end_us"),
+            "n_events",
+            F.col("__sv").cast("double").alias("total_value"),
+        )
+    )
+    return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)

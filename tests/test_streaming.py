@@ -264,6 +264,43 @@ def test_rowwise_simhash_equals_batch_and_stream_neardup(spark, tmp_path):
     assert len(got) == 3  # doc 3 suppressed as a near-dup of doc 1
 
 
+def test_streaming_session_window_gap_boundary(spark, tmp_path):
+    """session_window merge rule at the boundary: a gap STRICTLY below
+    30 min merges, a gap of exactly 30 min starts a NEW session
+    (windows are [start, last+gap)); sess_end is last event + gap."""
+    from interpro7_dw_spark.streaming.events_stream import (
+        streaming_session_windows,
+    )
+
+    gap_ns = 1_800_000_000_000  # 30 min in nanos
+    rows = [
+        # u1: gaps of (exactly gap, gap + 1us): the touching window
+        # MERGES (Spark coalesces end==start), the strictly-larger gap
+        # starts a new session
+        (1, "u1", 0, 1.0, "a"),
+        (2, "u1", gap_ns, 2.0, "a"),
+        (3, "u1", gap_ns + gap_ns + 1_000, 4.0, "a"),
+        # u2: single event
+        (4, "u2", 5_000_000_000, 8.0, "a"),
+    ]
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id long, user_id string, ts long, value double, event_type string"
+    ).coalesce(1).write.parquet(str(src / "events.parquet"))
+    got = {
+        (r.key, r.sess_start_us): (r.sess_end_us, r.n_events, r.total_value)
+        for r in streaming_session_windows(
+            spark, str(src / "events.parquet") + "/*.parquet"
+        ).collect()
+    }
+    gap_us = 1_800_000_000
+    assert got == {
+        ("u1", 0): (2 * gap_us, 2, 3.0),
+        ("u1", 2 * gap_us + 1): (3 * gap_us + 1, 1, 4.0),
+        ("u2", 5_000_000): (5_000_000 + gap_us, 1, 8.0),
+    }
+
+
 def test_file_sink_equals_memory_sink(spark, tmp_path):
     """The production file-sink path (streaming/runner.py) must yield
     the same results as the memory sink the oracle harness uses —
