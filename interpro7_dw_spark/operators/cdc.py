@@ -337,3 +337,124 @@ def cdc_apply(
         F.col("change_type").isin("insert", "update")
     ).select(*keys, *value_cols)
     return survivors.unionByName(upserts)
+
+
+def snapshot_delta_images(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`snapshot_diff` carrying BOTH row images — the changelog
+    shape incremental view maintenance needs (retract the old
+    contribution, add the new one): insert rows hold nulls on the old
+    side, delete rows on the new side, updates hold both. Same
+    null-safe key semantics and map-side fingerprint comparison as
+    snapshot_diff.
+
+    Returns (*keys, change_type, old_<c>..., new_<c>...).
+    """
+    if compare_cols is None:
+        newcols = set(new.columns)
+        compare_cols = [c for c in old.columns if c not in keys and c in newcols]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    ).withColumn("__oh", _row_hash(compare_cols, "old_")).withColumn(
+        "__op", F.lit(True)
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    ).withColumn("__nh", _row_hash(compare_cols, "new_")).withColumn(
+        "__np", F.lit(True)
+    )
+    on = o[f"__ok_{keys[0]}"].eqNullSafe(n[f"__nk_{keys[0]}"])
+    for k in keys[1:]:
+        on = on & o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"])
+    joined = o.join(n, on, "full_outer")
+    in_old = F.col("__op").isNotNull()
+    in_new = F.col("__np").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+def ivm_apply_group_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n_rows",
+    total_col: str = "total",
+) -> DataFrame:
+    """Incremental view maintenance for a materialized
+    ``(group, n_rows, total)`` aggregate: fold a both-images changelog
+    (:func:`snapshot_delta_images` over the fact table) into the mart
+    WITHOUT re-aggregating the facts — the classic count/sum IVM rule
+    (deletes and update-old images RETRACT ``(-1, -value)``, inserts
+    and update-new images ADD ``(+1, +value)``; an update that moves a
+    row between groups retracts from the old group and adds to the
+    new one, netting to zero where the group is unchanged). ``total``
+    is maintained in DECIMAL(18,4) — exact, order-independent — and
+    null fact values contribute 0 (the mart's total is defined as
+    ``sum(coalesce(value, 0))``; counts count rows). Groups whose
+    maintained count reaches zero leave the mart, so the result equals
+    a full re-aggregation of the new snapshot — the machine-checked
+    contract.
+
+    Scale: one |delta|-sized map-side contribution explode, one
+    group-keyed partial aggregate over the delta, one null-safe outer
+    join against the mart hashed on the SAME group key — cost driven
+    by |delta| + |touched groups|, never |facts| or |mart| rewrites.
+    At 100 TB this is the difference between a nightly full rebuild
+    and a minutes-long merge.
+    """
+    dec = lambda c: F.coalesce(F.col(c).cast("decimal(18,4)"), F.lit(0).cast("decimal(18,4)"))
+    retract = delta.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        F.col(f"old_{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias("__dn"),
+        (-dec(f"old_{value_col}")).alias("__dv"),
+    )
+    add = delta.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        F.col(f"new_{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("__dn"),
+        dec(f"new_{value_col}").alias("__dv"),
+    )
+    d = (
+        retract.unionByName(add)
+        .groupBy(group_col)
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__dv").alias("__dv"))
+    )
+    on = base_agg[group_col].eqNullSafe(d[group_col])
+    zero = F.lit(0).cast("decimal(18,4)")
+    merged = base_agg.join(d, on, "full_outer").select(
+        F.coalesce(base_agg[group_col], d[group_col]).alias(group_col),
+        (
+            F.coalesce(base_agg[n_col], F.lit(0)) + F.coalesce(d["__dn"], F.lit(0))
+        ).cast("long").alias(n_col),
+        (
+            F.coalesce(base_agg[total_col].cast("decimal(18,4)"), zero)
+            + F.coalesce(d["__dv"], zero)
+        ).cast("decimal(18,4)").alias(total_col),
+    )
+    return merged.filter(F.col(n_col) > 0)

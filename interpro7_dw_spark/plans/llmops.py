@@ -2813,6 +2813,82 @@ def _cdc_apply_build(spark: SparkSession, sf: str):
     return cdc_apply(base, delta, ["o_orderkey"])
 
 
+def _ivm_build(spark: SparkSession, sf: str):
+    """Maintain a (customer, n_rows, total) order mart under a
+    synthetic snapshot change mix that exercises every IVM path:
+    deletes (%7), value updates (%5), GROUP-MOVING updates (%13 —
+    the row retracts from its old customer and adds to a new one),
+    and inserts (%11). The maintained mart must equal a full
+    re-aggregation of the new snapshot, which is what the oracle
+    computes."""
+    from ..operators.cdc import ivm_apply_group_agg, snapshot_delta_images
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    mart = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,4)")
+        ).cast("decimal(18,4)").alias("total"),
+    )
+    delta = snapshot_delta_images(
+        base, new, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    out = ivm_apply_group_agg(mart, delta, "o_custkey", "o_totalprice")
+    return out.select(
+        "o_custkey", "n_rows", F.col("total").cast("double").alias("total")
+    )
+
+
+register(QuerySpec(
+    name="z_ivm_group_agg",
+    tags=("CD3", "A1", "J3"),
+    description="Incremental view maintenance "
+    "(operators/cdc.py::ivm_apply_group_agg + snapshot_delta_images): "
+    "a materialized (group, count, exact-decimal sum) mart folded "
+    "forward under a changelog with deletes, value updates, "
+    "GROUP-MOVING updates and inserts — retract (-1, -old) / add "
+    "(+1, +new) contributions, one delta-sized aggregate + one "
+    "null-safe outer merge on the group key; zero-count groups leave "
+    "the mart. Cost |delta| + touched groups, never |facts|. The "
+    "oracle IS the full re-aggregation of the new snapshot — "
+    "maintained == recomputed, value-for-value.",
+    build=_ivm_build,
+    oracle="""
+        WITH newsnap AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total
+        FROM newsnap GROUP BY 1
+    """,
+))
+
+
 register(QuerySpec(
     name="z_cdc_apply",
     tags=("CD2", "J5", "U1"),

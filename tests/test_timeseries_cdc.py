@@ -465,6 +465,58 @@ def test_gapfill_chunked_grid_wide_range(spark):
     assert last.observed and last.value_filled == 2.0
 
 
+def test_ivm_group_agg_all_change_paths(spark):
+    """Incremental maintenance must equal full re-aggregation through
+    every change path on micro data: value update, group-moving
+    update, delete emptying a group (leaves the mart), insert creating
+    a new group, a NULL group key, and a null value (contributes 0)."""
+    from interpro7_dw_spark.operators.cdc import (
+        ivm_apply_group_agg,
+        snapshot_delta_images,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "g1", 10.0), (2, "g1", 20.0),   # g1: one stays, one moves out
+            (3, "g2", 5.0),                     # g2: deleted -> group gone
+            (4, None, 7.0),                     # null group key
+            (5, "g3", None),                    # null value counts, adds 0
+        ],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "g1", 11.0),      # value update
+            (2, "g4", 20.0),      # group move g1 -> g4 (new group)
+            (4, None, 9.0),       # null-keyed group updated
+            (5, "g3", None),      # unchanged
+            (6, "g5", 3.0),       # insert, new group
+        ],
+        "k long, g string, v double",
+    )
+    mart = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,4)"))
+        .cast("decimal(18,4)").alias("total"),
+    )
+    delta = snapshot_delta_images(old, new, ["k"], ["g", "v"])
+    got = {
+        r.g: (r.n_rows, float(r.total))
+        for r in ivm_apply_group_agg(mart, delta, "g", "v").collect()
+    }
+    want = {
+        r.g: (r.n_rows, float(r.total))
+        for r in new.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").alias("total"),
+        ).collect()
+    }
+    assert got == want
+    assert "g2" not in got and got["g4"] == (1, 20.0) and got[None] == (1, 9.0)
+    assert got["g3"] == (1, 0.0)
+
+
 def test_gapfill_negative_buckets_not_dropped(spark):
     """Pre-1970 timestamps yield NEGATIVE buckets; the chunk ids must
     use floor semantics (trunc `DIV` would start the enumeration one
