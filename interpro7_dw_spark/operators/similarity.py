@@ -1080,3 +1080,42 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vid", "adist")
     )
+
+
+def ann_recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int = 5
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation metric every ANN deployment tracks (the FAISS
+    recall/nprobe tradeoff curve, PERF.md round 10): per query,
+    ``|approx ∩ exact| / k``. Both inputs are (qid, rank, vid, ...)
+    shaped — any extra columns are ignored; queries present in
+    ``exact`` but absent from ``approx`` score 0. The ratio is the
+    integer-exact engine-portable half-up division
+    (functions/portable.py::round_div), never a float round.
+
+    Scale: one (qid, vid)-keyed semi-join plus one per-qid count —
+    both hash on the query key; evaluation cost is O(queries × k),
+    independent of corpus size.
+    """
+    from ..functions.portable import round_div
+
+    a = approx.select("qid", "vid")
+    e = exact.select("qid", "vid")
+    hits = (
+        e.join(a, ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        e.select("qid")
+        .distinct()
+        .join(hits, ["qid"], "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            round_div(
+                F.coalesce("n_hits", F.lit(0)), F.lit(k), 4
+            ).alias("recall"),
+        )
+    )

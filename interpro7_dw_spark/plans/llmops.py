@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import round_div_sql
 from ..operators import dedup as D
 from ..operators import sampling as SM
 from ..operators import similarity as S
@@ -402,6 +403,68 @@ SELECT qid, rank, vid, sim FROM (
 ) WHERE rank <= 5
     """,
 ))
+
+register(QuerySpec(
+    name="z_ann_recall",
+    tags=("NN2", "F9", "A2"),
+    description="ANN evaluation as a first-class operator "
+    "(operators/similarity.py::ann_recall_at_k): per-query recall@5 "
+    "of the IVF nprobe=2 approximate top-k against the exact cosine "
+    "top-k — the FAISS tradeoff-curve metric (PERF.md round 10) "
+    "computed engine-side: one (qid, vid) semi-join + one per-qid "
+    "count, O(queries x k) regardless of corpus size; the ratio is "
+    "the integer-exact portable division. Oracle replays the full "
+    "IVF pipeline (the two-iteration pinned-fold Lloyd), both top-k "
+    "rankings and the hit count.",
+    build=lambda spark, sf: S.ann_recall_at_k(
+        S.ivf_topk(
+            t(spark, sf, "embeddings"), F.col("vec_id") < 5,
+            k=5, nlist=8, nprobe=2,
+        ),
+        S.cosine_topk(t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5),
+        k=5,
+    ),
+    oracle="WITH " + _IVF_CTES + """,
+probes AS (
+  SELECT vec_id AS qid, v AS qv, nrm AS qn, cid FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+    FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rn <= 2
+),
+asims AS (
+  SELECT q.qid, c.vid,
+         round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) AS sim
+  FROM probes q JOIN corpus c USING (cid)
+  WHERE q.qid <> c.vid
+),
+atop AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+    FROM asims) WHERE rank <= 5
+),
+esims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+etop AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+    FROM esims) WHERE rank <= 5
+),
+hits AS (
+  SELECT e.qid, CAST(count(a.vid) AS BIGINT) AS n_hits
+  FROM etop e LEFT JOIN atop a ON e.qid = a.qid AND e.vid = a.vid
+  GROUP BY e.qid
+)
+SELECT qid, n_hits, """ + round_div_sql("n_hits", "5", 4) + """ AS recall
+FROM hits
+    """,
+))
+
 
 register(QuerySpec(
     name="text_metrics",

@@ -16,11 +16,10 @@ def _stream_dedup_union(spark, sf):
     with itself, collapsed by dropDuplicatesWithinWatermark — output
     must equal the plain table (every copy is identical, so
     first-arrival keep is deterministic)."""
-    import uuid
-
     from pyspark.sql import functions as F
 
     from ..streaming.events_stream import _event_stream
+    from ..streaming.runner import run_stream
 
     stream = _event_stream(spark, f"{sf}/events.parquet")
     doubled = stream.unionByName(stream)
@@ -33,16 +32,7 @@ def _stream_dedup_union(spark, sf):
             F.col("ts").cast("double").cast("long").alias("ts_s"),
         )
     )
-    name = "stream_events_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, out, "append")
 
 def _stream_suite(spark, sf):
     from pyspark.sql import functions as F
@@ -155,27 +145,16 @@ register(QuerySpec(
 
 
 def _stream_changes(spark, sf):
-    import uuid
-
     from pyspark.sql import functions as F
 
     from ..streaming.events_stream import _event_stream
+    from ..streaming.runner import run_stream
     from ..streaming.stateful import change_stream
 
     stream = _event_stream(spark, f"{sf}/events.parquet").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
     )
-    name = "stream_changes_" + uuid.uuid4().hex[:12]
-    q = (
-        change_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream(spark, change_stream(stream), "append")
 
 
 register(QuerySpec(
