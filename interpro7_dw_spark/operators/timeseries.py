@@ -385,3 +385,112 @@ def cohort_retention(
         "cohort_size",
         F.expr("n_active * 1000000 DIV cohort_size").alias("retention_ppm"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    alpha_ppm: int = 200_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    chunk_seconds: int = 21_600,
+) -> DataFrame:
+    """Per-event exponentially weighted moving average — the
+    time-decayed score every monitoring/trending pipeline keeps
+    (zero-initialized convention, the biased first-moment estimate of
+    Kingma & Ba 2015: ``s_0 = 0; s_t = a*x_t + (1-a)*s_{t-1}`` over
+    each key's events ordered by (ts, id); ``a = alpha_ppm / 1e6``).
+    Null values are excluded (they would poison the fold).
+
+    Scale shape — NO whole-key window or whole-key array anywhere:
+    the recurrence is affine, so a time chunk composes as
+    ``s_out = A*s_in + B`` with ``A = (1-a)^n`` and ``B`` the chunk's
+    own zero-started fold. Phase 1 folds each (key, time-chunk) group
+    (arrays bounded by event rate x chunk_seconds); phase 2 carries
+    chunk summaries per key (one ROW per chunk — bounded by
+    retention/chunk, same shape as gapfill_locf's carry); phase 3
+    replays the in-chunk elementwise fold from the carried ``s_in``
+    and emits one row per event. Both engines run the IDENTICAL
+    operation order (carries via A*s_in + B, rows via elementwise
+    folds), so the doubles match bit-for-bit before the 6-place
+    output round — the ordered_fold_sum replay discipline.
+
+    Returns (key, ts_ns, event_id, ewma).
+    """
+    a = alpha_ppm / 1e6
+    one_m = 1.0 - a
+    chunk_ns = chunk_seconds * 1_000_000_000
+    e = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.expr(f"`{ts_col}` DIV {chunk_ns}").alias("__c"),
+        F.struct(
+            F.col(ts_col).alias("tsn"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("x"),
+        ).alias("ev"),
+    )
+    g = e.groupBy("key", "__c").agg(
+        F.array_sort(F.collect_list("ev")).alias("arr")
+    )
+    al, om = F.lit(a), F.lit(one_m)
+    summ = g.select(
+        "key",
+        "__c",
+        F.aggregate("arr", F.lit(1.0), lambda acc, _ev: acc * om).alias("A"),
+        F.aggregate(
+            "arr", F.lit(0.0), lambda acc, ev: al * ev["x"] + om * acc
+        ).alias("B"),
+    )
+    chain = summ.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("__c", "A", "B"))).alias("chs")
+    ).withColumn(
+        "pref",
+        F.aggregate(
+            "chs",
+            F.expr("array(CAST(0.0 AS DOUBLE))"),
+            lambda acc, ch: F.concat(
+                acc, F.array(ch["A"] * F.element_at(acc, -1) + ch["B"])
+            ),
+        ),
+    )
+    carries = chain.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("chs")),
+                lambda i: F.struct(
+                    F.element_at(F.col("chs"), i).getField("__c").alias("__c"),
+                    F.element_at(F.col("pref"), i).alias("s_in"),
+                ),
+            )
+        ).alias("cs"),
+    ).select("key", F.col("cs.__c").alias("__c"), F.col("cs.s_in").alias("s_in"))
+    rows = g.join(carries, ["key", "__c"]).withColumn(
+        "__pref",
+        F.aggregate(
+            "arr",
+            F.array(F.col("s_in")),
+            lambda acc, ev: F.concat(
+                acc, F.array(al * ev["x"] + om * F.element_at(acc, -1))
+            ),
+        ),
+    )
+    return rows.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr")),
+                lambda i: F.struct(
+                    F.element_at(F.col("arr"), i).getField("tsn").alias("ts_ns"),
+                    F.element_at(F.col("arr"), i).getField("id").alias("event_id"),
+                    F.round(F.element_at(F.col("__pref"), i + 1), 6).alias("ewma"),
+                ),
+            )
+        ).alias("r"),
+    ).select(
+        "key",
+        F.col("r.ts_ns").cast("long").alias("ts_ns"),
+        F.col("r.event_id").cast("long").alias("event_id"),
+        F.col("r.ewma").alias("ewma"),
+    )

@@ -2388,6 +2388,91 @@ register(QuerySpec(
 ))
 
 
+def _ewma_build(spark: SparkSession, sf: str):
+    from ..operators.timeseries import ewma
+
+    return ewma(t(spark, sf, "events"))
+
+
+def _ewma_oracle() -> str:
+    """Replays the chunk-composed EWMA structure exactly: per
+    (key, 6h-chunk) left folds for the row values and the (A, B)
+    affine summary, a per-key prefix fold over chunk summaries for the
+    carries (list-accumulator list_reduce — same init-prepend trick as
+    the BPE oracle), then the in-chunk elementwise fold from the
+    carried s_in. Identical operation order to the Spark plan, so the
+    doubles agree bit-for-bit before the 6-place round."""
+    a, om = repr(200_000 / 1e6), repr(1.0 - 200_000 / 1e6)
+    chunk_ns = 21_600 * 1_000_000_000
+    return f"""
+        WITH e AS (
+          SELECT user_id AS key, epoch_ns(ts) AS tsn, event_id AS id,
+                 value::DOUBLE AS x, epoch_ns(ts) // {chunk_ns} AS c
+          FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+          SELECT key, c,
+                 list(struct_pack(tsn := tsn, id := id, x := x)
+                      ORDER BY tsn, id) AS arr
+          FROM e GROUP BY 1, 2
+        ),
+        sm AS (
+          SELECT key, c,
+                 list_reduce(list_prepend(1.0::DOUBLE,
+                   [{om}::DOUBLE FOR q IN arr]), (a, b) -> a * b) AS A,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [q.x FOR q IN arr]),
+                   (acc, x) -> {a} * x + {om} * acc) AS B
+          FROM g
+        ),
+        ch AS (
+          SELECT key, list(struct_pack(c := c, A := A, B := B)
+                           ORDER BY c) AS chs
+          FROM sm GROUP BY 1
+        ),
+        pr AS (
+          SELECT key, chs,
+                 list_reduce(
+                   list_prepend([0.0::DOUBLE], [[s.A, s.B] FOR s IN chs]),
+                   (acc, p) -> list_append(acc, p[1] * acc[-1] + p[2])) AS pref
+          FROM ch
+        ),
+        cin AS (
+          SELECT key, chs[i].c AS c, pref[i] AS s_in
+          FROM pr, LATERAL unnest(generate_series(1, len(chs))) AS u(i)
+        ),
+        rws AS (
+          SELECT g.key, g.arr,
+                 list_reduce(
+                   list_prepend([cin.s_in], [[q.x] FOR q IN g.arr]),
+                   (acc, x) -> list_append(acc, {a} * x[1] + {om} * acc[-1])
+                 ) AS pref
+          FROM g JOIN cin ON g.key = cin.key AND g.c = cin.c
+        )
+        SELECT key, CAST(arr[i].tsn AS BIGINT) AS ts_ns,
+               CAST(arr[i].id AS BIGINT) AS event_id,
+               round(pref[i + 1], 6) AS ewma
+        FROM rws, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+    """
+
+
+register(QuerySpec(
+    name="z_ewma",
+    tags=("TS1", "W4", "F9"),
+    description="Per-event EWMA / time-decayed score "
+    "(operators/timeseries.py::ewma, zero-initialized — the biased "
+    "first moment of Kingma & Ba 2015) with NO whole-key window: the "
+    "affine recurrence composes per 6h time chunk as s_out = A*s_in "
+    "+ B (A=(1-a)^n, B the chunk's own fold), carried by a per-key "
+    "prefix fold over ONE ROW PER CHUNK, then replayed elementwise "
+    "inside each chunk. The oracle replays the identical chunk "
+    "structure and fold order, so the doubles match bit-for-bit "
+    "before the 6-place round.",
+    build=_ewma_build,
+    oracle=_ewma_oracle(),
+))
+
+
 def _funnel_events(spark: SparkSession, sf: str):
     from ..operators.timeseries import funnel_steps
 

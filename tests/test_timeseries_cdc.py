@@ -465,6 +465,46 @@ def test_gapfill_chunked_grid_wide_range(spark):
     assert last.observed and last.value_filled == 2.0
 
 
+def test_ewma_matches_sequential_reference(spark):
+    """The chunk-composed EWMA must equal the plain sequential fold
+    at the 6-place output rounding across chunk boundaries, for ANY
+    chunk size (the affine carry A*s_in + B can differ from the pure
+    elementwise fold by ULPs — the bit-for-bit contract is
+    engine-vs-engine on the SAME chunk structure, which the z_ewma
+    oracle checks) — and null values are excluded. Events span 3
+    six-hour chunks."""
+    from interpro7_dw_spark.operators.timeseries import ewma
+
+    H = 3600 * 1_000_000_000
+    rows = [
+        ("u", 0 * H, 10.0, 1),
+        ("u", 1 * H, 20.0, 2),
+        ("u", 7 * H, 40.0, 3),    # chunk 1
+        ("u", 13 * H, None, 4),   # excluded
+        ("u", 14 * H, 80.0, 5),   # chunk 2
+        ("v", 2 * H, 5.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, value double, event_id long"
+    )
+    # sequential reference (s_0 = 0, a = 0.2), computed in Python with
+    # the same double arithmetic
+    a, om = 0.2, 0.8
+    want, s = {}, 0.0
+    for _, ts, x, eid in [r for r in rows if r[0] == "u" and r[2] is not None]:
+        s = a * x + om * s
+        want[("u", ts, eid)] = round(s, 6)
+    s = a * 5.0 + om * 0.0
+    want[("v", 2 * H, 6)] = round(s, 6)
+
+    for chunk_s in (21_600, 3600, 10**9):  # multi-chunk, per-hour, single
+        got = {
+            (r.key, r.ts_ns, r.event_id): r.ewma
+            for r in ewma(df, chunk_seconds=chunk_s).collect()
+        }
+        assert got == want, chunk_s
+
+
 def test_ivm_group_agg_all_change_paths(spark):
     """Incremental maintenance must equal full re-aggregation through
     every change path on micro data: value update, group-moving
