@@ -93,6 +93,10 @@ HEADLINE = [
     # fixture — pass 1 pays the one-time build, the per-query min then
     # reflects the steady-state DPP-pruned probe cost
     "z_ivfpq_probe",
+    # r10: incremental view maintenance (delta-driven mart merge) and
+    # the chunk-composed EWMA — the two new time/change-family ops
+    "z_ivm_group_agg",
+    "z_ewma",
 ]
 
 

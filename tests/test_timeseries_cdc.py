@@ -465,6 +465,31 @@ def test_gapfill_chunked_grid_wide_range(spark):
     assert last.observed and last.value_filled == 2.0
 
 
+def test_ivm_plan_never_rescans_facts(spark, tmp_path):
+    """Given a MATERIALIZED mart and a precomputed delta, the IVM
+    merge plan must contain exactly one aggregate (the delta
+    contributions) and one join (the mart merge) — the fact table
+    never appears, which is the operator's entire scale claim."""
+    from interpro7_dw_spark.operators.cdc import ivm_apply_group_agg
+
+    mart_path = str(tmp_path / "mart")
+    spark.createDataFrame(
+        [("g1", 2, 30.0)], "g string, n_rows long, total double"
+    ).write.parquet(mart_path)
+    mart = spark.read.parquet(mart_path)
+    delta = spark.createDataFrame(
+        [(9, "insert", None, None, "g1", 5.0)],
+        "k long, change_type string, old_g string, old_v double, "
+        "new_g string, new_v double",
+    )
+    out = ivm_apply_group_agg(mart, delta, "g", "v")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+    assert plan.count("Join") == 1, plan
+    got = {r.g: (r.n_rows, float(r.total)) for r in out.collect()}
+    assert got == {"g1": (3, 35.0)}
+
+
 def test_ewma_matches_sequential_reference(spark):
     """The chunk-composed EWMA must equal the plain sequential fold
     at the 6-place output rounding across chunk boundaries, for ANY
