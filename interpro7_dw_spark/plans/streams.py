@@ -216,6 +216,103 @@ register(QuerySpec(
 ))
 
 
+def _stream_ivm(spark, sf):
+    """Continuous mart maintenance: the orders changelog (same
+    derivation as z_ivm_group_agg) written as MULTIPLE files, streamed
+    one file per micro-batch through per-epoch IVM merges seeded with
+    the OLD snapshot's aggregate — the final mart version must equal
+    the batch re-aggregation of the new snapshot (the shared oracle)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.ivm_stream import maintain_group_agg_stream
+
+    base = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    delta = snapshot_delta_images(
+        base, new, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    root = (
+        "/root/repo/spark-warehouse/fixtures/ivm_stream_"
+        + sf.strip("/").replace("/", "_")
+    )
+    for sub in ("changes", "mart", "mart_chk"):
+        shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+    # 4 key-ranged files -> 4 micro-batches under maxFilesPerTrigger=1
+    for part in range(4):
+        delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,4)")
+        ).cast("decimal(18,4)").alias("total"),
+    ).write.parquet(f"{root}/mart/v0")
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    out = maintain_group_agg_stream(
+        spark, stream, f"{root}/mart", "o_custkey", "o_totalprice"
+    )
+    return out.select(
+        "o_custkey", "n_rows", F.col("total").cast("double").alias("total")
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm",
+    tags=("ST4", "CD3", "A1"),
+    description="CONTINUOUS incremental view maintenance "
+    "(streaming/ivm_stream.py::maintain_group_agg_stream): the orders "
+    "changelog streamed one file per micro-batch through foreachBatch "
+    "retract/add merges into versioned mart snapshots, seeded with "
+    "the old aggregate — per epoch the cost is |micro-batch| + "
+    "touched groups, and readers always see a complete version "
+    "(_SUCCESS-gated directories). IVM contributions are additive, "
+    "so any micro-batch partitioning converges to the same mart; the "
+    "oracle is the batch re-aggregation of the new snapshot (shared "
+    "with z_ivm_group_agg).",
+    build=_stream_ivm,
+    oracle="""
+        WITH newsnap AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total
+        FROM newsnap GROUP BY 1
+    """,
+))
+
+
 def _stream_sessions(spark, sf):
     from ..streaming.events_stream import streaming_session_windows
 
