@@ -425,8 +425,12 @@ def kcore(
     the identical cap, so both engines agree even on a
     deeper-than-cap pathological chain.
 
-    Returns (node, core_degree) for every k-core member —
-    ``core_degree`` the degree WITHIN the core (>= k by definition).
+    Returns (node, core_degree) for every surviving vertex —
+    ``core_degree`` the degree WITHIN the surviving subgraph. When the
+    peel CONVERGES within ``max_iters`` the survivors are exactly the
+    k-core and ``core_degree >= k`` holds by definition; at the cap
+    the partially-peeled set is returned (a SUPERSET of the k-core,
+    possibly with degrees < k) — the oracle replays the identical cap.
     """
     both = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")

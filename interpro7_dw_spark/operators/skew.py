@@ -1,72 +1,69 @@
-"""Skew mitigation helpers.
+"""Skew-safe per-group order statistics.
 
-AQE's skew-join splitting handles most cases at runtime
-(session.py enables it); these helpers cover the two shapes AQE
-cannot fix:
+``Window.partitionBy(hot_key)`` is the recurring scale killer: a
+window puts EVERY row of a partition value in ONE task, so a single
+celebrity key — one viral user, one boilerplate source, one market
+segment holding 90% of a 100 TB table — serializes the whole query
+behind one straggler, and AQE cannot split a window partition. The
+engine-wide discipline (sampling's two-phase bucket-split rank,
+gapfill/ewma's chunk carries, the hot-shingle DF cap) is the same
+shape everywhere: phase 1 computes a bounded per-(hash-bucket, group)
+statistic — every bucket holds ~|group|/n_buckets rows regardless of
+key skew — and phase 2 runs the true per-group computation over the
+SURVIVORS only, whose count is bounded by construction.
 
-- ``salted_aggregate``: a groupBy whose hot keys overload single
-  reducers — pre-aggregate on (key, salt), then final-aggregate on
-  key. Works for any algebraic aggregate expressed as
-  (partial_exprs, final_exprs).
-- ``salted_broadcast_join``: a broadcast join where a few left keys
-  dominate — no shuffle to split, but per-task output skew remains;
-  salting the LEFT side spreads the hot keys across tasks.
-
-The reference hits the same problem as "one subject owns most rows"
-(e.g. the biggest InterPro entries in entry2xrefs, budgeted 100 GB of
-RAM, cli.py:355) and solves it with per-worker partial dicts — the
-salted pre-aggregate is the same trick, declaratively.
+Reference anchor: the celebrity-key hazard is exactly the reference's
+per-protein fan-out discipline (interpro7dw/utils/store.py:296-317 —
+proteins are dealt into fixed buckets BEFORE any per-key processing).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
-def salted_aggregate(
+def topk_per_group(
     df: DataFrame,
-    keys: list[str],
-    partial_exprs: list[Column],
-    final_exprs: list[Column],
-    num_salts: int = 16,
-    salt_source: str | None = None,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    bucket_cols: list[str],
+    num_buckets: int | None = None,
+    rank_col: str = "rk",
 ) -> DataFrame:
-    """Two-stage aggregation via an explicit salt.
+    """Exact top-``k`` rows per group under ``order_by``, with NO
+    window over the bare group key on the full data — safe when one
+    group holds most of the table.
 
-    ``partial_exprs`` aggregate within (keys, salt); ``final_exprs``
-    combine the partials per key (e.g. partial ``sum(x) AS s`` +
-    final ``sum(s) AS total``). ``salt_source`` (any column name)
-    makes the salt deterministic; otherwise a uniform random salt is
-    used (fine for aggregation — the result is salt-invariant).
+    Phase 1 ranks within (hash-bucket, group) — each bucket carries
+    ~|group|/``num_buckets`` rows whatever the group skew — and keeps
+    each bucket's local top-k. Phase 2 ranks the survivors (at most
+    ``num_buckets * k`` rows per group) with the true per-group
+    window; the global top-k per group is a subset of the union of
+    per-bucket top-k, so the result is EXACTLY the naive
+    ``row_number() OVER (PARTITION BY group)`` top-k.
+
+    ``order_by`` must be a total order (include a unique tiebreak
+    column) for the ranks to be deterministic — same contract as the
+    naive window. ``bucket_cols`` feed the bucket hash and should
+    together be high-cardinality (e.g. the row's primary key).
     """
-    salt = (
-        F.pmod(F.hash(F.col(salt_source)), F.lit(num_salts))
-        if salt_source
-        else (F.rand() * num_salts).cast("int")
+    n = int(
+        num_buckets
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    return (
-        df.withColumn("__salt", salt)
-        .groupBy(*keys, "__salt")
-        .agg(*partial_exprs)
-        .groupBy(*keys)
-        .agg(*final_exprs)
+    bucketed = df.withColumn(
+        "__b", F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n))
     )
-
-
-def salted_broadcast_join(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    num_salts: int = 16,
-) -> DataFrame:
-    """Equi-join with the small side replicated per salt so hot left
-    keys spread over ``num_salts`` tasks. Right side must be broadcast-
-    sized (it is replicated num_salts times)."""
-    salted_left = left.withColumn("__salt", (F.rand() * num_salts).cast("int"))
-    salted_right = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    w_local = Window.partitionBy("__b", *group_cols).orderBy(*order_by)
+    survivors = (
+        bucketed.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__b", "__lr")
     )
-    return salted_left.join(
-        F.broadcast(salted_right), [key, "__salt"]
-    ).drop("__salt")
+    w_group = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(w_group)
+    ).filter(F.col(rank_col) <= k)

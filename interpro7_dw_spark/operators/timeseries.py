@@ -430,9 +430,14 @@ def ewma(
             F.col(value_col).cast("double").alias("x"),
         ).alias("ev"),
     )
+    # g feeds BOTH the chunk-summary branch and the row-replay join;
+    # persist so the collect_list aggregation and sort run once (the
+    # scan+shuffle would be shared by ReuseExchange, the fold would
+    # not). Lifetime is caller-owned: released by the harness's
+    # clearCache between queries (the kcore convention).
     g = e.groupBy("key", "__c").agg(
         F.array_sort(F.collect_list("ev")).alias("arr")
-    )
+    ).persist()
     al, om = F.lit(a), F.lit(one_m)
     summ = g.select(
         "key",

@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import sampling as SM
 from ..operators import similarity as S
 from ..operators import text as X
-from .spec import QuerySpec, register, t
+from .spec import QuerySpec, fixture_dir, register, t
 
 # DuckDB-side shingle CTE shared by the ngram/minhash oracles.
 # Spark side: operators/dedup.py shingles() — slice semantics match
@@ -2627,10 +2627,7 @@ def _ivfpq_build(spark: SparkSession, sf: str):
     import os
 
     emb = t(spark, sf, "embeddings")
-    path = os.path.join(
-        "/root/repo/spark-warehouse/fixtures",
-        "ivfpq_" + sf.strip("/").replace("/", "_"),
-    )
+    path = fixture_dir("ivfpq", sf)
     S.write_ivfpq_index(emb, path, nlist=8, m=8, ksub=4, iters=2)
     return S.ivfpq_topk(
         emb.filter(F.col("vec_id") < 5), path, k=5, nprobe=3, m=8
@@ -2739,9 +2736,11 @@ def _ivfpq_probe_build(spark: SparkSession, sf: str):
     import os
 
     emb = t(spark, sf, "embeddings")
-    path = os.path.join(
-        "/root/repo/spark-warehouse/fixtures",
-        "ivfpq_probe_" + sf.strip("/").replace("/", "_"),
+    # fingerprint-keyed: regenerating the embeddings table changes the
+    # fixture path, so the build-once index can never serve stale
+    # neighbors for a new dataset
+    path = fixture_dir(
+        "ivfpq_probe", sf, input_path=os.path.join(sf, "embeddings.parquet")
     )
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
         S.write_ivfpq_index(emb, path, nlist=8, m=8, ksub=4, iters=2)
@@ -3063,10 +3062,7 @@ def _ivfpq_res_build(spark: SparkSession, sf: str):
     import os
 
     emb = t(spark, sf, "embeddings")
-    path = os.path.join(
-        "/root/repo/spark-warehouse/fixtures",
-        "ivfpq_res_" + sf.strip("/").replace("/", "_"),
-    )
+    path = fixture_dir("ivfpq_res", sf)
     S.write_ivfpq_index(
         emb, path, nlist=8, m=8, ksub=4, iters=2, by_residual=True
     )

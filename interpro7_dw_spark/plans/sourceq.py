@@ -19,9 +19,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_csv, read_stanza_file, read_tar_json
-from .spec import QuerySpec, register, t
+from .spec import QuerySpec, fixture_dir, register, t
 
-_FIXDIR = "/root/repo/spark-warehouse/fixtures"
+_FIXDIR = fixture_dir("")
 
 
 def _csv_fixture(spark: SparkSession, sf: str) -> str:

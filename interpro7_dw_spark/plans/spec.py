@@ -90,6 +90,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational,
         relational2,
         setstructq,
+        skewq,
         streams,
         taxmartq,
         timeseriesq,
@@ -102,6 +103,44 @@ def all_specs() -> dict[str, QuerySpec]:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def fixture_dir(name: str, sf_dir: str = "", input_path: str | None = None) -> str:
+    """Repo-local scratch/fixture directory
+    (``<repo>/spark-warehouse/fixtures/<name>[_<sf>][_<fp>]``). The
+    repo root is derived from the package location — no literal path.
+    When ``input_path`` is given (a data file or directory), the
+    directory name carries a fingerprint of the input's files (names,
+    sizes, mtimes): regenerating the dataset changes the fingerprint,
+    so a build-once fixture (e.g. the IVFADC probe index) is
+    invalidated instead of silently serving stale results."""
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "fixtures",
+    )
+    key = name
+    if sf_dir:
+        key += "_" + sf_dir.strip("/").replace("/", "_")
+    if input_path is not None:
+        h = hashlib.sha1()
+        files = (
+            sorted(
+                os.path.join(input_path, p) for p in os.listdir(input_path)
+            )
+            if os.path.isdir(input_path)
+            else [input_path]
+        )
+        for p in files:
+            st = os.stat(p)
+            h.update(
+                f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+        key += "_" + h.hexdigest()[:12]
+    return os.path.join(root, key)
 
 
 def dec(c: Column | str) -> Column:

@@ -8,7 +8,7 @@ trigger(availableNow) — see streaming/events_stream.py.
 from __future__ import annotations
 
 from ..streaming.events_stream import sliding_event_counts, windowed_event_counts
-from .spec import QuerySpec, register
+from .spec import QuerySpec, fixture_dir, register
 
 
 def _stream_dedup_union(spark, sf):
@@ -249,10 +249,7 @@ def _stream_ivm(spark, sf):
     delta = snapshot_delta_images(
         base, new, ["o_orderkey"], ["o_custkey", "o_totalprice"]
     )
-    root = (
-        "/root/repo/spark-warehouse/fixtures/ivm_stream_"
-        + sf.strip("/").replace("/", "_")
-    )
+    root = fixture_dir("ivm_stream", sf)
     for sub in ("changes", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
     # 4 key-ranged files -> 4 micro-batches under maxFilesPerTrigger=1

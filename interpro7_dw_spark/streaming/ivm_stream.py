@@ -8,9 +8,24 @@ idiomatic home for that: each micro-batch of both-images change rows
 into the current materialized aggregate with the retract/add rule and
 written as a NEW VERSION directory — the reader always sees a
 complete, consistent snapshot (version directories are atomic at the
-``_SUCCESS`` marker; no reader ever observes a half-merged mart), and
-``foreachBatch`` + the checkpoint give exactly-once application per
-epoch.
+``_SUCCESS`` marker; no reader ever observes a half-merged mart).
+
+Exactly-once application per epoch is earned, not assumed:
+``foreachBatch`` is at-least-once, so a micro-batch whose merge
+COMMITTED (``_SUCCESS`` written) but whose streaming checkpoint did
+not can be REPLAYED on restart. Each version directory therefore
+records the epoch it applied in its name (``v<n>_e<epoch>``), and the
+merge step skips any batch whose epoch is <= the last applied epoch —
+the replayed batch becomes a no-op instead of a double-application.
+(Epoch ids are monotonic within a checkpoint, which is the only
+replay source; ``tests/test_streaming.py`` pins the replay no-op.)
+
+Version housekeeping is object-store honest: discovery and vacuum go
+through the Hadoop FileSystem API (no ``os.listdir`` local-FS
+assumption), ``keep_last`` bounds the retained history (older
+committed versions are swept after each successful epoch, as are
+crashed half-writes below the new version), and a pre-seeded ``v0``
+(an existing batch-built mart, no epoch suffix) chains in unchanged.
 
 IVM contributions are additive, so ANY partitioning of the changelog
 into micro-batches converges to the same mart — the streamed result
@@ -20,24 +35,77 @@ equals the batch re-aggregation of the final snapshot
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import ivm_apply_group_agg
 
 
-def _latest_version(state_dir: str) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    vs = [
-        int(p[1:])
-        for p in os.listdir(state_dir)
-        if p.startswith("v")
-        and os.path.exists(os.path.join(state_dir, p, "_SUCCESS"))
-    ]
-    return max(vs) if vs else None
+def _fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, Path-class) for ``path_str`` via the Hadoop
+    FS API — works on local FS and object stores alike."""
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
+    path = jpath_cls(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jpath_cls
+
+
+def _list_versions(
+    spark: SparkSession, state_dir: str
+) -> list[tuple[int, int | None, bool, str]]:
+    """Sorted ``(version, applied_epoch, committed, dir_name)`` for
+    every ``v<n>`` / ``v<n>_e<epoch>`` child of ``state_dir``.
+    ``applied_epoch`` is None for a pre-seeded version; ``committed``
+    is the ``_SUCCESS`` gate."""
+    fs, root, jpath_cls = _fs(spark, state_dir)
+    if not fs.exists(root):
+        return []
+    out: list[tuple[int, int | None, bool, str]] = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("v"):
+            continue
+        body = name[1:]
+        v_s, _, e_s = body.partition("_e")
+        try:
+            ver = int(v_s)
+            epoch = int(e_s) if e_s else None
+        except ValueError:
+            continue
+        committed = fs.exists(jpath_cls(st.getPath(), "_SUCCESS"))
+        out.append((ver, epoch, committed, name))
+    return sorted(out)
+
+
+def _latest_committed(
+    spark: SparkSession, state_dir: str
+) -> tuple[int, int | None, bool, str] | None:
+    committed = [t for t in _list_versions(spark, state_dir) if t[2]]
+    return committed[-1] if committed else None
+
+
+def _vacuum(
+    spark: SparkSession, state_dir: str, current_ver: int, keep_last: int | None
+) -> None:
+    """After a successful epoch: sweep crashed half-writes (no
+    ``_SUCCESS``) below the just-committed version, and — when
+    ``keep_last`` is set — committed versions older than the newest
+    ``keep_last``."""
+    fs, _root, jpath_cls = _fs(spark, state_dir)
+    versions = _list_versions(spark, state_dir)
+    committed = [t for t in versions if t[2]]
+    keep_floor = (
+        committed[-keep_last][0]
+        if keep_last is not None and len(committed) > keep_last
+        else None
+    )
+    for ver, _epoch, is_committed, name in versions:
+        stale_half_write = not is_committed and ver < current_ver
+        expired = keep_floor is not None and is_committed and ver < keep_floor
+        if stale_half_write or expired:
+            fs.delete(jpath_cls(f"{state_dir}/{name}"), True)
 
 
 def _empty_mart(
@@ -59,35 +127,43 @@ def maintain_group_agg_stream(
     value_col: str,
     n_col: str = "n_rows",
     total_col: str = "total",
+    keep_last: int | None = None,
 ) -> DataFrame:
     """Run a STREAM of both-images change rows through per-micro-batch
-    IVM merges, materializing each epoch as ``state_dir/v<epoch>``.
-    ``changes`` is a streaming DataFrame in the
-    ``snapshot_delta_images`` shape. Runs with
+    IVM merges, materializing each epoch as
+    ``state_dir/v<n>_e<epoch>``. ``changes`` is a streaming DataFrame
+    in the ``snapshot_delta_images`` shape. Runs with
     ``trigger(availableNow)`` to drain the available changelog, then
-    returns the latest mart version as a DataFrame.
+    returns the latest committed mart version as a DataFrame.
+
+    A replayed micro-batch (at-least-once ``foreachBatch``: driver
+    died after the version's ``_SUCCESS`` but before the checkpoint
+    commit) is detected by ``epoch <= last applied epoch`` and
+    skipped — the merge is idempotent per epoch. ``keep_last=N``
+    retains only the newest N committed versions (None keeps all;
+    versioned history doubles as time travel / reader isolation);
+    crashed half-writes are vacuumed either way.
 
     Scale: each epoch costs |micro-batch delta| + touched groups (the
     IVM contract) plus a mart rewrite; at 100 TB the mart is group-
-    cardinality-sized (orders of magnitude below the facts), and the
-    versioned layout doubles as time travel / reader isolation.
+    cardinality-sized (orders of magnitude below the facts).
     """
 
-    def step(batch: DataFrame, _epoch: int) -> None:
-        # versions are monotonically-next rather than epoch-numbered so
-        # a pre-seeded v0 (an existing batch-built mart) chains in; a
-        # crashed half-write is invisible (_SUCCESS gate) and the epoch
-        # retry recomputes from the same parent version
-        prev = _latest_version(state_dir)
+    def step(batch: DataFrame, epoch: int) -> None:
+        prev = _latest_committed(spark, state_dir)
+        if prev is not None and prev[1] is not None and epoch <= prev[1]:
+            # replayed epoch whose merge already committed — no-op
+            return
         if prev is None:
             mart = _empty_mart(batch, group_col, n_col, total_col)
         else:
-            mart = spark.read.parquet(f"{state_dir}/v{prev}")
+            mart = spark.read.parquet(f"{state_dir}/{prev[3]}")
         out = ivm_apply_group_agg(
             mart, batch, group_col, value_col, n_col=n_col, total_col=total_col
         )
-        nxt = (prev if prev is not None else -1) + 1
-        out.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}")
+        nxt = (prev[0] if prev is not None else -1) + 1
+        out.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}_e{epoch}")
+        _vacuum(spark, state_dir, nxt, keep_last)
 
     q = (
         changes.writeStream.foreachBatch(step)
@@ -96,7 +172,7 @@ def maintain_group_agg_stream(
         .start()
     )
     q.awaitTermination()
-    latest = _latest_version(state_dir)
+    latest = _latest_committed(spark, state_dir)
     if latest is None:
         raise RuntimeError("no change batches arrived; mart never materialized")
-    return spark.read.parquet(f"{state_dir}/v{latest}")
+    return spark.read.parquet(f"{state_dir}/{latest[3]}")

@@ -20,6 +20,7 @@ oracle-harness convenience, never a semantic dependency.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,14 @@ def run_stream(
         raise ValueError("sink='files' requires sink_dir")
     data_dir = sink_dir + "/data"
     chk_dir = sink_dir + "/chk"
+    # a reused sink_dir would silently resume from the old checkpoint
+    # and mix previously-committed rows into this run's result —
+    # require a fresh directory instead of guessing intent
+    if os.path.exists(chk_dir) or os.path.exists(data_dir):
+        raise ValueError(
+            f"sink_dir {sink_dir!r} already holds a previous run's "
+            "checkpoint/data; pass a fresh directory"
+        )
     if output_mode == "append":
         writer = (
             out.writeStream.format("parquet")
@@ -75,4 +84,9 @@ def run_stream(
         )
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    if not os.path.exists(data_dir):
+        # a source that yielded zero micro-batches never created the
+        # sink path — return an EMPTY result with the query's schema
+        # instead of throwing on the missing directory
+        return spark.createDataFrame([], out.schema)
     return spark.read.parquet(data_dir)

@@ -1838,3 +1838,43 @@ def test_round_div_portable_at_decimal_half_boundaries(spark):
     duck_round = con.execute("SELECT round(10473 / 80 / 1000.0, 6)").fetchone()[0]
     spark_round = spark.sql("SELECT round(10473 / 80 / 1000.0, 6)").first()[0]
     assert duck_round != spark_round  # the bug round_div exists to avoid
+
+
+def test_topk_per_group_skew_safe_and_exact(spark):
+    """operators/skew.py::topk_per_group — (1) result is EXACTLY the
+    naive per-group row_number top-k, hot segment included; (2) the
+    plan never windows the bare group key over the full data: the
+    first (full-data) window partitions on (__b, group), and only the
+    bounded survivor set reaches the per-group window."""
+    from pyspark.sql.window import Window
+
+    from interpro7_dw_spark.operators.skew import topk_per_group
+
+    df = (
+        spark.range(0, 20000)
+        .withColumn(
+            "seg",
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")),
+        )
+        .withColumn("score", (F.col("id") * 2654435761 % 1000003).cast("long"))
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = topk_per_group(df, ["seg"], order, k=7, bucket_cols=["id"])
+    naive = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("seg").orderBy(*order)),
+        ).filter(F.col("rk") <= 7)
+    )
+    key = lambda d: sorted((r.seg, r.rk, r.id, r.score) for r in d.collect())
+    assert key(got) == key(naive)
+    assert sum(1 for r in got.collect() if r.seg == "hot") == 7
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the phase-1 (full-data) window is bucket-split: its spec carries
+    # __b alongside the group key
+    assert any("__b" in s for s in specs), plan

