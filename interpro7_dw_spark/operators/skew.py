@@ -49,6 +49,16 @@ def topk_per_group(
     column) for the ranks to be deterministic — same contract as the
     naive window. ``bucket_cols`` feed the bucket hash and should
     together be high-cardinality (e.g. the row's primary key).
+
+    Honest scoping (measured in tools/skew_audit.py / PERF.md r11):
+    Spark 4's ``InferWindowGroupLimit`` already rewrites the exact
+    ``row_number() + filter(rank <= LITERAL)`` pattern into a
+    map-side group limit, so THAT shape does not straggle on modern
+    Spark. This operator is for the shapes Catalyst cannot rewrite —
+    data-dependent per-group caps (see ``sampling.stratified_sample``),
+    ranks consumed without a literal filter, compositions where the
+    rank feeds further windows — and as an explicit plan-guarded
+    contract that does not depend on an optimizer rule firing.
     """
     n = int(
         num_buckets

@@ -404,27 +404,7 @@ SELECT qid, rank, vid, sim FROM (
     """,
 ))
 
-register(QuerySpec(
-    name="z_ann_recall",
-    tags=("NN2", "F9", "A2"),
-    description="ANN evaluation as a first-class operator "
-    "(operators/similarity.py::ann_recall_at_k): per-query recall@5 "
-    "of the IVF nprobe=2 approximate top-k against the exact cosine "
-    "top-k — the FAISS tradeoff-curve metric (PERF.md round 10) "
-    "computed engine-side: one (qid, vid) semi-join + one per-qid "
-    "count, O(queries x k) regardless of corpus size; the ratio is "
-    "the integer-exact portable division. Oracle replays the full "
-    "IVF pipeline (the two-iteration pinned-fold Lloyd), both top-k "
-    "rankings and the hit count.",
-    build=lambda spark, sf: S.ann_recall_at_k(
-        S.ivf_topk(
-            t(spark, sf, "embeddings"), F.col("vec_id") < 5,
-            k=5, nlist=8, nprobe=2,
-        ),
-        S.cosine_topk(t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5),
-        k=5,
-    ),
-    oracle="WITH " + _IVF_CTES + """,
+_ANN_RECALL_ORACLE = "WITH " + _IVF_CTES + """,
 probes AS (
   SELECT vec_id AS qid, v AS qv, nrm AS qn, cid FROM (
     SELECT n.vec_id, n.v, n.nrm, c.cid,
@@ -462,7 +442,73 @@ hits AS (
 )
 SELECT qid, n_hits, """ + round_div_sql("n_hits", "5", 4) + """ AS recall
 FROM hits
-    """,
+    """
+
+
+register(QuerySpec(
+    name="z_ann_recall",
+    tags=("NN2", "F9", "A2"),
+    description="ANN evaluation as a first-class operator "
+    "(operators/similarity.py::ann_recall_at_k): per-query recall@5 "
+    "of the IVF nprobe=2 approximate top-k against the exact cosine "
+    "top-k — the FAISS tradeoff-curve metric (PERF.md round 10) "
+    "computed engine-side: one (qid, vid) semi-join + one per-qid "
+    "count, O(queries x k) regardless of corpus size; the ratio is "
+    "the integer-exact portable division. Oracle replays the full "
+    "IVF pipeline (the two-iteration pinned-fold Lloyd), both top-k "
+    "rankings and the hit count.",
+    build=lambda spark, sf: S.ann_recall_at_k(
+        S.ivf_topk(
+            t(spark, sf, "embeddings"), F.col("vec_id") < 5,
+            k=5, nlist=8, nprobe=2,
+        ),
+        S.cosine_topk(t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5),
+        k=5,
+    ),
+    oracle=_ANN_RECALL_ORACLE,
+))
+
+
+def _ann_recall_clustered_build(spark: SparkSession, sf: str):
+    """Same recall evaluation on the deterministic clustered low-rank
+    fixture (sources/genfixtures.py — generated once at import; the
+    sf argument is ignored because recall is a property of the data's
+    STRUCTURE, which the driver's i.i.d.-random embeddings lack at
+    every sf: PERF.md round 11). 20 queries, nprobe=4 of nlist=8."""
+    from ..sources.genfixtures import clustered_embeddings_path
+
+    emb = spark.read.parquet(clustered_embeddings_path())
+    return S.ann_recall_at_k(
+        S.ivf_topk(emb, F.col("vec_id") < 20, k=5, nlist=8, nprobe=4),
+        S.cosine_topk(emb, F.col("vec_id") < 20, k=5),
+        k=5,
+    )
+
+
+def _ann_clustered_oracle() -> str:
+    from ..sources.genfixtures import clustered_embeddings_path
+
+    return (
+        _ANN_RECALL_ORACLE
+        .replace("FROM embeddings", f"FROM '{clustered_embeddings_path()}'")
+        .replace("rn <= 2", "rn <= 4")
+        .replace("vec_id < 5", "vec_id < 20")
+    )
+
+
+register(QuerySpec(
+    name="z_ann_recall_clustered",
+    tags=("NN2", "F9", "A2"),
+    description="recall@5 of IVF nprobe=4 on the CLUSTERED low-rank "
+    "embedding fixture (sources/genfixtures.py, mixture of Gaussians "
+    "+ rank-2 latent — deterministic, written once as parquet, read "
+    "identically by both engines): on data with real neighborhood "
+    "structure the recall numbers mean something (the driver's "
+    "i.i.d.-random table is the documented PQ worst case). The "
+    "oracle replays the identical IVF pipeline against the same "
+    "parquet file by path.",
+    build=_ann_recall_clustered_build,
+    oracle=_ann_clustered_oracle(),
 ))
 
 
