@@ -42,7 +42,9 @@ HEADLINE = [
     "closure_depths",
     "coverage_length",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # parked to z_ in the r11 rotation that promoted ivm_group_agg —
+    # same query, so carried21 stays comparable
+    "z_dedup_ngram_jaccard",
     "z_embedding_topk",
     "grouping_sets_pyramid",
     "domorg_fingerprint",
@@ -75,7 +77,8 @@ HEADLINE = [
     # + hash-occurrence aggregate + span merge) and PQ/ADC — the two
     # heaviest of the new LLM-ops family
     "exact_substr_dedup",
-    "embedding_pq_topk",
+    # renamed in the r11 rotation (parked to z_; same query)
+    "z_embedding_pq_topk",
     # r8 part 3: the retrieval + exact-order-statistics + graph
     # flagships — inverted-index BM25, the value-cut exact quantile
     # plan, and degree-oriented triangle counting
@@ -95,8 +98,9 @@ HEADLINE = [
     "z_ivfpq_probe",
     # r10: incremental view maintenance (delta-driven mart merge) and
     # the chunk-composed EWMA — the two new time/change-family ops
-    "z_ivm_group_agg",
-    "z_ewma",
+    # promoted into the driver window in the r11 rotation (same queries)
+    "ivm_group_agg",
+    "ewma",
 ]
 
 

@@ -46,7 +46,11 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="dedup_ngram_jaccard",
+    # z_-parked in the r11 rotation that promoted ivm_group_agg: the
+    # near-dup family stays in-window via dedup_minhash_lsh,
+    # exact_substr_dedup and semantic_dedup, and the DF-capped variant
+    # is differ-checked as z_skew_jaccard_stop_shingle
+    name="z_dedup_ngram_jaccard",
     tags=("DD2", "J8", "A2"),
     description="Near-dup pairs by 3-gram shingle Jaccard >= 0.1 via the "
     "inverted-index self-join (no cross product).",
@@ -1811,7 +1815,10 @@ def _cms_heavy_hitters(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="cms_heavy_hitters",
+    # z_-parked in the r11 rotation that promoted ewma: the CMS family
+    # stays in-window via stream_cms_heavy_users (same sketch, same
+    # one-sided guarantee, streaming habitat)
+    name="z_cms_heavy_hitters",
     tags=("A5", "F3", "A1"),
     description="Count-min-sketch heavy hitters "
     "(operators/sketches.py): exact token counts >= 100 vs the "
@@ -2086,7 +2093,9 @@ _PQ_ORACLE = (
 
 
 register(QuerySpec(
-    name="embedding_pq_topk",
+    # z_-parked in the r11 rotation that promoted stream_ivm: PQ/ADC
+    # stays in-window via ivfpq_topk (IVFADC contains the flat ADC scan)
+    name="z_embedding_pq_topk",
     tags=("NN2", "F9", "J2"),
     description="ANN top-5 by product quantization with asymmetric "
     "distance computation (operators/similarity.py::pq_topk, Jégou et "
@@ -2503,7 +2512,8 @@ def _ewma_oracle() -> str:
 
 
 register(QuerySpec(
-    name="z_ewma",
+    # promoted into the driver window in the r11 rotation (was z_ewma)
+    name="ewma",
     tags=("TS1", "W4", "F9"),
     description="Per-event EWMA / time-decayed score "
     "(operators/timeseries.py::ewma, zero-initialized — the biased "
@@ -3049,7 +3059,9 @@ def _ivm_build(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_ivm_group_agg",
+    # promoted into the driver window in the r11 rotation (was
+    # z_ivm_group_agg)
+    name="ivm_group_agg",
     tags=("CD3", "A1", "J3"),
     description="Incremental view maintenance "
     "(operators/cdc.py::ivm_apply_group_agg + snapshot_delta_images): "

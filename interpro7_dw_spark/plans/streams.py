@@ -218,7 +218,7 @@ register(QuerySpec(
 
 def _stream_ivm(spark, sf):
     """Continuous mart maintenance: the orders changelog (same
-    derivation as z_ivm_group_agg) written as MULTIPLE files, streamed
+    derivation as ivm_group_agg) written as MULTIPLE files, streamed
     one file per micro-batch through per-epoch IVM merges seeded with
     the OLD snapshot's aggregate — the final mart version must equal
     the batch re-aggregation of the new snapshot (the shared oracle)."""
@@ -277,7 +277,9 @@ def _stream_ivm(spark, sf):
 
 
 register(QuerySpec(
-    name="z_stream_ivm",
+    # promoted into the driver window in the r11 rotation (was
+    # z_stream_ivm)
+    name="stream_ivm",
     tags=("ST4", "CD3", "A1"),
     description="CONTINUOUS incremental view maintenance "
     "(streaming/ivm_stream.py::maintain_group_agg_stream): the orders "
@@ -288,7 +290,7 @@ register(QuerySpec(
     "(_SUCCESS-gated directories). IVM contributions are additive, "
     "so any micro-batch partitioning converges to the same mart; the "
     "oracle is the batch re-aggregation of the new snapshot (shared "
-    "with z_ivm_group_agg).",
+    "with ivm_group_agg).",
     build=_stream_ivm,
     oracle="""
         WITH newsnap AS (

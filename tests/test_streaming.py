@@ -530,46 +530,51 @@ def test_streaming_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
 
     src = str(tmp_path / "changes")
     cur = dict(rows)
-    checkpoints = {}
-    for e in range(n_epochs):
-        nxt = dict(cur)
-        nxt[1000 + e] = ("g%d" % (e % 7), 0.5 * e)        # insert
-        upd = (e * 3) % 60
-        if upd in nxt:                                     # update (moves group)
-            nxt[upd] = ("g%d" % ((e + 1) % 7), nxt[upd][1] + 1)
-        nxt.pop((e * 5) % 60, None)                        # delete (if present)
-        delta = snapshot_delta_images(snap(cur), snap(nxt), ["k"], ["g", "v"])
-        delta.coalesce(1).write.mode("append").parquet(src)
-        cur = nxt
-        if e in (9, 24, n_epochs - 1):
-            checkpoints[e] = _mart_dict(_group_agg(snap(cur)))
-
     walls = []
     orig_step_host = ivm_stream.ivm_apply_group_agg
-
     state = str(tmp_path / "mart")
     _group_agg(snap(rows)).write.parquet(state + "/v0")  # seed: initial snapshot
-    stream = (
-        spark.readStream.schema(
-            snapshot_delta_images(snap(rows), snap(rows), ["k"], ["g", "v"]).schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    schema = snapshot_delta_images(
+        snap(rows), snap(rows), ["k"], ["g", "v"]
+    ).schema
     t_wrap = time.time
 
     def timed_apply(*a, **kw):
         walls.append(t_wrap())
         return orig_step_host(*a, **kw)
 
-    ivm_stream.ivm_apply_group_agg = timed_apply
-    try:
-        final = _mart_dict(
+    def drain():
+        # same checkpoint each time: the stream resumes at the next
+        # unseen file, epoch ids keep climbing monotonically
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return _mart_dict(
             maintain_group_agg_stream(spark, stream, state, "g", "v", keep_last=3)
         )
+
+    checkpoint_epochs = (9, 24, n_epochs - 1)
+    ivm_stream.ivm_apply_group_agg = timed_apply
+    try:
+        for e in range(n_epochs):
+            nxt = dict(cur)
+            nxt[1000 + e] = ("g%d" % (e % 7), 0.5 * e)        # insert
+            upd = (e * 3) % 60
+            if upd in nxt:                                     # update (moves group)
+                nxt[upd] = ("g%d" % ((e + 1) % 7), nxt[upd][1] + 1)
+            nxt.pop((e * 5) % 60, None)                        # delete (if present)
+            delta = snapshot_delta_images(snap(cur), snap(nxt), ["k"], ["g", "v"])
+            delta.coalesce(1).write.mode("append").parquet(src)
+            cur = nxt
+            if e in checkpoint_epochs:
+                # drain everything written so far and compare the
+                # MAINTAINED mart against the batch recompute of the
+                # current snapshot — mid-history, not just at the end
+                assert drain() == _mart_dict(_group_agg(snap(cur))), e
     finally:
         ivm_stream.ivm_apply_group_agg = orig_step_host
-    assert final == checkpoints[n_epochs - 1]
     # epoch wall times from merge-start deltas: compare medians of the
     # first and last third (generous 3x bound — this guards against
     # O(mart-age) blowup, not scheduler noise)
