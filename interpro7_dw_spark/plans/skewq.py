@@ -263,3 +263,64 @@ register(QuerySpec(
                // (2 * (sa.sz + sb.sz - common))) / 10000.0 >= 0.1
     """,
 ))
+
+
+# --------------------------------------------------- salted aggregate
+
+def _skew_salted_agg(spark: SparkSession, sf: str):
+    """Hot-stratum exact totals through the explicit two-stage salted
+    aggregate (deterministic salt from the row key so both engines---
+    and reruns---see identical intermediate groups; the FINAL result
+    is salt-invariant anyway, which is the point). DECIMAL(18,4)
+    partials keep the sum exact and order-independent."""
+    docs = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("seg"), (F.col("o_orderkey") % 10).cast("string"))
+        )
+        .alias("seg"),
+    )
+    out = SK.salted_aggregate(
+        docs,
+        ["seg"],
+        [
+            F.sum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,4)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ],
+        [
+            F.sum("s").cast("decimal(18,4)").alias("total"),
+            F.sum("c").cast("long").alias("n_orders"),
+        ],
+        salt_source="o_orderkey",
+    )
+    return out.select(
+        "seg", F.col("total").cast("double").alias("total"), "n_orders"
+    )
+
+
+register(QuerySpec(
+    name="z_skew_salted_agg",
+    tags=("A1", "SKEW"),
+    description="Exact per-segment totals on a 90%-hot segment via "
+    "the explicit two-stage salted aggregate "
+    "(operators/skew.py::salted_aggregate): partials per (segment, "
+    "salt-of-rowkey) bound every reducer's group at ~|group|/16, the "
+    "final combine sees 16 rows per segment. The result is "
+    "salt-invariant, so the oracle is the plain GROUP BY; "
+    "DECIMAL(18,4) partials make the double-valued total "
+    "order-independent bit-for-bit.",
+    build=_skew_salted_agg,
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 10 < 9 THEN 'hot'
+                    ELSE 'seg' || CAST(o_orderkey % 10 AS VARCHAR)
+               END AS seg,
+               CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+))
