@@ -2449,7 +2449,7 @@ def _ewma_build(spark: SparkSession, sf: str):
     return ewma(t(spark, sf, "events"))
 
 
-def _ewma_oracle() -> str:
+def _ewma_oracle(chunk_seconds: int = 21_600) -> str:
     """Replays the chunk-composed EWMA structure exactly: per
     (key, 6h-chunk) left folds for the row values and the (A, B)
     affine summary, a per-key prefix fold over chunk summaries for the
@@ -2458,7 +2458,7 @@ def _ewma_oracle() -> str:
     carried s_in. Identical operation order to the Spark plan, so the
     doubles agree bit-for-bit before the 6-place round."""
     a, om = repr(200_000 / 1e6), repr(1.0 - 200_000 / 1e6)
-    chunk_ns = 21_600 * 1_000_000_000
+    chunk_ns = chunk_seconds * 1_000_000_000
     return f"""
         WITH e AS (
           SELECT user_id AS key, epoch_ns(ts) AS tsn, event_id AS id,

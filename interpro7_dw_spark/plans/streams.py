@@ -435,3 +435,71 @@ register(QuerySpec(
         )
     """,
 ))
+
+
+def _stream_ewma(spark, sf):
+    """Per-event EWMA as a CONTINUOUS stateful stream: the events
+    table split into one file per 4-day time chunk (mtime-stamped in
+    chunk order so the file source replays event time monotonically),
+    folded through applyInPandasWithState with three scalars of state
+    per key. Micro-batch boundaries == chunk boundaries, so the
+    streamed doubles equal the chunk-composed batch plan bit-for-bit
+    and the SAME DuckDB oracle replays them."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ewma_stream import ewma_stream
+    from ..streaming.runner import run_stream
+    from .spec import t
+
+    chunk_seconds = 345_600
+    chunk_ns = chunk_seconds * 1_000_000_000
+    ev = t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    root = fixture_dir("ewma_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/events"
+    chunks = sorted(
+        r[0] for r in ev.select(F.expr(f"ts DIV {chunk_ns}")).distinct().collect()
+    )
+    stamped = set()
+    for i, c in enumerate(chunks):
+        ev.filter(F.expr(f"ts DIV {chunk_ns}") == c).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for r, _d, files in os.walk(src):
+            for f in files:
+                pth = os.path.join(r, f)
+                if pth not in stamped:
+                    os.utime(pth, (1_700_000_000 + 100 * i,) * 2)
+                    stamped.add(pth)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return run_stream(spark, ewma_stream(stream), "append")
+
+
+def _stream_ewma_oracle() -> str:
+    from .llmops import _ewma_oracle
+
+    return _ewma_oracle(chunk_seconds=345_600)
+
+
+register(QuerySpec(
+    name="z_stream_ewma",
+    tags=("ST3", "W4", "TS1"),
+    description="Per-event EWMA as a stateful STREAM "
+    "(streaming/ewma_stream.py::ewma_stream, applyInPandasWithState, "
+    "three scalars of state per key): each micro-batch is one time "
+    "chunk, the carried state is the affine-composed s_in, outputs "
+    "replay the elementwise fold from it — op-for-op the batch ewma "
+    "arithmetic, so streamed == batch bit-for-bit before the 6-place "
+    "round (pinned in tests) and the chunk-parameterized batch "
+    "oracle verifies the stream directly. Fails fast on out-of-order "
+    "micro-batches (the sequential-fold ordering contract).",
+    build=_stream_ewma,
+    oracle=_stream_ewma_oracle(),
+))

@@ -634,3 +634,56 @@ def test_run_stream_files_sink_hygiene(spark, tmp_path):
             sink="files",
             sink_dir=str(tmp_path / "s2"),
         )
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """streaming/ewma_stream.py — when micro-batch boundaries align
+    with the batch operator's time chunks, the streamed per-event
+    EWMA equals operators/timeseries.py::ewma BIT-FOR-BIT (same
+    folds, same multiply-add order, same shortest-repr HALF_UP
+    round); an out-of-order batch fails fast."""
+    import os
+
+    from interpro7_dw_spark.operators.timeseries import ewma
+    from interpro7_dw_spark.streaming.ewma_stream import ewma_stream
+    from interpro7_dw_spark.streaming.runner import run_stream
+
+    chunk_ns = 21_600 * 1_000_000_000
+    rows = []
+    eid = 0
+    for c in range(4):                      # 4 six-hour chunks
+        for u in (1, 2, 3):
+            for j in range(7):
+                eid += 1
+                rows.append(
+                    (u, c * chunk_ns + j * 901_000_000_000 + u,
+                     eid, ((eid * 37) % 113) / 7.0 - 3.0)
+                )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+    src = tmp_path / "ev"
+    stamped: set[str] = set()
+    for c in range(4):                      # one file per chunk, in order
+        df.filter(
+            (F.col("ts") >= c * chunk_ns) & (F.col("ts") < (c + 1) * chunk_ns)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        # stamp only the files THIS chunk added, with increasing
+        # mtimes, so the file source replays them in chunk order
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in stamped:
+                    t = 1_700_000_000 + 100 * c
+                    os.utime(p, (t, t))
+                    stamped.add(p)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sorted(
+        map(tuple, run_stream(spark, ewma_stream(stream), "append").collect())
+    )
+    want = sorted(map(tuple, ewma(df).collect()))
+    assert got == want and len(got) == len(rows)
