@@ -458,3 +458,123 @@ def ivm_apply_group_agg(
         ).cast("decimal(18,4)").alias(total_col),
     )
     return merged.filter(F.col(n_col) > 0)
+
+
+def ivm_minmax_rescan_groups(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+) -> DataFrame:
+    """The groups whose maintained MIN/MAX cannot be derived from the
+    mart + delta alone: a retraction that ties or beats the group's
+    current extremum may have removed its last supporter — the mart
+    carries no multiplicity, so those groups (and ONLY those) must be
+    re-aggregated from the facts. Exposed separately so tests can pin
+    the rescan set exactly."""
+    ret = delta.filter(
+        F.col("change_type").isin("delete", "update")
+    ).groupBy(F.col(f"old_{group_col}").alias(group_col)).agg(
+        F.min(f"old_{value_col}").alias("__ret_min"),
+        F.max(f"old_{value_col}").alias("__ret_max"),
+    )
+    on = base_agg[group_col].eqNullSafe(ret[group_col])
+    return (
+        base_agg.join(ret, on, "inner")
+        .filter(
+            F.coalesce(F.col("__ret_min") <= F.col(min_col), F.lit(False))
+            | F.coalesce(F.col("__ret_max") >= F.col(max_col), F.lit(False))
+        )
+        .select(base_agg[group_col])
+    )
+
+
+def ivm_apply_group_minmax(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    new_facts: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n_rows",
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+) -> DataFrame:
+    """Incremental view maintenance for a ``(group, n_rows, min, max)``
+    mart — the RETRACT-HARD aggregates: SUM/COUNT fold deltas
+    algebraically (:func:`ivm_apply_group_agg`), but MIN/MAX are not
+    invertible, so a deletion of the current extremum cannot be
+    repaired from the mart alone (the mart does not know whether
+    another row ties it). The standard production compromise, made
+    explicit here:
+
+    - inserts merge cheaply (``least``/``greatest`` against the mart),
+    - retractions strictly INSIDE the current (min, max) envelope
+      merge cheaply too (they cannot have been the extremum),
+    - only groups where a retracted value TIES OR BEATS the current
+      extremum are re-aggregated from ``new_facts``, reached through a
+      semi-join on the rescan set — with facts partitioned/clustered
+      by group, partition pruning bounds the rescan to those groups'
+      data, never |facts|.
+
+    ``n_rows`` counts all rows; min/max ignore nulls (SQL semantics).
+    Groups whose maintained count reaches zero leave the mart. The
+    result equals a full re-aggregation of the new snapshot — the
+    machine-checked contract (tests + the z_ivm_minmax oracle).
+    """
+    ret = delta.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col(f"old_{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias("__dn"),
+        F.col(f"old_{value_col}").alias("__rv"),
+        F.lit(None).cast(dict(delta.dtypes)[f"new_{value_col}"]).alias("__av"),
+    )
+    add = delta.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col(f"new_{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("__dn"),
+        F.lit(None).cast(dict(delta.dtypes)[f"old_{value_col}"]).alias("__rv"),
+        F.col(f"new_{value_col}").alias("__av"),
+    )
+    d = ret.unionByName(add).groupBy(group_col).agg(
+        F.sum("__dn").alias("__dn"),
+        F.min("__rv").alias("__ret_min"),
+        F.max("__rv").alias("__ret_max"),
+        F.min("__av").alias("__add_min"),
+        F.max("__av").alias("__add_max"),
+    )
+    on = base_agg[group_col].eqNullSafe(d[group_col])
+    merged = base_agg.join(d, on, "full_outer").select(
+        F.coalesce(base_agg[group_col], d[group_col]).alias(group_col),
+        (
+            F.coalesce(base_agg[n_col], F.lit(0))
+            + F.coalesce(d["__dn"], F.lit(0))
+        ).cast("long").alias(n_col),
+        base_agg[min_col].alias("__base_min"),
+        base_agg[max_col].alias("__base_max"),
+        "__ret_min",
+        "__ret_max",
+        "__add_min",
+        "__add_max",
+    )
+    needs_rescan = F.coalesce(
+        F.col("__ret_min") <= F.col("__base_min"), F.lit(False)
+    ) | F.coalesce(F.col("__ret_max") >= F.col("__base_max"), F.lit(False))
+    live = merged.filter(F.col(n_col) > 0)
+    cheap = live.filter(~needs_rescan).select(
+        group_col,
+        n_col,
+        F.least("__base_min", "__add_min").alias(min_col),
+        F.greatest("__base_max", "__add_max").alias(max_col),
+    )
+    rescan_keys = live.filter(needs_rescan).select(group_col)
+    fk = new_facts[group_col].eqNullSafe(rescan_keys[group_col])
+    rescanned = (
+        new_facts.join(rescan_keys, fk, "left_semi")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(n_col),
+            F.min(value_col).alias(min_col),
+            F.max(value_col).alias(max_col),
+        )
+    )
+    return cheap.unionByName(rescanned)

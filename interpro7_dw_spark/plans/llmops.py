@@ -3280,3 +3280,72 @@ register(QuerySpec(
                     ELSE least((q0 - 1) // 2 + 1, 100) END) >= 1
     """,
 ))
+
+
+def _ivm_minmax_build(spark: SparkSession, sf: str):
+    """Maintain a (customer, n_rows, min, max) order mart under the
+    same snapshot change mix as ivm_group_agg — deletes (%7), value
+    updates (%5), group-moving updates (%13), inserts (%11) — through
+    the RETRACT-HARD min/max IVM: cheap merges everywhere except the
+    groups whose extremum was retracted, which re-aggregate from the
+    new facts via a semi-join on the rescan set."""
+    from ..operators.cdc import ivm_apply_group_minmax, snapshot_delta_images
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    mart = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("min_v"),
+        F.max("o_totalprice").alias("max_v"),
+    )
+    delta = snapshot_delta_images(
+        base, new, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    return ivm_apply_group_minmax(mart, delta, new, "o_custkey", "o_totalprice")
+
+
+register(QuerySpec(
+    name="z_ivm_minmax",
+    tags=("CD3", "A1", "A6"),
+    description="Incremental view maintenance for MIN/MAX — the "
+    "retract-HARD aggregates (operators/cdc.py::"
+    "ivm_apply_group_minmax): SUM/COUNT fold deltas algebraically, "
+    "but a deleted extremum cannot be repaired from the mart alone "
+    "(no multiplicity), so inserts and inside-envelope retractions "
+    "merge cheaply while ONLY extremum-touched groups re-aggregate "
+    "from the facts through a rescan-set semi-join "
+    "(partition-prunable at scale). The oracle is the full "
+    "re-aggregation of the new snapshot — maintained == recomputed.",
+    build=_ivm_minmax_build,
+    oracle="""
+        WITH newsnap AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        FROM newsnap GROUP BY 1
+    """,
+))

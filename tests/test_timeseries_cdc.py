@@ -639,3 +639,78 @@ def test_gapfill_two_phase_fill_matches_single_chunk(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "bucket" in spec:  # the phase-1 fill window (orders by bucket)
             assert "__c" in spec, spec
+
+
+def test_ivm_minmax_maintained_equals_recomputed(spark):
+    """ivm_apply_group_minmax — the retract-hard aggregates: cheap
+    merges for inserts and inside-envelope retractions, per-group
+    facts rescan ONLY where a retracted value ties/beats the current
+    extremum. Engineered cases: min deleted with a TIE left behind
+    (must not change), min deleted without tie (must rise), new global
+    min inserted, group-moving update, group fully deleted."""
+    from interpro7_dw_spark.operators.cdc import (
+        ivm_apply_group_minmax,
+        ivm_minmax_rescan_groups,
+        snapshot_delta_images,
+    )
+
+    schema = "k long, g string, v double"
+    old = spark.createDataFrame(
+        [
+            (1, "tie", 1.0), (2, "tie", 1.0), (3, "tie", 5.0),
+            (4, "lift", 1.0), (5, "lift", 4.0),
+            (6, "ins", 3.0), (7, "ins", 8.0),
+            (8, "move", 2.0), (9, "move", 9.0),
+            (10, "gone", 7.0),
+            (11, "quiet", 0.0), (12, "quiet", 6.0),
+            (13, "nulls", None), (14, "nulls", 2.5),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (2, "tie", 1.0), (3, "tie", 5.0),              # k=1 del: tie stays
+            (5, "lift", 4.0),                               # k=4 del: min rises
+            (6, "ins", 3.0), (7, "ins", 8.0), (15, "ins", -1.0),  # new min
+            (8, "quiet", 2.0), (9, "move", 9.0),            # k=8 moves group
+            (11, "quiet", 0.0), (12, "quiet", 6.0),
+            (13, "nulls", None), (14, "nulls", 2.5),
+        ],
+        schema,
+    )
+    mart = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    delta = snapshot_delta_images(old, new, ["k"], ["g", "v"])
+    got = {
+        r.g: (r.n_rows, r.min_v, r.max_v)
+        for r in ivm_apply_group_minmax(mart, delta, new, "g", "v").collect()
+    }
+    want = {
+        r.g: (r.n_rows, r.min_v, r.max_v)
+        for r in new.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        ).collect()
+    }
+    assert got == want and "gone" not in got
+    assert got["tie"] == (2, 1.0, 5.0)          # tie preserved the min
+    assert got["lift"] == (1, 4.0, 4.0)         # min rose after rescan
+    assert got["ins"][1] == -1.0                # cheap-path new minimum
+    # the rescan set is EXACTLY the extremum-touched groups: 'tie' and
+    # 'lift' (min deleted), 'move' (its min left the group), 'gone'
+    # (everything deleted) — NOT 'ins' (insert-only), NOT 'quiet'
+    # (gained a row, lost none), NOT 'nulls' (untouched)
+    rescan = {
+        r.g for r in ivm_minmax_rescan_groups(mart, delta, "g", "v").collect()
+    }
+    assert rescan == {"tie", "lift", "move", "gone"}
+    # facts reach the plan only through the semi-join branch
+    plan = (
+        ivm_apply_group_minmax(mart, delta, new, "g", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
