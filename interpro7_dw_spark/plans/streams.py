@@ -503,3 +503,96 @@ register(QuerySpec(
     build=_stream_ewma,
     oracle=_stream_ewma_oracle(),
 ))
+
+
+def _stream_ivm_minmax(spark, sf):
+    """Continuous MIN/MAX mart maintenance over the copy-on-write
+    facts bucket store: the orders changelog (the shared ivm_group_agg
+    derivation) streamed one file per micro-batch; each epoch rewrites
+    only the buckets holding changed customers and re-aggregates only
+    extremum-touched groups from them. The final mart must equal the
+    batch min/max re-aggregation of the new snapshot (the oracle)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.minmax_stream import (
+        maintain_group_minmax_stream,
+        seed_minmax_state,
+    )
+    from .spec import t
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    survivors = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = base.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    delta = snapshot_delta_images(
+        base, new, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    root = fixture_dir("ivm_minmax_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    for part in range(3):
+        delta.filter(k % 3 == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    state = f"{root}_state"
+    seed_minmax_state(spark, base, state, "o_custkey", "o_totalprice",
+                      n_buckets=16)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    out = maintain_group_minmax_stream(
+        spark, stream, state, "o_custkey", "o_totalprice", ["o_orderkey"],
+        n_buckets=16,
+    )
+    return out.select("o_custkey", "n_rows", "min_v", "max_v")
+
+
+register(QuerySpec(
+    name="z_stream_ivm_minmax",
+    tags=("ST4", "CD3", "A6"),
+    description="CONTINUOUS MIN/MAX view maintenance "
+    "(streaming/minmax_stream.py::maintain_group_minmax_stream): the "
+    "retract-hard aggregates maintained per micro-batch over a "
+    "miniature copy-on-write fact store — bucket = hash(group), each "
+    "epoch rewrites ONLY touched buckets and re-aggregates ONLY "
+    "extremum-retracted groups from them (the Delta/Iceberg idea in "
+    "one directory tree; per-epoch cost |delta| + touched buckets, "
+    "never |facts|). Epoch-idempotent versions, _SUCCESS-gated, same "
+    "replay guard as the sum/count IVM stream. Oracle: the batch "
+    "min/max re-aggregation of the new snapshot.",
+    build=_stream_ivm_minmax,
+    oracle="""
+        WITH newsnap AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        FROM newsnap GROUP BY 1
+    """,
+))
