@@ -545,6 +545,7 @@ def _stream_ivm_minmax(spark, sf):
     )
     root = fixture_dir("ivm_minmax_stream", sf)
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state", ignore_errors=True)
     shutil.rmtree(root + "_state_chk", ignore_errors=True)
     for part in range(3):
         delta.filter(k % 3 == part).coalesce(1).write.mode("append").parquet(
