@@ -3349,3 +3349,123 @@ register(QuerySpec(
         FROM newsnap GROUP BY 1
     """,
 ))
+
+
+def _ivm_join_build(spark: SparkSession, sf: str):
+    """Maintain a per-nation order mart over customer |><| orders
+    under SIMULTANEOUS changelogs on both inputs: fact deletes (%7),
+    value updates (%5), JOIN-KEY-MOVING updates (%13 -> custkey+1M,
+    matched only where the dim insert below exists), fact inserts
+    (%11); dim deletes (%23), GROUP-MOVING dim updates (%17 ->
+    nationkey+100), dim inserts (%29 -> custkey+1M, nation 999 —
+    the dF|><|dD cross-term lands here). The maintained mart must
+    equal the full re-join + re-aggregation of the two new
+    snapshots, which is what the oracle computes."""
+    from ..operators.cdc import ivm_apply_join_agg, snapshot_delta_images
+
+    fact_old = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+    )
+    k = F.col("o_orderkey")
+    fact_new = fact_old.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("custkey") + 1_000_000)
+        .otherwise(F.col("custkey"))
+        .alias("custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        fact_old.filter(k % 11 == 0).select(
+            (k + 10_000_000).alias("o_orderkey"), "custkey", "o_totalprice"
+        )
+    )
+    dim_old = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    c = F.col("custkey")
+    dim_new = dim_old.filter(c % 23 != 0).select(
+        "custkey",
+        F.when(c % 17 == 0, F.col("nationkey") + 100)
+        .otherwise(F.col("nationkey"))
+        .alias("nationkey"),
+    ).unionByName(
+        dim_old.filter(c % 29 == 0).select(
+            (c + 1_000_000).alias("custkey"),
+            F.lit(999).cast("long").alias("nationkey"),
+        )
+    )
+    mart = (
+        fact_old.join(dim_old, "custkey", "inner")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("total"),
+        )
+    )
+    fact_delta = snapshot_delta_images(
+        fact_old, fact_new, ["o_orderkey"], ["custkey", "o_totalprice"]
+    )
+    dim_delta = snapshot_delta_images(
+        dim_old, dim_new, ["custkey"], ["nationkey"]
+    )
+    out = ivm_apply_join_agg(
+        mart, fact_old, fact_delta, dim_new, dim_delta,
+        "custkey", "nationkey", "o_totalprice",
+    )
+    return out.select(
+        "nationkey", "n_rows", F.col("total").cast("double").alias("total")
+    )
+
+
+register(QuerySpec(
+    name="z_ivm_join_agg",
+    tags=("CD3", "J2", "A1"),
+    description="MULTI-TABLE incremental view maintenance "
+    "(operators/cdc.py::ivm_apply_join_agg): a materialized "
+    "per-nation aggregate over customer |><| orders folded forward "
+    "under changelogs on BOTH inputs via the bilinear delta rule "
+    "dV = dF|><|D_new + F_old|><|dD — fact images map through the "
+    "new dim, dim images carry semi-join-pruned per-key old-fact "
+    "partials (the facts are rescanned ONLY under dim keys that "
+    "changed, broadcast-pruned). Exercises fact deletes / value "
+    "updates / join-key moves / inserts AND dim deletes / "
+    "group-moves / inserts, including the cross-term where a moved "
+    "fact lands on a freshly inserted dim row. Cost |dF| + |dD| + "
+    "facts-under-touched-dim-keys — never |facts| x |dim|. The "
+    "oracle IS the full re-join + re-aggregation of both new "
+    "snapshots: maintained == recomputed, value-for-value.",
+    build=_ivm_join_build,
+    oracle="""
+        WITH newfact AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        ),
+        newdim AS (
+          SELECT c_custkey AS custkey,
+                 CAST(CASE WHEN c_custkey % 17 = 0 THEN c_nationkey + 100
+                      ELSE c_nationkey END AS BIGINT) AS nationkey
+          FROM customer WHERE c_custkey % 23 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, CAST(999 AS BIGINT)
+          FROM customer WHERE c_custkey % 29 = 0
+        )
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total
+        FROM newfact f JOIN newdim d USING (custkey)
+        GROUP BY 1
+    """,
+))

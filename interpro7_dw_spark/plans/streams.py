@@ -597,3 +597,36 @@ register(QuerySpec(
         FROM newsnap GROUP BY 1
     """,
 ))
+
+
+def _stream_join(spark, sf):
+    from ..streaming.join_stream import attribution_join_stream
+
+    return attribution_join_stream(spark, f"{sf}/events.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_join",
+    tags=("ST5", "J7", "TS2"),
+    description="Watermarked STREAM-STREAM inner join "
+    "(streaming/join_stream.py::attribution_join_stream): the events "
+    "feed split into impression (even ids) and action (odd ids) "
+    "streams, joined per user on an event-time range (action within "
+    "60 min after the impression). Both sides are watermarked and "
+    "the range condition bounds BOTH state buffers — the symmetric "
+    "hash join holds only horizon+watermark worth of rows per side, "
+    "partitioned by the equi-key. Streamed-equals-batch: the emitted "
+    "pairs equal the batch range join, which is the oracle.",
+    build=_stream_join,
+    oracle="""
+        SELECT l.user_id,
+               l.event_id AS impression_id,
+               r.event_id AS action_id,
+               CAST((epoch_ns(r.ts) - epoch_ns(l.ts)) // 1000 AS BIGINT)
+                 AS lag_us
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+))

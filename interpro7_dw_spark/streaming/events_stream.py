@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from .runner import run_stream
 
 
-def _event_stream(spark: SparkSession, events_path: str):
+def _event_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+):
     # events.ts arrives either as epoch-nanos LONG (TIMESTAMP(NANOS)
     # parquet read under the legacy flag) or as timestamp_ntz
     # (TIMESTAMP(MICROS) parquet); normalize to a proper event-time
@@ -33,11 +37,12 @@ def _event_stream(spark: SparkSession, events_path: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_path)
     directory, _, filename = events_path.rpartition("/")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", filename)
-        .parquet(directory)
+    reader = spark.readStream.schema(batch.schema).option(
+        "pathGlobFilter", filename
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(directory)
     # The cast branch is decided once from an eager batch read; the
     # stream assumes the parquet physical ts type is fixed for the
     # lifetime of the query (true for this finite fixture source —

@@ -809,3 +809,61 @@ def test_streaming_minmax_untouched_bucket_not_rewritten(spark, tmp_path):
         if sorted(os.listdir(f"{state}/facts/b{b}")) != ["v0"]
     ]
     assert len(rewritten) == 1, rewritten
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """The stream-stream join's whole point: an impression buffered in
+    the state store during micro-batch 1 must still match an action
+    arriving in micro-batch 2 (inside the horizon), while actions past
+    the 60-min horizon never emit. Two files forced into separate
+    micro-batches via maxFilesPerTrigger=1 and ordered mtimes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from interpro7_dw_spark.streaming.join_stream import attribution_join_stream
+
+    M = 60 * 1_000_000_000  # one minute in nanos
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # base offset: a row AT the initial watermark (epoch 0) would be
+    # dropped as late — real feeds never start at the epoch
+    B = 1_000_000 * M
+    # batch 1: impressions for u and v, plus one same-batch action
+    write(
+        f"{d}/a.parquet",
+        [(B + 0 * M, 2, "u"), (B + 5 * M, 1, "u"), (B + 10 * M, 4, "v")],
+    )
+    # batch 2: actions 30-90 min later — id3 and id7 match buffered
+    # impressions, id5 is past the horizon
+    write(
+        f"{d}/b.parquet",
+        [(B + 30 * M, 3, "u"), (B + 90 * M, 5, "u"), (B + 35 * M, 7, "v")],
+    )
+    os.utime(f"{d}/a.parquet", (1_000_000, 1_000_000))
+    os.utime(f"{d}/b.parquet", (1_000_100, 1_000_100))
+
+    out = attribution_join_stream(
+        spark, f"{d}/*.parquet", max_files_per_trigger=1
+    )
+    got = {
+        (r.user_id, r.impression_id, r.action_id, r.lag_us)
+        for r in out.collect()
+    }
+    assert got == {
+        ("u", 2, 1, 5 * 60_000_000),
+        ("u", 2, 3, 30 * 60_000_000),
+        ("v", 4, 7, 25 * 60_000_000),
+    }

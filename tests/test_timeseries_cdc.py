@@ -714,3 +714,112 @@ def test_ivm_minmax_maintained_equals_recomputed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" in plan
+
+
+def test_ivm_join_agg_all_change_paths(spark):
+    """Join-view maintenance must equal full re-join + re-aggregation
+    through every change path on micro data: fact value update, fact
+    join-key move, fact delete/insert, dim group move, dim delete,
+    dim insert, and the cross-term (a moved fact landing on an
+    inserted dim row). Also: a group drained to zero leaves the mart,
+    and a fact moved to a key with NO dim row stops contributing."""
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.cdc import (
+        ivm_apply_join_agg,
+        snapshot_delta_images,
+    )
+
+    fact_old = spark.createDataFrame(
+        [
+            (1, 10, 5.0),    # value update -> 6.0
+            (2, 10, 7.0),    # moved to key 40 (inserted dim) - cross-term
+            (3, 20, 9.0),    # deleted
+            (4, 20, 11.0),   # survives; dim 20 moves group g2 -> g9
+            (5, 30, 13.0),   # dim 30 deleted -> contribution retracts
+            (6, 10, None),   # null value contributes 0, counts 1
+        ],
+        "fk long, k long, v double",
+    )
+    fact_new = spark.createDataFrame(
+        [
+            (1, 10, 6.0),
+            (2, 40, 7.0),
+            (4, 20, 11.0),
+            (5, 30, 13.0),
+            (6, 10, None),
+            (7, 99, 1.0),    # inserted, key 99 has no dim row -> dropped
+        ],
+        "fk long, k long, v double",
+    )
+    dim_old = spark.createDataFrame(
+        [(10, "g1"), (20, "g2"), (30, "g3")], "k long, g string"
+    )
+    dim_new = spark.createDataFrame(
+        [(10, "g1"), (20, "g9"), (40, "g4")], "k long, g string"
+    )
+    mart = (
+        fact_old.join(dim_old, "k", "inner")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").alias("total"),
+        )
+    )
+    fd = snapshot_delta_images(fact_old, fact_new, ["fk"], ["k", "v"])
+    dd = snapshot_delta_images(dim_old, dim_new, ["k"], ["g"])
+    out = ivm_apply_join_agg(mart, fact_old, fd, dim_new, dd, "k", "g", "v")
+    got = {r.g: (r.n_rows, float(r.total)) for r in out.collect()}
+    want_df = (
+        fact_new.join(dim_new, "k", "inner")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").alias("total"),
+        )
+    )
+    want = {r.g: (r.n_rows, float(r.total)) for r in want_df.collect()}
+    assert got == want
+    # the drained group g3 (dim 30 deleted) must have left the mart
+    assert "g3" not in got
+    # spot-check the cross-term landed: moved fact 2 on inserted dim 40
+    assert got["g4"] == (1, 7.0)
+
+
+def test_ivm_join_agg_plan_prunes_fact_rescan(spark, tmp_path):
+    """The join-IVM scale claim: with materialized mart/delta inputs,
+    the old fact table appears in the plan exactly once, UNDER a
+    semi join against the (broadcast) dim-delta keys — never a free
+    full-fact aggregate."""
+    from interpro7_dw_spark.operators.cdc import ivm_apply_join_agg
+
+    mart_path = str(tmp_path / "mart")
+    facts_path = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [("g1", 2, 30.0)], "g string, n_rows long, total double"
+    ).write.parquet(mart_path)
+    spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 25.0)], "fk long, k long, v double"
+    ).write.parquet(facts_path)
+    mart = spark.read.parquet(mart_path)
+    fact_old = spark.read.parquet(facts_path)
+    dim_new = spark.createDataFrame([(10, "g1"), (20, "g2")], "k long, g string")
+    fd = spark.createDataFrame(
+        [(9, "insert", None, None, 10, 5.0)],
+        "fk long, change_type string, old_k long, old_v double, "
+        "new_k long, new_v double",
+    )
+    dd = spark.createDataFrame(
+        [(20, "insert", None, "g2")],
+        "k long, change_type string, old_g string, new_g string",
+    )
+    out = ivm_apply_join_agg(mart, fact_old, fd, dim_new, dd, "k", "g", "v")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the facts parquet relation (columns fk, k, v) appears exactly
+    # once, and only under the delta-key semi join
+    assert plan.count("Relation [fk#") == 1, plan
+    assert "LeftSemi" in plan, plan
+    got = {r.g: (r.n_rows, float(r.total)) for r in out.collect()}
+    assert got == {"g1": (3, 35.0), "g2": (1, 25.0)}
