@@ -1119,3 +1119,134 @@ def ann_recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def sq8_train(
+    emb: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, range) over the corpus — the SQ8 scalar
+    quantizer's entire training state (FAISS ScalarQuantizer
+    QT_8bit). min/max are selections, not arithmetic, so the trained
+    bounds are bit-identical in any engine. One aggregate pass; the
+    collected state is 2 x dim floats (dimension-sized, driver-safe).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        emb.select(F.posexplode(v).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = [0.0] * dim
+    rng = [0.0] * dim
+    for r in rows:
+        mn[r.d] = float(r.mn)
+        rng[r.d] = float(r.mx) - float(r.mn)
+    return mn, rng
+
+
+def sq8_encode(
+    emb: DataFrame,
+    mn: list[float],
+    rng: list[float],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side SQ8 encode: each dimension linearly quantized to one
+    byte, ``code_d = floor((x_d - min_d) * 255 / range_d + 0.5)`` —
+    8x compression vs float64 (4x vs float32) with NO training beyond
+    per-dim bounds, the cheap sibling of PQ. floor of IEEE-double
+    arithmetic, so codes replay exactly in the oracle (round() would
+    not — half-even vs half-up differs across engines). A degenerate
+    dimension (range 0) encodes as 0. Pure column ops: no shuffle,
+    no UDF.
+
+    Returns (id_col, codes array<int>).
+    """
+    mn_arr = F.array(*[F.lit(x) for x in mn])
+    rng_arr = F.array(*[F.lit(x) for x in rng])
+    x = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.element_at(rng_arr, i + 1) > 0,
+            F.floor(
+                ((F.element_at(x, i + 1) - F.element_at(mn_arr, i + 1)) * F.lit(255.0))
+                / F.element_at(rng_arr, i + 1)
+                + F.lit(0.5)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k nearest neighbors over an SQ8-compressed
+    corpus, asymmetric: the query stays full precision, each
+    candidate is dequantized from its byte codes
+    (``min_d + code_d * range_d / 255``) and scored by squared L2
+    via the dot decomposition ``q.q - 2 q.x + x.x`` (each dot a
+    pinned in-order fold, so the oracle replays it to the same 6
+    rounded places with list_dot_product).
+
+    Scale: encode is map-side; the scan is linear like pq_topk's ADC
+    but with zero codebook state — the whole quantizer is 2 x dim
+    floats riding in the plan as literals. Queries broadcast; the
+    per-query top-k uses the same two-stage bucket selection as
+    pq_topk so no task ever holds a corpus-sized group.
+
+    Returns (qid, rank, vid, adist) — ascending approx distance,
+    ties by vid.
+    """
+    mn, rng = sq8_train(emb, dim=dim, vec_col=vec_col)
+    mn_arr = F.array(*[F.lit(x) for x in mn])
+    rng_arr = F.array(*[F.lit(x) for x in rng])
+    codes = sq8_encode(emb, mn, rng, dim=dim, id_col=id_col, vec_col=vec_col)
+    deq = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.element_at(mn_arr, i + 1)
+        + (
+            F.element_at(F.col("codes"), i + 1).cast("double")
+            * F.element_at(rng_arr, i + 1)
+        )
+        / F.lit(255.0),
+    )
+    cand = codes.select(F.col(id_col).alias("vid"), deq.alias("cv"))
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dist = (
+        F.broadcast(q)
+        .join(cand, F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                _dot(F.col("qv"), F.col("qv"))
+                - F.lit(2.0) * _dot(F.col("qv"), F.col("cv"))
+                + _dot(F.col("cv"), F.col("cv")),
+                6,
+            ).alias("adist"),
+        )
+    )
+    bucketed = dist.withColumn("__b", F.pmod(F.abs(F.hash("vid")), F.lit(64)))
+    w_local = Window.partitionBy("qid", "__b").orderBy(F.asc("adist"), F.asc("vid"))
+    pruned = (
+        bucketed.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vid"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "adist")
+    )

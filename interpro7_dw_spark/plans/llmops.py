@@ -3469,3 +3469,53 @@ register(QuerySpec(
         GROUP BY 1
     """,
 ))
+
+
+register(QuerySpec(
+    name="z_sq8_topk",
+    tags=("NN2", "F9", "O5"),
+    description="Approximate top-5 neighbors over an SQ8 "
+    "scalar-quantized corpus (operators/similarity.py::sq8_topk, "
+    "FAISS QT_8bit shape): per-dim min/range bounds train in one "
+    "aggregate pass and ride as plan literals, encode is a map-side "
+    "floor (half-up via +0.5, engine-portable where round() is not), "
+    "asymmetric distance dequantizes candidates against the "
+    "full-precision query via the q.q - 2q.x + x.x dot decomposition. "
+    "Two-stage bucketed top-k — no corpus-sized window group. The "
+    "oracle replays quantize, dequantize, and the in-order dot folds "
+    "to the same 6 rounded places.",
+    build=lambda spark, sf: S.sq8_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") < 5, k=5
+    ),
+    oracle="""
+        WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        stats AS (
+          SELECT dims.d AS d, min(e.v[dims.d]) AS mn,
+                 max(e.v[dims.d]) - min(e.v[dims.d]) AS rng
+          FROM e, dims GROUP BY 1
+        ),
+        deq AS (
+          SELECT e.vec_id,
+                 list(CASE WHEN s.rng > 0
+                      THEN s.mn + (floor(((e.v[s.d] - s.mn) * 255.0) / s.rng
+                                         + 0.5) * s.rng) / 255.0
+                      ELSE s.mn END ORDER BY s.d) AS cv
+          FROM e, stats s GROUP BY e.vec_id
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        dist AS (
+          SELECT q.qid, c.vec_id AS vid,
+                 round(list_dot_product(q.qv, q.qv)
+                       - 2.0 * list_dot_product(q.qv, c.cv)
+                       + list_dot_product(c.cv, c.cv), 6) AS adist
+          FROM q JOIN deq c ON c.vec_id <> q.qid
+        )
+        SELECT qid, rank, vid, adist FROM (
+          SELECT qid, vid, adist,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY adist, vid) AS INT) AS rank
+          FROM dist
+        ) WHERE rank <= 5
+    """,
+))

@@ -1878,3 +1878,38 @@ def test_topk_per_group_skew_safe_and_exact(spark):
     # the phase-1 (full-data) window is bucket-split: its spec carries
     # __b alongside the group key
     assert any("__b" in s for s in specs), plan
+
+
+def test_sq8_quantization_error_bound_and_planted_neighbor(spark):
+    """SQ8 contract: every code lies in [0, 255]; dequantization error
+    is at most range/255/2 + eps per dimension (half-up rounding to
+    the nearest of 256 levels); a planted near-duplicate is the top-1
+    neighbor of its source under the quantized distance."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rnd = random.Random(7)
+    dim = 16
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(dim)]) for i in range(40)]
+    # plant: vec 40 = vec 0 + tiny noise (well under one quantization step)
+    rows.append((40, [x + 1e-4 for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    mn, rng = sq8_train(emb, dim=dim)
+    codes = {r.vec_id: r.codes for r in sq8_encode(emb, mn, rng, dim=dim).collect()}
+    by_id = dict(rows)
+    for vid, cs in codes.items():
+        assert all(0 <= c <= 255 for c in cs), (vid, cs)
+        for d, c in enumerate(cs):
+            deq = mn[d] + (c * rng[d]) / 255.0
+            assert abs(deq - by_id[vid][d]) <= rng[d] / 255.0 / 2 + 1e-12
+
+    top = sq8_topk(emb, F.col("vec_id") == 0, k=3, dim=dim).collect()
+    assert top[0].qid == 0 and top[0].rank == 1 and top[0].vid == 40
