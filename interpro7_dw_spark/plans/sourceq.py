@@ -285,3 +285,44 @@ register(QuerySpec(
         FROM nation
     """,
 ))
+
+
+def _orc_fixture(spark: SparkSession, sf: str) -> str:
+    """documents projected to ORC via the DataFrameWriter — the
+    second columnar format the engine reads natively (SURVEY §2.1:
+    the reference's sources are row formats + parquet; ORC closes
+    the columnar-interchange gap for warehouses that hand off
+    ORC, with the same pushdown/pruning contract as parquet)."""
+    out = os.path.join(_FIXDIR, "orc_docs_" + sf.replace("/", "_"))
+    (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", "source", F.md5("text").alias("text_md5"), "n_chars")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return out
+
+
+def _orc_roundtrip(spark: SparkSession, sf: str):
+    path = _orc_fixture(spark, sf)
+    return (
+        spark.read.orc(path)
+        .filter(F.col("n_chars") > 200)
+        .select("doc_id", "lang", "source", "text_md5", "n_chars")
+    )
+
+
+register(QuerySpec(
+    name="z_source_orc_roundtrip",
+    tags=("S4", "P2"),
+    description="ORC source round-trip: documents written as ORC via "
+    "the DataFrameWriter, read back through spark.read.orc with a "
+    "pushed n_chars predicate (ORC shares parquet's "
+    "pushdown/pruning contract — the filter reaches the stripe "
+    "reader), value-hashed against the parquet view.",
+    build=_orc_roundtrip,
+    oracle="""
+        SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
+        FROM documents WHERE n_chars > 200
+    """,
+))

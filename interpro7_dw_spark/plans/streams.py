@@ -630,3 +630,45 @@ register(QuerySpec(
          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
 ))
+
+
+def _stream_static_join(spark, sf):
+    from pyspark.sql import functions as F
+
+    from ..streaming.join_stream import enriched_event_counts
+    from .spec import t
+
+    dim = t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    out = enriched_event_counts(spark, f"{sf}/events.parquet", dim)
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+register(QuerySpec(
+    name="z_stream_static_join",
+    tags=("ST5", "J2", "A1"),
+    description="STREAM-STATIC broadcast enrichment + streaming "
+    "aggregation (streaming/join_stream.py::enriched_event_counts): "
+    "the events feed joined per micro-batch against a static "
+    "broadcast customer dim (no stream buffering for the static "
+    "side; the only state is the downstream (nation, segment) "
+    "aggregate), decimal-exact value sums. The streaming twin of the "
+    "batch marts' broadcast-dim joins; the oracle is the plain batch "
+    "join + group-by.",
+    build=_stream_static_join,
+    oracle="""
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               c.c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+))

@@ -79,3 +79,34 @@ def attribution_join_stream(
         (F.unix_micros("act_ts") - F.unix_micros("imp_ts")).alias("lag_us"),
     )
     return run_stream(spark, out, "append")
+
+
+def enriched_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    group_cols: tuple[str, str] = ("c_nationkey", "c_mktsegment"),
+) -> DataFrame:
+    """STREAM-STATIC join + streaming aggregation: the events feed
+    enriched against a broadcast dimension (the static side is
+    re-resolved per micro-batch — Spark's stream-static join never
+    buffers the stream for it, state is only the downstream
+    aggregate's). This is the streaming twin of every mart's
+    broadcast-dim enrichment (domain/pipeline.py): at 100 TB feed
+    scale the dim rides as a broadcast per batch and the only shuffle
+    is the group-key aggregate.
+
+    Returns (group_cols..., n, total_value) with a decimal-exact sum.
+    """
+    stream = _event_stream(spark, events_path)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim[dim_key], "inner"
+    )
+    out = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("total_value"),
+    )
+    return run_stream(spark, out, "complete")

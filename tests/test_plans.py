@@ -265,3 +265,22 @@ def test_minimizers_parallel_and_linear(spark):
     # and the exploded stage genuinely fans out past the input splits
     n_parts = out.rdd.getNumPartitions()
     assert n_parts > 1, n_parts
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark, tmp_path):
+    """The ORC reader must share parquet's contract: the predicate
+    reaches the stripe reader (PushedFilters) and the scan schema is
+    pruned to the projected columns."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(i, f"d{i}", i * 10) for i in range(100)],
+        "id long, name string, n long",
+    ).write.orc(path)
+    out = spark.read.orc(path).filter(F.col("n") > 500).select("id", "n")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "n" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "name" not in read_schema, read_schema
