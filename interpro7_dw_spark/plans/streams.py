@@ -672,3 +672,60 @@ register(QuerySpec(
         GROUP BY 1, 2
     """,
 ))
+
+
+def _stream_topk(spark, sf):
+    """Top-3 events per user by value, maintained CONTINUOUSLY: the
+    events feed split into 4 key-ranged files streamed one per
+    micro-batch; each epoch merges the batch's local top-3 with the
+    (at most 3-per-user) mart. The final version must equal the batch
+    top-3 over the whole table — the oracle."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ivm_stream import maintain_group_topk_stream
+
+    base = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    root = fixture_dir("topk_stream", sf)
+    for sub in ("rows", "mart", "mart_chk"):
+        shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+    for part in range(4):
+        base.filter(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{root}/rows")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/rows")
+    )
+    return maintain_group_topk_stream(
+        spark, stream, f"{root}/mart", "user_id", "value", "event_id", k=3
+    )
+
+
+register(QuerySpec(
+    name="z_stream_topk",
+    tags=("ST4", "O5", "CD3"),
+    description="CONTINUOUS top-k view maintenance "
+    "(streaming/ivm_stream.py::maintain_group_topk_stream): per-user "
+    "top-3 events by value folded forward one micro-batch at a time "
+    "— each epoch merges the batch's local top-3 (bucketed two-stage "
+    "selection, no batch-sized window group) with the k-per-key "
+    "mart under the same versioned epoch-idempotent commit protocol "
+    "as stream_ivm. Insert-only top-k is a bounded idempotent "
+    "monoid, so any micro-batch partitioning converges to the batch "
+    "top-3 — the oracle.",
+    build=_stream_topk,
+    oracle="""
+        SELECT user_id, rank, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id
+                 ) AS INT) AS rank
+          FROM events
+        ) WHERE rank <= 3
+    """,
+))

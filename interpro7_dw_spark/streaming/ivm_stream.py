@@ -176,3 +176,82 @@ def maintain_group_agg_stream(
     if latest is None:
         raise RuntimeError("no change batches arrived; mart never materialized")
     return spark.read.parquet(f"{state_dir}/{latest[3]}")
+
+
+def maintain_group_topk_stream(
+    spark: SparkSession,
+    rows: DataFrame,
+    state_dir: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    keep_last: int | None = None,
+) -> DataFrame:
+    """Continuous TOP-K view maintenance over an INSERT-ONLY feed:
+    each micro-batch's rows are reduced to per-key local top-k, merged
+    with the current mart (itself at most k rows per key), and
+    re-truncated — insert-only top-k is a bounded idempotent monoid,
+    so any micro-batch partitioning converges to the batch top-k (the
+    oracle). Per-epoch cost: |micro-batch| + k x touched keys; the
+    mart is k x key-cardinality-sized forever. Same versioned
+    ``v<n>_e<epoch>`` commit protocol as
+    :func:`maintain_group_agg_stream` (epoch-idempotent replays,
+    ``_SUCCESS``-gated readers, ``keep_last`` vacuum).
+
+    A hot key inside one micro-batch never pins a batch-sized window
+    group: local selection runs per (key, 64-way id-hash bucket)
+    first, then per key over the <= 64k survivors — top-k of bucket
+    top-ks is exactly the global top-k (the pq_topk selection shape).
+
+    Returns the latest committed mart (key, rank, id, value).
+    """
+    from pyspark.sql import Window
+
+    def topk(df: DataFrame) -> DataFrame:
+        bucketed = df.withColumn(
+            "__b", F.pmod(F.abs(F.hash(id_col)), F.lit(64))
+        )
+        w_local = Window.partitionBy(key_col, "__b").orderBy(
+            F.desc(value_col), F.asc(id_col)
+        )
+        pruned = (
+            bucketed.withColumn("__lr", F.row_number().over(w_local))
+            .filter(F.col("__lr") <= k)
+        )
+        w = Window.partitionBy(key_col).orderBy(F.desc(value_col), F.asc(id_col))
+        return (
+            pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "rank", id_col, value_col)
+        )
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        prev = _latest_committed(spark, state_dir)
+        if prev is not None and prev[1] is not None and epoch <= prev[1]:
+            return
+        local = topk(batch.select(key_col, id_col, value_col))
+        if prev is None:
+            merged = local
+        else:
+            mart = spark.read.parquet(f"{state_dir}/{prev[3]}")
+            merged = topk(
+                mart.select(key_col, id_col, value_col).unionByName(
+                    local.select(key_col, id_col, value_col)
+                )
+            )
+        nxt = (prev[0] if prev is not None else -1) + 1
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}_e{epoch}")
+        _vacuum(spark, state_dir, nxt, keep_last)
+
+    q = (
+        rows.writeStream.foreachBatch(step)
+        .option("checkpointLocation", state_dir + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_committed(spark, state_dir)
+    if latest is None:
+        raise RuntimeError("no batches arrived; top-k mart never materialized")
+    return spark.read.parquet(f"{state_dir}/{latest[3]}")

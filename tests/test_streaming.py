@@ -867,3 +867,53 @@ def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
         ("u", 2, 3, 30 * 60_000_000),
         ("v", 4, 7, 25 * 60_000_000),
     }
+
+
+def test_streaming_topk_converges_and_vacuums(spark, tmp_path):
+    """Top-k maintenance across several micro-batches must equal the
+    batch top-k (including a later batch displacing an earlier
+    leader), keep_last must bound retained versions, and every
+    retained version must be _SUCCESS-committed and epoch-stamped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.streaming.ivm_stream import (
+        maintain_group_topk_stream,
+    )
+
+    rows_dir = str(tmp_path / "rows")
+    state = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [
+            ("u", 1, 10.0), ("u", 2, 30.0), ("u", 3, 20.0),
+            ("u", 4, 40.0), ("u", 5, 5.0), ("u", 6, 35.0),
+            ("v", 7, 1.0), ("v", 8, 2.0),
+        ],
+        "k string, id long, v double",
+    )
+    # 4 files -> 4 micro-batches; later ids (higher values for u)
+    # displace earlier leaders
+    for part in range(4):
+        base.filter(F.col("id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(rows_dir)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rows_dir)
+    )
+    out = maintain_group_topk_stream(
+        spark, stream, state, "k", "v", "id", k=2, keep_last=2
+    )
+    got = {(r.k, r.rank): (r.id, r.v) for r in out.collect()}
+    assert got == {
+        ("u", 1): (4, 40.0),
+        ("u", 2): (6, 35.0),
+        ("v", 1): (8, 2.0),
+        ("v", 2): (7, 1.0),
+    }
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(versions) == 2, versions
+    for d in versions:
+        assert "_e" in d and os.path.exists(f"{state}/{d}/_SUCCESS")
