@@ -133,3 +133,97 @@ def heavy_hitters(
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overestimate"),
     )
+
+
+def _hll_cols(key_sql: str, m: int):
+    """(bucket, rho) column pair for one key, engine-portable: bucket
+    from the first 8 md5 hex digits, rho (leading-zero rank) decoded
+    from hex digits 9..16 with STRING/INTEGER ops only — no log2/pow
+    whose last-ulp behavior could differ between engines. An all-zero
+    word decodes to rho = 33."""
+    h = f"md5(CAST(CAST({key_sql} AS STRING) AS BINARY))"
+    bucket = F.expr(
+        f"CAST(conv(substring({h}, 1, 8), 16, 10) AS BIGINT) % {m}"
+    )
+    rho = F.expr(
+        f"""
+        4 * (8 - length(trim(LEADING '0' FROM substring({h}, 9, 8))))
+        + CASE substring(trim(LEADING '0' FROM substring({h}, 9, 8)), 1, 1)
+            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+            ELSE 0 END
+        + 1
+        """
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 128,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): per group,
+    at most ``m`` rows of (bucket, rho = max leading-zero rank of the
+    keys hashing there). max() is the merge — per-partition register
+    tables combine cell-wise, which is exactly the partial/final
+    HashAggregate pair in batch AND a valid streaming aggregate
+    (streaming/hll_stream.py). State is m rows per group FOREVER,
+    where exact count-distinct state grows with cardinality.
+
+    Every decode step is md5-hex string/integer arithmetic, so any
+    engine (and the DuckDB oracle) replays each register exactly —
+    unlike approx_count_distinct, whose internal HLL++ state is
+    opaque (the z_approx_distinct_bounds contract can only check
+    error envelopes; this one is value-exact).
+    """
+    group_cols = group_cols or []
+    bucket, rho = _hll_cols(key_col, m)
+    return (
+        keys.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    m: int = 128,
+) -> DataFrame:
+    """Raw HLL cardinality estimate from a register table:
+    ``alpha_m * m^2 / (sum 2^-rho + n_zero)``. Every 2^-rho term has
+    a one-bit mantissa and the partial sums span < 53 bits, so the
+    harmonic sum is EXACT in double — order-independent, no pinned
+    fold needed — and the estimate is pure deterministic arithmetic.
+    Raw estimate only (no log-based small-range correction: ln()
+    last-ulp behavior is not engine-portable; n_zero is returned so
+    callers can see when the raw estimate is biased).
+
+    Returns (group..., n_zero, hll_est) — n_zero = registers never
+    hit, hll_est rounded to 6 places.
+    """
+    group_cols = group_cols or []
+    # Python-double alpha (a decimal literal inside F.expr would parse
+    # as DecimalType in Spark SQL — same trap as DuckDB's DECIMAL
+    # literals — and shift the estimate by an ulp vs the oracle)
+    alpha = F.lit(0.7213 / (1 + 1.079 / m))
+    s = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) "
+                "/ CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"
+            )
+        ).alias("__s_present"),
+    )
+    return s.select(
+        *group_cols,
+        (F.lit(m) - F.col("__n_present")).cast("long").alias("n_zero"),
+        F.round(
+            alpha * m * m
+            / (F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(1.0)),
+            6,
+        ).alias("hll_est"),
+    )

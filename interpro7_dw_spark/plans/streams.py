@@ -729,3 +729,66 @@ register(QuerySpec(
         ) WHERE rank <= 3
     """,
 ))
+
+
+def _stream_hll(spark, sf):
+    from ..streaming.hll_stream import streaming_hll_distinct_users
+
+    return streaming_hll_distinct_users(spark, f"{sf}/events.parquet")
+
+
+register(QuerySpec(
+    name="z_stream_hll",
+    tags=("ST1", "A5", "F3"),
+    description="Distinct users per event type from a STREAMED "
+    "HyperLogLog (streaming/hll_stream.py + "
+    "operators/sketches.py::hll_registers): the max-rho register "
+    "table is a mergeable streaming aggregate — 128 rows of state "
+    "per group at any feed length — and every register decodes from "
+    "md5 hex with string/integer ops only, so the raw estimate "
+    "(2^-rho harmonic sum is EXACT in double; no ln-based "
+    "small-range correction, n_zero exposes the bias) replays "
+    "value-for-value in the DuckDB oracle next to the exact "
+    "distinct count.",
+    build=_stream_hll,
+    oracle="""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT % 128 AS BIGINT) AS bucket,
+                 substring(md5(CAST(user_id AS VARCHAR)), 9, 8) AS h2
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, bucket,
+                 max(4 * (8 - length(ltrim(h2, '0')))
+                     + CASE substring(ltrim(h2, '0'), 1, 1)
+                         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1
+                         WHEN '6' THEN 1 WHEN '7' THEN 1
+                         ELSE 0 END
+                     + 1) AS rho
+          FROM h GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type,
+                 count(*) AS n_present,
+                 sum(CAST(1 AS DOUBLE)
+                     / CAST(1::BIGINT << rho AS DOUBLE)) AS s_present
+          FROM r GROUP BY 1
+        ),
+        ex AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT ex.event_type, ex.exact_distinct,
+               CAST(128 - s.n_present AS BIGINT) AS n_zero,
+               round((CAST(0.7213 AS DOUBLE)
+                      / (1 + CAST(1.079 AS DOUBLE) / 128)) * 128 * 128
+                     / (s.s_present
+                        + (128 - s.n_present) * CAST(1 AS DOUBLE)), 6)
+                 AS hll_est
+        FROM ex JOIN s USING (event_type)
+    """,
+))

@@ -1913,3 +1913,39 @@ def test_sq8_quantization_error_bound_and_planted_neighbor(spark):
 
     top = sq8_topk(emb, F.col("vec_id") == 0, k=3, dim=dim).collect()
     assert top[0].qid == 0 and top[0].rank == 1 and top[0].vid == 40
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """HLL contract: registers are a max-merge (union of two halves ==
+    registers of the whole), rho stays in [1, 33], and on a
+    cardinality well past m the raw estimate lands within the
+    standard-error envelope (1.04/sqrt(128) ~ 9.2%; assert 3x)."""
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    keys = spark.range(n).select(F.concat(F.lit("k"), "id").alias("key"))
+    regs = hll_registers(keys, "key")
+    rows = regs.collect()
+    assert all(1 <= r.rho <= 33 for r in rows)
+    assert len(rows) <= 128
+
+    # mergeability: max-combine of the two halves == whole
+    lo = hll_registers(keys.filter(F.col("key") < "k25"), "key")
+    hi = hll_registers(keys.filter(F.col("key") >= "k25"), "key")
+    merged = {
+        r.bucket: r.rho
+        for r in lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert merged == {r.bucket: r.rho for r in rows}
+
+    est = hll_estimate(regs).collect()[0]
+    assert est.n_zero == 128 - len(rows)
+    assert abs(est.hll_est - n) / n < 0.28, est.hll_est
