@@ -167,3 +167,102 @@ def mad_outliers(
     return out.select(
         "id", "key", "v", "median", "mad", flag.alias("is_outlier")
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: per key, at most ``bins`` rows of
+    (bucket, count) over a GLOBAL value grid — the mergeable sibling
+    of the exact two-phase quantiles above. Counts sum cell-wise, so
+    per-partition sketches combine in the partial/final aggregate AND
+    the same plan is a valid streaming aggregate (bins rows of state
+    per key at any feed length), exactly like the CMS/HLL sketches.
+    Quantile answers from it are off by at most one bin width — a
+    KNOWN, value-scale error bound, where rank-based sketches bound
+    rank error instead. Bucketing is floor() of IEEE-double
+    arithmetic on selection-exact bounds, so every cell replays in
+    the oracle. Null values are excluded.
+
+    Returns (key, bucket, cnt); bounds default to the global min/max
+    (two driver scalars, one aggregate pass).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(key_col).alias("key"), v.alias("__v")
+    )
+    if lo is None or hi is None:
+        row = base.agg(
+            F.min("__v").alias("lo"), F.max("__v").alias("hi")
+        ).collect()[0]
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    if hi > lo:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    ((F.col("__v") - F.lit(lo)) * F.lit(bins)) / F.lit(hi - lo)
+                ),
+            ),
+        )
+    else:
+        bucket = F.lit(0).cast("long")
+    return (
+        base.select("key", bucket.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    q_ppms: list[int],
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Quantiles from a histogram sketch: for each q (in parts per
+    million — integer, so the target rank ``(q_ppm * n + 999999) DIV
+    1e6`` is exact in any engine), the smallest bucket whose
+    cumulative count reaches the rank, reported as that bucket's
+    UPPER edge — within one bin width of the true quantile. The
+    cumulative window runs over <= ``bins`` rows per key (bounded
+    groups, never a key's history).
+
+    Returns (key, q_ppm, est) with est rounded to 6 places.
+    """
+    cum = sketch.select(
+        "key",
+        "bucket",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("key")).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(q),) for q in q_ppms], "q_ppm long"
+    )
+    target = F.expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)")
+    picked = (
+        cum.crossJoin(F.broadcast(qdf))
+        .groupBy("key", "q_ppm")
+        .agg(
+            F.min(F.when(F.col("cum") >= target, F.col("bucket"))).alias("__b")
+        )
+    )
+    est = F.round(
+        F.lit(lo) + ((F.col("__b") + 1) * F.lit(hi - lo)) / F.lit(bins), 6
+    )
+    return picked.select("key", "q_ppm", est.alias("est"))

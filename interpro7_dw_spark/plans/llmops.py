@@ -3519,3 +3519,74 @@ register(QuerySpec(
         ) WHERE rank <= 5
     """,
 ))
+
+
+def _hist_quantiles(spark: SparkSession, sf: str):
+    from ..operators.quantiles import histogram_quantile, histogram_sketch
+
+    ev = t(spark, sf, "events").select("event_type", "value")
+    row = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo, hi = float(row.lo), float(row.hi)
+    sk = histogram_sketch(ev, "event_type", "value", bins=256, lo=lo, hi=hi)
+    out = histogram_quantile(sk, [500000, 900000, 990000], 256, lo, hi)
+    return out.select(
+        F.col("key").alias("event_type"), "q_ppm", "est"
+    )
+
+
+register(QuerySpec(
+    name="z_histogram_quantiles",
+    tags=("A5", "TS1", "W4"),
+    description="Approximate grouped quantiles from a MERGEABLE "
+    "fixed-grid histogram sketch "
+    "(operators/quantiles.py::histogram_sketch/_quantile): per key at "
+    "most 256 (bucket, count) cells over a global value grid — "
+    "counts sum cell-wise, so the sketch is one partial/final "
+    "aggregate in batch and the same plan streams with 256 rows of "
+    "state per key (the CMS/HLL shape, but for order statistics). "
+    "p50/p90/p99 reported as bucket upper edges — off by at most one "
+    "bin width; integer-ppm target ranks keep rank selection "
+    "engine-exact, and the grid replays in the oracle cell for "
+    "cell.",
+    build=_hist_quantiles,
+    oracle="""
+        WITH v AS (
+          SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        s AS (
+          SELECT key,
+                 CASE WHEN b.hi > b.lo
+                      THEN LEAST(255, GREATEST(0,
+                           CAST(floor(((v - b.lo) * 256) / (b.hi - b.lo))
+                                AS BIGINT)))
+                      ELSE 0 END AS bucket,
+                 count(*) AS cnt
+          FROM v, b GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT key, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY key) AS n
+          FROM s
+        ),
+        q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm),
+        p AS (
+          SELECT c.key, q.q_ppm,
+                 min(CASE WHEN c.cum >= (q.q_ppm * c.n + 999999) // 1000000
+                     THEN c.bucket END) AS bb
+          FROM c, q GROUP BY 1, 2
+        )
+        SELECT p.key AS event_type, CAST(p.q_ppm AS BIGINT) AS q_ppm,
+               round(b.lo + ((p.bb + 1) * (b.hi - b.lo)) / 256, 6) AS est
+        FROM p, b
+    """,
+))

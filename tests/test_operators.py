@@ -1949,3 +1949,54 @@ def test_hll_registers_merge_and_estimate_accuracy(spark):
     est = hll_estimate(regs).collect()[0]
     assert est.n_zero == 128 - len(rows)
     assert abs(est.hll_est - n) / n < 0.28, est.hll_est
+
+
+def test_histogram_sketch_merge_and_error_bound(spark):
+    """Histogram-sketch contract: cell-wise sum of two halves equals
+    the whole-table sketch, and every quantile answer is within one
+    bin width of the exact order statistic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.quantiles import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    rnd = random.Random(11)
+    rows = [("a", rnd.uniform(0, 100)) for _ in range(3000)] + [
+        ("b", rnd.gauss(50, 10)) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    lo = min(r[1] for r in rows)
+    hi = max(r[1] for r in rows)
+    bins = 128
+    sk = histogram_sketch(df, "k", "v", bins=bins, lo=lo, hi=hi)
+
+    lo_half = histogram_sketch(
+        df.filter(F.col("v") < 50), "k", "v", bins=bins, lo=lo, hi=hi
+    )
+    hi_half = histogram_sketch(
+        df.filter(F.col("v") >= 50), "k", "v", bins=bins, lo=lo, hi=hi
+    )
+    merged = {
+        (r.key, r.bucket): r.cnt
+        for r in lo_half.unionByName(hi_half)
+        .groupBy("key", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == {(r.key, r.bucket): r.cnt for r in sk.collect()}
+
+    got = {
+        (r.key, r.q_ppm): r.est
+        for r in histogram_quantile(sk, [500000, 990000], bins, lo, hi).collect()
+    }
+    width = (hi - lo) / bins
+    for key in ("a", "b"):
+        vals = sorted(v for k, v in rows if k == key)
+        for q_ppm in (500000, 990000):
+            rank = (q_ppm * len(vals) + 999999) // 1000000
+            exact = vals[rank - 1]
+            assert abs(got[(key, q_ppm)] - exact) <= width + 1e-9
