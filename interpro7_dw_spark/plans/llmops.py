@@ -1001,7 +1001,10 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="corpus_mix",
+    # z_-parked in the r11 second-half rotation that promoted
+    # ivm_join_agg: TX5 weighted mixing stays in-window via
+    # curation_pipeline's mix stage; the differ still value-checks it
+    name="z_corpus_mix",
     tags=("TX5", "A1", "W1"),
     description="Weighted corpus mixing (operators/sampling.py::"
     "corpus_mix): an 81-document epoch drawn 3:2:1:7 from four "
@@ -3424,7 +3427,8 @@ def _ivm_join_build(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_ivm_join_agg",
+    # promoted into the driver window in the r11 second-half rotation
+    name="ivm_join_agg",
     tags=("CD3", "J2", "A1"),
     description="MULTI-TABLE incremental view maintenance "
     "(operators/cdc.py::ivm_apply_join_agg): a materialized "

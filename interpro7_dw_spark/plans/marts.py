@@ -278,7 +278,10 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="mart_structure2xrefs",
+    # z_-parked in the r11 second-half rotation that promoted
+    # stream_join: the nested-xref mart family keeps three in-window
+    # members (mart_entry2xrefs, mart_taxon2xrefs, mart_clan2xrefs)
+    name="z_mart_structure2xrefs",
     tags=("X5", "A8", "A13", "J2"),
     description="structure2xrefs mart (reference interpro/xrefs/"
     "structures.py:40-122): per-PDB entry sets per database, clan ('sets') "

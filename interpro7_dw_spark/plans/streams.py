@@ -606,7 +606,8 @@ def _stream_join(spark, sf):
 
 
 register(QuerySpec(
-    name="z_stream_join",
+    # promoted into the driver window in the r11 second-half rotation
+    name="stream_join",
     tags=("ST5", "J7", "TS2"),
     description="Watermarked STREAM-STREAM inner join "
     "(streaming/join_stream.py::attribution_join_stream): the events "
