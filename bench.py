@@ -101,6 +101,12 @@ HEADLINE = [
     # promoted into the driver window in the r11 rotation (same queries)
     "ivm_group_agg",
     "ewma",
+    # r11 second-half additions: multi-table (join-view) IVM, SQ8
+    # scalar-quantized ANN, and the mergeable histogram quantiles —
+    # the new batch families promoted/landed after the first r11 bench
+    "ivm_join_agg",
+    "z_sq8_topk",
+    "z_histogram_quantiles",
 ]
 
 

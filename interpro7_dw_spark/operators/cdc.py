@@ -591,6 +591,7 @@ def ivm_apply_join_agg(
     value_col: str,
     n_col: str = "n_rows",
     total_col: str = "total",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Incremental view maintenance for a materialized aggregate over
     a two-table INNER JOIN — ``SELECT dim.group, count(*),
@@ -599,6 +600,13 @@ def ivm_apply_join_agg(
     case the reference rebuilds from scratch every release; its xref
     marts re-join every protein to every entry nightly,
     `interpro7dw/mysql/entries.py` has no incremental path).
+
+    ``broadcast_dim`` hints the (join_key, group) projection of the
+    NEW dim as a broadcast for term 1 — right for dimension tables.
+    Pass False for a dim too large to broadcast: term 1 degrades to a
+    shuffle hash join whose stream side is only |dF|, still never
+    |facts|. The dim-DELTA broadcast in term 2 stays either way (a
+    delta is small by definition).
 
     The classic bilinear delta rule: with signed multisets
     ``dF = F_new - F_old`` and ``dD = D_new - D_old``,
@@ -641,9 +649,11 @@ def ivm_apply_join_agg(
         dec(f"new_{value_col}").alias("__dv"),
     )
     dim_groups = dim_new.select(join_key, group_col)
+    if broadcast_dim:
+        dim_groups = F.broadcast(dim_groups)
     term1 = (
         f_retract.unionByName(f_add)
-        .join(F.broadcast(dim_groups), join_key, "inner")
+        .join(dim_groups, join_key, "inner")
         .select(group_col, "__dn", "__dv")
     )
 

@@ -3594,3 +3594,70 @@ register(QuerySpec(
         FROM p, b
     """,
 ))
+
+
+def _dedup_components_star(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components_star
+
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(D.shingles(t(spark, sf, "documents")))
+    )
+    cc = connected_components_star(pairs.select("da", "db"), src="da", dst="db")
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+register(QuerySpec(
+    name="z_dedup_components_star",
+    tags=("DD3", "G1", "DD5"),
+    description="Near-dup cluster assignment by ALTERNATING large-star/"
+    "small-star contraction (operators/graph.py::"
+    "connected_components_star, Kiveris et al. 2014) over the same "
+    "MinHash+LSH candidate pairs as z_dedup_components — O(log^2 n) "
+    "rounds on ANY topology where min-label propagation needs "
+    "diameter rounds (a corpus-sized dedup graph with chain-shaped "
+    "clusters stalls the label path; the star path contracts it "
+    "non-locally). Identical output contract, identical reachability "
+    "oracle; unit tests additionally pin algorithm equivalence and a "
+    "300-node chain past the label path's round cap.",
+    build=_dedup_components_star,
+    oracle=f"""
+        WITH RECURSIVE {{cte}},
+        seeded AS (
+          SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
+          FROM sh, LATERAL unnest(generate_series(0, 15)) AS s(seed)
+        ),
+        minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                 md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+          FROM minh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size,
+               doc_id = component AS is_canonical
+        FROM comp
+    """.format(cte=_SHINGLE_CTE),
+))

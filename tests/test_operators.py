@@ -2000,3 +2000,30 @@ def test_histogram_sketch_merge_and_error_bound(spark):
             rank = (q_ppm * len(vals) + 999999) // 1000000
             exact = vals[rank - 1]
             assert abs(got[(key, q_ppm)] - exact) <= width + 1e-9
+
+
+def test_components_star_equivalence_and_chain_depth(spark):
+    """Large-star/small-star must produce EXACTLY min-label
+    propagation's components on a random graph, and solve a 300-node
+    chain — a topology whose diameter exceeds the label path's
+    default round cap — within its O(log^2 n) rounds."""
+    import random
+
+    from interpro7_dw_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(3)
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    label = {r.node: r.component for r in connected_components(df).collect()}
+    star = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert star == label
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components_star(chain).collect()}
+    assert len(got) == 300 and set(got.values()) == {0}
