@@ -1164,21 +1164,30 @@ def sq8_encode(
 
     Returns (id_col, codes array<int>).
     """
-    mn_arr = F.array(*[F.lit(x) for x in mn])
-    rng_arr = F.array(*[F.lit(x) for x in rng])
+    # the bounds ride as ONE broadcast row of two array columns, and
+    # the encode is a zip_with — a constant-size expression tree. (The
+    # first cut embedded 2 x dim literal-array expressions inside a
+    # transform(); Catalyst analysis/codegen of that ~8k-node tree
+    # cost seconds per query regardless of data volume.)
+    spark = emb.sparkSession
+    stats = spark.createDataFrame(
+        [(list(mn), list(rng))], "mn array<double>, rng array<double>"
+    )
     x = F.col(vec_col).cast("array<double>")
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.element_at(rng_arr, i + 1) > 0,
-            F.floor(
-                ((F.element_at(x, i + 1) - F.element_at(mn_arr, i + 1)) * F.lit(255.0))
-                / F.element_at(rng_arr, i + 1)
-                + F.lit(0.5)
-            ).cast("int"),
+    zipped = F.arrays_zip(F.col("mn"), F.col("rng"))
+    codes = F.zip_with(
+        x,
+        zipped,
+        lambda xi, s: F.when(
+            s["rng"] > 0,
+            F.floor(((xi - s["mn"]) * F.lit(255.0)) / s["rng"] + F.lit(0.5)).cast(
+                "int"
+            ),
         ).otherwise(F.lit(0)),
     )
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), codes.alias("codes")
+    )
 
 
 def sq8_topk(
@@ -1199,7 +1208,7 @@ def sq8_topk(
 
     Scale: encode is map-side; the scan is linear like pq_topk's ADC
     but with zero codebook state — the whole quantizer is 2 x dim
-    floats riding in the plan as literals. Queries broadcast; the
+    floats riding as one broadcast row. Queries broadcast; the
     per-query top-k uses the same two-stage bucket selection as
     pq_topk so no task ever holds a corpus-sized group.
 
@@ -1207,23 +1216,28 @@ def sq8_topk(
     ties by vid.
     """
     mn, rng = sq8_train(emb, dim=dim, vec_col=vec_col)
-    mn_arr = F.array(*[F.lit(x) for x in mn])
-    rng_arr = F.array(*[F.lit(x) for x in rng])
     codes = sq8_encode(emb, mn, rng, dim=dim, id_col=id_col, vec_col=vec_col)
-    deq = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.element_at(mn_arr, i + 1)
-        + (
-            F.element_at(F.col("codes"), i + 1).cast("double")
-            * F.element_at(rng_arr, i + 1)
-        )
-        / F.lit(255.0),
+    stats = emb.sparkSession.createDataFrame(
+        [(list(mn), list(rng))], "mn array<double>, rng array<double>"
     )
-    cand = codes.select(F.col(id_col).alias("vid"), deq.alias("cv"))
+    codes = codes.crossJoin(F.broadcast(stats))
+    deq = F.zip_with(
+        F.col("codes"),
+        F.arrays_zip(F.col("mn"), F.col("rng")),
+        lambda c, s: s["mn"] + (c.cast("double") * s["rng"]) / F.lit(255.0),
+    )
+    # hoist the self-dots out of the pair join: ||c||^2 once per
+    # candidate, ||q||^2 once per query — the pair cost is ONE
+    # 64-dim fold instead of three (identical arithmetic and
+    # rounding, so the oracle is unchanged; 3x fewer lambda evals
+    # on the corpus x queries hot path)
+    cand = codes.select(F.col(id_col).alias("vid"), deq.alias("cv")).withColumn(
+        "cc", _dot(F.col("cv"), F.col("cv"))
+    )
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qq", _dot(F.col("qv"), F.col("qv")))
     dist = (
         F.broadcast(q)
         .join(cand, F.col("qid") != F.col("vid"))
@@ -1231,9 +1245,9 @@ def sq8_topk(
             "qid",
             "vid",
             F.round(
-                _dot(F.col("qv"), F.col("qv"))
+                F.col("qq")
                 - F.lit(2.0) * _dot(F.col("qv"), F.col("cv"))
-                + _dot(F.col("cv"), F.col("cv")),
+                + F.col("cc"),
                 6,
             ).alias("adist"),
         )

@@ -793,3 +793,100 @@ register(QuerySpec(
         FROM ex JOIN s USING (event_type)
     """,
 ))
+
+
+def _stream_ivm_join(spark, sf):
+    """Continuous JOIN-view maintenance: the orders changelog (same
+    mutation mix as ivm_join_agg's fact side) streamed one file per
+    micro-batch into a per-nation customer|><|orders mart with the
+    customer dim held static — the final version must equal the
+    batch re-join + re-aggregation of the new fact snapshot (the
+    oracle). Facts moved to custkey+1M have no dim row and drop out
+    (inner-join view semantics)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.ivm_stream import maintain_join_agg_stream
+
+    fact_old = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    fact_new = fact_old.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.col("custkey") + 1_000_000)
+        .otherwise(F.col("custkey"))
+        .alias("custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        fact_old.filter(k % 11 == 0).select(
+            (k + 10_000_000).alias("o_orderkey"), "custkey", "o_totalprice"
+        )
+    )
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    delta = snapshot_delta_images(
+        fact_old, fact_new, ["o_orderkey"], ["custkey", "o_totalprice"]
+    )
+    root = fixture_dir("ivm_join_stream", sf)
+    for sub in ("facts", "changes", "mart", "mart_chk"):
+        shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+    fact_old.write.parquet(f"{root}/facts")
+    for part in range(4):
+        delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    out = maintain_join_agg_stream(
+        spark, stream, dim, f"{root}/mart", f"{root}/facts",
+        "custkey", "nationkey", "o_totalprice",
+    )
+    return out.select(
+        "nationkey", "n_rows", F.col("total").cast("double").alias("total")
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm_join",
+    tags=("ST4", "CD3", "J2"),
+    description="CONTINUOUS multi-table view maintenance "
+    "(streaming/ivm_stream.py::maintain_join_agg_stream): the orders "
+    "changelog streamed one file per micro-batch through "
+    "ivm_apply_join_agg merges — fact images map through the "
+    "broadcast static customer dim, retract/add into versioned "
+    "_SUCCESS-gated mart snapshots with epoch-idempotent replays. "
+    "Facts re-keyed to custkeys with no dim row drop out (inner-join "
+    "view). Per-epoch cost |micro-batch| + touched groups; the "
+    "oracle is the batch re-join + re-aggregation of the new fact "
+    "snapshot.",
+    build=_stream_ivm_join,
+    oracle="""
+        WITH newfact AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS custkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(coalesce(f.o_totalprice, 0) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total
+        FROM newfact f JOIN customer c ON f.custkey = c.c_custkey
+        GROUP BY 1
+    """,
+))

@@ -255,3 +255,95 @@ def maintain_group_topk_stream(
     if latest is None:
         raise RuntimeError("no batches arrived; top-k mart never materialized")
     return spark.read.parquet(f"{state_dir}/{latest[3]}")
+
+
+def maintain_join_agg_stream(
+    spark: SparkSession,
+    fact_changes: DataFrame,
+    dim: DataFrame,
+    state_dir: str,
+    fact_old_path: str,
+    join_key: str,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n_rows",
+    total_col: str = "total",
+    keep_last: int | None = None,
+) -> DataFrame:
+    """Continuous MULTI-TABLE view maintenance: a STREAM of
+    both-images fact change rows folded into a materialized
+    ``fact |><| dim`` aggregate via
+    :func:`..operators.cdc.ivm_apply_join_agg` — the production shape
+    where facts arrive as a changelog and the dimension moves slowly
+    (held static across this run; a dim change is a batch
+    ``ivm_apply_join_agg`` call with the dim delta between runs).
+    Each epoch maps the micro-batch's fact images through the
+    broadcast dim and merges retract/add contributions into a new
+    ``v<n>_e<epoch>`` version — same epoch-idempotent, _SUCCESS-gated,
+    ``keep_last``-vacuumed commit protocol as
+    :func:`maintain_group_agg_stream`. ``fact_old_path`` seeds the
+    empty-mart case only (the first epoch's mart is built from it);
+    after that the cost per epoch is |micro-batch| + touched groups.
+
+    Returns the latest committed mart (group, n_rows, total).
+    """
+    from ..operators.cdc import ivm_apply_join_agg
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        prev = _latest_committed(spark, state_dir)
+        if prev is not None and prev[1] is not None and epoch <= prev[1]:
+            return
+        if prev is None:
+            # materialize the seed aggregate as v0 and read it back:
+            # the merge below joins the mart against the SAME dim it
+            # was derived from, and a shared lineage would trip
+            # Spark's ambiguous-self-join analysis
+            fact_old = spark.read.parquet(fact_old_path)
+            (
+                fact_old.join(dim, join_key, "inner")
+                .groupBy(group_col)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias(n_col),
+                    F.sum(
+                        F.coalesce(F.col(value_col), F.lit(0)).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("decimal(18,4)").alias(total_col),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/v0")
+            )
+            mart = spark.read.parquet(f"{state_dir}/v0")
+            nxt = 1
+        else:
+            mart = spark.read.parquet(f"{state_dir}/{prev[3]}")
+            nxt = prev[0] + 1
+        # dim is static for the run: the dim-delta term is empty, so
+        # only term 1 (fact images through the dim) contributes
+        empty_dim_delta = (
+            dim.select(
+                join_key,
+                F.lit("update").alias("change_type"),
+                F.col(group_col).alias(f"old_{group_col}"),
+                F.col(group_col).alias(f"new_{group_col}"),
+            ).limit(0)
+        )
+        empty_fact_old = spark.read.parquet(fact_old_path).limit(0)
+        out = ivm_apply_join_agg(
+            mart, empty_fact_old, batch, dim, empty_dim_delta,
+            join_key, group_col, value_col, n_col=n_col, total_col=total_col,
+        )
+        out.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}_e{epoch}")
+        _vacuum(spark, state_dir, nxt, keep_last)
+
+    q = (
+        fact_changes.writeStream.foreachBatch(step)
+        .option("checkpointLocation", state_dir + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_committed(spark, state_dir)
+    if latest is None:
+        raise RuntimeError("no change batches arrived; mart never materialized")
+    return spark.read.parquet(f"{state_dir}/{latest[3]}")

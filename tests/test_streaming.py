@@ -917,3 +917,66 @@ def test_streaming_topk_converges_and_vacuums(spark, tmp_path):
     assert len(versions) == 2, versions
     for d in versions:
         assert "_e" in d and os.path.exists(f"{state}/{d}/_SUCCESS")
+
+
+def test_streaming_join_ivm_matches_batch_rejoin(spark, tmp_path):
+    """Continuous join-view maintenance across micro-batches must
+    equal the batch re-join: fact deletes/updates/inserts and a
+    re-key to a missing dim row (drops out) streamed as 3 files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.streaming.ivm_stream import (
+        maintain_join_agg_stream,
+    )
+
+    facts_dir = str(tmp_path / "facts")
+    changes_dir = str(tmp_path / "changes")
+    state = str(tmp_path / "mart")
+    fact_old = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 9.0), (4, 30, 11.0)],
+        "fk long, k long, v double",
+    )
+    fact_new = spark.createDataFrame(
+        [
+            (1, 10, 6.0),    # value update
+            (2, 99, 7.0),    # re-keyed to missing dim -> drops out
+            (4, 30, 11.0),   # unchanged (fk 3 deleted)
+            (5, 20, 1.0),    # insert
+            (6, 20, 2.0),    # insert
+        ],
+        "fk long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "g1"), (20, "g2"), (30, "g3")], "k long, g string"
+    )
+    fact_old.write.parquet(facts_dir)
+    delta = snapshot_delta_images(fact_old, fact_new, ["fk"], ["k", "v"])
+    for part in range(3):
+        delta.filter(F.col("fk") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_dir)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    out = maintain_join_agg_stream(
+        spark, stream, dim, state, facts_dir, "k", "g", "v", keep_last=2
+    )
+    got = {r.g: (r.n_rows, float(r.total)) for r in out.collect()}
+    want_df = (
+        fact_new.join(dim, "k", "inner")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").alias("total"),
+        )
+    )
+    want = {r.g: (r.n_rows, float(r.total)) for r in want_df.collect()}
+    assert got == want
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) <= 2
