@@ -266,3 +266,76 @@ def histogram_quantile(
         F.lit(lo) + ((F.col("__b") + 1) * F.lit(hi - lo)) / F.lit(bins), 6
     )
     return picked.select("key", "q_ppm", est.alias("est"))
+
+
+def histogram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    value_col: str,
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Distribution drift between two snapshots, per key: total
+    variation distance ``TVD = sum |p_b - q_b| / 2`` over the shared
+    fixed grid of :func:`histogram_sketch`. TVD instead of KL: pure
+    ratio arithmetic (no libm log whose last-ulp behavior is not
+    engine-portable — the same reason bm25 scores rationally), robust
+    to empty bins (KL needs smoothing), and bounded [0, 1] so a drift
+    threshold means the same thing for every key. This is the
+    data-pipeline monitor shape: two sketch aggregates (mergeable,
+    streamable) + one bins-bounded merge per key — never a row-level
+    join between snapshots.
+
+    Bounds default to the min/max over BOTH snapshots (the grid must
+    be shared or the distance is meaningless). Keys present in only
+    one snapshot get TVD 1.0 conceptually; here they surface with
+    n_old/n_new = 0 so callers can tell absence from agreement.
+
+    Returns (key, n_old, n_new, tvd) — tvd rounded to 6 places.
+    """
+    if lo is None or hi is None:
+        both = old.select(F.col(value_col).cast("double").alias("__v")).unionByName(
+            new.select(F.col(value_col).cast("double").alias("__v"))
+        ).filter(F.col("__v").isNotNull())
+        row = both.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).collect()[0]
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    a = histogram_sketch(old, key_col, value_col, bins=bins, lo=lo, hi=hi)
+    b = histogram_sketch(new, key_col, value_col, bins=bins, lo=lo, hi=hi)
+    na = a.groupBy("key").agg(F.sum("cnt").alias("n_old"))
+    nb = b.groupBy("key").agg(F.sum("cnt").alias("n_new"))
+    cells = (
+        a.select("key", "bucket", F.col("cnt").alias("cnt_old"))
+        .join(
+            b.select("key", "bucket", F.col("cnt").alias("cnt_new")),
+            ["key", "bucket"],
+            "full_outer",
+        )
+        .join(na, "key", "left")
+        .join(nb, "key", "left")
+        .select(
+            "key",
+            "n_old",
+            "n_new",
+            (
+                F.coalesce("cnt_old", F.lit(0)).cast("double") / F.col("n_old")
+                - F.coalesce("cnt_new", F.lit(0)).cast("double") / F.col("n_new")
+            ).alias("__d"),
+        )
+    )
+    return (
+        cells.groupBy("key", "n_old", "n_new")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.abs(F.col("__d")))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(2.0),
+                6,
+            ).alias("tvd")
+        )
+    )

@@ -3661,3 +3661,97 @@ register(QuerySpec(
         FROM comp
     """.format(cte=_SHINGLE_CTE),
 ))
+
+
+def _hist_drift(spark: SparkSession, sf: str):
+    """Drift between the events snapshot and a mutated twin (clicks
+    shifted +5.0; every user_id%3==0 row dropped): per-type TVD over
+    a shared 64-bin grid. click must drift hard (mass moved off its
+    old buckets), the untouched types only via the row drop."""
+    from ..operators.quantiles import histogram_drift
+
+    old = t(spark, sf, "events").select("event_type", "value", "user_id")
+    new = old.filter(F.col("user_id") % 3 != 0).select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.col("value").cast("double") + F.lit(5.0),
+        ).otherwise(F.col("value").cast("double")).alias("value"),
+    )
+    out = histogram_drift(old, new, "event_type", "value", bins=64)
+    return out.select(
+        F.col("key").alias("event_type"), "n_old", "n_new", "tvd"
+    )
+
+
+register(QuerySpec(
+    name="z_histogram_drift",
+    tags=("A5", "CD1", "TX4"),
+    description="Snapshot-drift monitor "
+    "(operators/quantiles.py::histogram_drift): per-key total "
+    "variation distance between two corpus snapshots over a shared "
+    "64-bin histogram grid — two mergeable sketch aggregates + one "
+    "bins-bounded merge per key, never a row-level snapshot join. "
+    "TVD not KL: pure ratio arithmetic (no libm log — not "
+    "engine-portable), smoothing-free, bounded [0,1]. The |p-q| fold "
+    "runs in pinned ascending order on both engines (F.aggregate "
+    "over array_sort == list_reduce over list(... ORDER BY ...)); "
+    "the oracle replays grid, ratios and fold value-for-value.",
+    build=_hist_drift,
+    oracle="""
+        WITH oldv AS (
+          SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        newv AS (
+          SELECT event_type AS key,
+                 CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DOUBLE) + CAST(5 AS DOUBLE)
+                      ELSE CAST(value AS DOUBLE) END AS v
+          FROM events WHERE value IS NOT NULL AND user_id % 3 <> 0
+        ),
+        b AS (
+          SELECT min(v) AS lo, max(v) AS hi
+          FROM (SELECT v FROM oldv UNION ALL SELECT v FROM newv)
+        ),
+        ha AS (
+          SELECT key,
+                 CASE WHEN b.hi > b.lo
+                      THEN LEAST(63, GREATEST(0,
+                           CAST(floor(((v - b.lo) * 64) / (b.hi - b.lo))
+                                AS BIGINT)))
+                      ELSE 0 END AS bucket,
+                 count(*) AS cnt
+          FROM oldv, b GROUP BY 1, 2
+        ),
+        hb AS (
+          SELECT key,
+                 CASE WHEN b.hi > b.lo
+                      THEN LEAST(63, GREATEST(0,
+                           CAST(floor(((v - b.lo) * 64) / (b.hi - b.lo))
+                                AS BIGINT)))
+                      ELSE 0 END AS bucket,
+                 count(*) AS cnt
+          FROM newv, b GROUP BY 1, 2
+        ),
+        na AS (SELECT key, sum(cnt) AS n_old FROM ha GROUP BY 1),
+        nb AS (SELECT key, sum(cnt) AS n_new FROM hb GROUP BY 1),
+        cells AS (
+          SELECT coalesce(ha.key, hb.key) AS key,
+                 abs(CAST(coalesce(ha.cnt, 0) AS DOUBLE) / na.n_old
+                     - CAST(coalesce(hb.cnt, 0) AS DOUBLE) / nb.n_new) AS d
+          FROM ha FULL OUTER JOIN hb
+            ON ha.key = hb.key AND ha.bucket = hb.bucket
+          LEFT JOIN na ON na.key = coalesce(ha.key, hb.key)
+          LEFT JOIN nb ON nb.key = coalesce(ha.key, hb.key)
+        )
+        SELECT key AS event_type,
+               CAST(any_value(n_old) AS BIGINT) AS n_old,
+               CAST(any_value(n_new) AS BIGINT) AS n_new,
+               round(list_reduce(list(d ORDER BY d), (a, x) -> a + x) / 2, 6)
+                 AS tvd
+        FROM cells
+        JOIN na USING (key) JOIN nb USING (key)
+        GROUP BY key
+    """,
+))

@@ -326,3 +326,49 @@ register(QuerySpec(
         FROM documents WHERE n_chars > 200
     """,
 ))
+
+
+def _schema_evolution_fixture(spark: SparkSession, sf: str) -> str:
+    """Two parquet generations under one table path: generation 1
+    lacks the later-added column, generation 2 carries it — the
+    schema-drift shape every long-lived 100 TB table accumulates."""
+    out = os.path.join(_FIXDIR, "evo_docs_" + sf.replace("/", "_"))
+    docs = t(spark, sf, "documents")
+    g1 = docs.filter(F.col("n_chars") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    g2 = docs.filter(F.col("n_chars") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )
+    g1.write.mode("overwrite").parquet(f"{out}/g=1")
+    g2.write.mode("overwrite").parquet(f"{out}/g=2")
+    return out
+
+
+def _schema_evolution_roundtrip(spark: SparkSession, sf: str):
+    path = _schema_evolution_fixture(spark, sf)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "n_chars", "text_md5")
+    )
+
+
+register(QuerySpec(
+    name="z_source_schema_evolution",
+    tags=("S2", "P1"),
+    description="Schema-evolution read: two parquet generations under "
+    "one table root (the second adds a column), read with "
+    "mergeSchema=true — Spark reconciles the footers and the missing "
+    "column surfaces as NULL for generation-1 rows, the exact "
+    "column-add drift a long-lived table accumulates. The oracle "
+    "recomputes both generations from the documents view.",
+    build=_schema_evolution_roundtrip,
+    oracle="""
+        SELECT doc_id, lang, n_chars, NULL AS text_md5
+        FROM documents WHERE n_chars % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, md5(text)
+        FROM documents WHERE n_chars % 2 = 1
+    """,
+))
