@@ -289,9 +289,10 @@ def histogram_drift(
     join between snapshots.
 
     Bounds default to the min/max over BOTH snapshots (the grid must
-    be shared or the distance is meaningless). Keys present in only
-    one snapshot get TVD 1.0 conceptually; here they surface with
-    n_old/n_new = 0 so callers can tell absence from agreement.
+    be shared or the distance is meaningless). A key present in only
+    one snapshot surfaces with a NULL count on the missing side (and
+    a NULL tvd, since p/0 is undefined) — callers treat that as
+    maximal drift; it is kept distinct from a computed 1.0.
 
     Returns (key, n_old, n_new, tvd) — tvd rounded to 6 places.
     """
