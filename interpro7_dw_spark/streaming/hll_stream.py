@@ -45,7 +45,9 @@ def streaming_hll_distinct_users(
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    registers = run_stream(spark, agg, "complete", sink=sink, sink_dir=sink_dir)
+    registers = run_stream(
+        spark, agg, "complete", sink=sink, sink_dir=sink_dir
+    )
     est = hll_estimate(registers, ["event_type"], m=m)
     exact = (
         spark.read.parquet(events_path)

@@ -30,6 +30,8 @@ def attribution_join_stream(
     horizon_minutes: int = 60,
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Watermarked STREAM-STREAM inner join: the events feed split
     into an impression stream (even event ids) and an action stream
@@ -78,7 +80,7 @@ def attribution_join_stream(
         "action_id",
         (F.unix_micros("act_ts") - F.unix_micros("imp_ts")).alias("lag_us"),
     )
-    return run_stream(spark, out, "append")
+    return run_stream(spark, out, "append", sink=sink, sink_dir=sink_dir)
 
 
 def enriched_event_counts(

@@ -980,3 +980,32 @@ def test_streaming_join_ivm_matches_batch_rejoin(spark, tmp_path):
     assert got == want
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) <= 2
+
+
+def test_file_sink_parity_join_and_hll(spark, tmp_path):
+    """File-sink parity for the second-half streaming ops: the
+    stream-stream attribution join (append mode -> exactly-once
+    parquet sink) and the streamed HLL registers (complete mode ->
+    foreachBatch overwrite) must match their memory-sink results."""
+    from interpro7_dw_spark.streaming.hll_stream import (
+        streaming_hll_distinct_users,
+    )
+    from interpro7_dw_spark.streaming.join_stream import attribution_join_stream
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    key = lambda df: sorted(map(tuple, df.collect()))
+    mem_j = key(attribution_join_stream(spark, events))
+    fil_j = key(
+        attribution_join_stream(
+            spark, events, sink="files", sink_dir=str(tmp_path / "join_sink")
+        )
+    )
+    assert mem_j == fil_j and len(mem_j) > 0
+
+    mem_h = key(streaming_hll_distinct_users(spark, events))
+    fil_h = key(
+        streaming_hll_distinct_users(
+            spark, events, sink="files", sink_dir=str(tmp_path / "hll_sink")
+        )
+    )
+    assert mem_h == fil_h and len(mem_h) > 0
