@@ -890,3 +890,80 @@ register(QuerySpec(
         GROUP BY 1
     """,
 ))
+
+
+def _stream_histogram(spark, sf):
+    """Quantiles from a STREAMED histogram sketch: bounds trained in
+    batch (two selection-exact scalars), cells maintained by a
+    streaming aggregate, p50/p90/p99 probed in batch from the final
+    sketch — identical grid to the batch operator, so the shared
+    oracle replays it."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quantiles import histogram_quantile
+    from ..streaming.events_stream import streaming_histogram_sketch
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    row = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo, hi = float(row.lo), float(row.hi)
+    sk = streaming_histogram_sketch(
+        spark, f"{sf}/events.parquet", bins=256, lo=lo, hi=hi
+    )
+    out = histogram_quantile(sk, [500000, 900000, 990000], 256, lo, hi)
+    return out.select(F.col("key").alias("event_type"), "q_ppm", "est")
+
+
+register(QuerySpec(
+    name="z_stream_histogram",
+    tags=("ST1", "A5", "TS1"),
+    description="Approximate grouped quantiles from a STREAMED "
+    "fixed-grid histogram sketch "
+    "(streaming/events_stream.py::streaming_histogram_sketch): the "
+    "(key, bucket) counts are a mergeable streaming aggregate — at "
+    "most 256 rows of state per key at any feed length — probed in "
+    "batch for p50/p90/p99 with integer-ppm target ranks. The "
+    "order-statistics sibling of the streamed CMS/HLL sketches; "
+    "streamed cells equal batch cells, so the oracle is the same "
+    "grid replay as z_histogram_quantiles.",
+    build=_stream_histogram,
+    oracle="""
+        WITH v AS (
+          SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        s AS (
+          SELECT key,
+                 CASE WHEN b.hi > b.lo
+                      THEN LEAST(255, GREATEST(0,
+                           CAST(floor(((v - b.lo) * 256) / (b.hi - b.lo))
+                                AS BIGINT)))
+                      ELSE 0 END AS bucket,
+                 count(*) AS cnt
+          FROM v, b GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT key, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY key) AS n
+          FROM s
+        ),
+        q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm),
+        p AS (
+          SELECT c.key, q.q_ppm,
+                 min(CASE WHEN c.cum >= (q.q_ppm * c.n + 999999) // 1000000
+                     THEN c.bucket END) AS bb
+          FROM c, q GROUP BY 1, 2
+        )
+        SELECT p.key AS event_type, CAST(p.q_ppm AS BIGINT) AS q_ppm,
+               round(b.lo + ((p.bb + 1) * (b.hi - b.lo)) / 256, 6) AS est
+        FROM p, b
+    """,
+))

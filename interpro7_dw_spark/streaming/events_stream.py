@@ -245,3 +245,42 @@ def streaming_session_windows(
         )
     )
     return _run_to_table(spark, agg, sink=sink, sink_dir=sink_dir)
+
+
+def streaming_histogram_sketch(
+    spark: SparkSession,
+    events_path: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    sink: str = "memory",
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """The fixed-grid histogram sketch (operators/quantiles.py::
+    histogram_sketch) maintained as a STREAMING aggregate: counts per
+    (key, bucket) sum cell-wise, so the same bucketing expression
+    under a streaming groupBy carries at most ``bins`` rows of state
+    per key at any feed length — the order-statistics sibling of the
+    streamed CMS/HLL sketches. Bounds are supplied (trained on a
+    reference snapshot or fixed by contract); the grid expression is
+    the exact one the batch operator uses, so streamed cells equal
+    batch cells."""
+    stream = _event_stream(spark, events_path)
+    v = F.col("value").cast("double")
+    if hi > lo:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(((v - F.lit(lo)) * F.lit(bins)) / F.lit(hi - lo)),
+            ),
+        )
+    else:
+        bucket = F.lit(0).cast("long")
+    agg = (
+        stream.filter(v.isNotNull())
+        .select(F.col("event_type").alias("key"), bucket.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_stream(spark, agg, "complete", sink=sink, sink_dir=sink_dir)
