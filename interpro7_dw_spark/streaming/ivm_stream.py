@@ -347,3 +347,36 @@ def maintain_join_agg_stream(
     if latest is None:
         raise RuntimeError("no change batches arrived; mart never materialized")
     return spark.read.parquet(f"{state_dir}/{latest[3]}")
+
+
+def read_mart_version(
+    spark: SparkSession,
+    state_dir: str,
+    version: int | None = None,
+    epoch: int | None = None,
+) -> DataFrame:
+    """Time travel over a versioned IVM mart: read a specific
+    ``v<n>`` / ``v<n>_e<epoch>`` snapshot, or the latest committed one
+    (both None). Only ``_SUCCESS``-gated versions are served — a
+    crashed half-write can never be read, the same isolation the
+    maintainers guarantee their own parents. ``epoch`` selects the
+    newest committed version whose applied epoch is <= the asked one
+    (the as-of read against the changelog clock). Raises KeyError if
+    nothing committed matches — distinguishable from an empty mart.
+    """
+    versions = [t for t in _list_versions(spark, state_dir) if t[2]]
+    if not versions:
+        raise KeyError(f"no committed versions under {state_dir!r}")
+    if version is not None:
+        match = [t for t in versions if t[0] == version]
+        if not match:
+            raise KeyError(f"version {version} not committed under {state_dir!r}")
+        pick = match[0]
+    elif epoch is not None:
+        match = [t for t in versions if t[1] is not None and t[1] <= epoch]
+        if not match:
+            raise KeyError(f"no committed version at or before epoch {epoch}")
+        pick = match[-1]
+    else:
+        pick = versions[-1]
+    return spark.read.parquet(f"{state_dir}/{pick[3]}")

@@ -1009,3 +1009,34 @@ def test_file_sink_parity_join_and_hll(spark, tmp_path):
         )
     )
     assert mem_h == fil_h and len(mem_h) > 0
+
+
+def test_read_mart_version_time_travel(spark, tmp_path):
+    """Time travel over versioned IVM marts: explicit version, as-of
+    epoch, latest, _SUCCESS gating of half-writes, and KeyError on a
+    miss."""
+    import os
+
+    import pytest
+
+    from interpro7_dw_spark.streaming.ivm_stream import read_mart_version
+
+    state = str(tmp_path / "mart")
+    for ver, ep, n in (("v0", None, 1), ("v1_e3", 3, 2), ("v2_e7", 7, 3)):
+        spark.createDataFrame([("g", n)], "g string, n long").write.parquet(
+            f"{state}/{ver}"
+        )
+    # a crashed half-write: data but no _SUCCESS — must never be served
+    spark.createDataFrame([("g", 99)], "g string, n long").write.parquet(
+        f"{state}/v3_e9"
+    )
+    os.remove(f"{state}/v3_e9/_SUCCESS")
+
+    assert read_mart_version(spark, state).collect()[0].n == 3       # latest
+    assert read_mart_version(spark, state, version=0).collect()[0].n == 1
+    assert read_mart_version(spark, state, epoch=5).collect()[0].n == 2
+    assert read_mart_version(spark, state, epoch=7).collect()[0].n == 3
+    with pytest.raises(KeyError):
+        read_mart_version(spark, state, version=3)                   # gated
+    with pytest.raises(KeyError):
+        read_mart_version(spark, state, epoch=1)                     # pre-first
