@@ -35,7 +35,9 @@ HEADLINE = [
     "count_distinct_parts",
     "window_suite",
     "topk_per_segment",
-    "sessionize_events",
+    # parked to z_ in the r12 rotation that promoted skew_salted_agg —
+    # same query, so carried21 stays comparable
+    "z_sessionize_events",
     "asof_event_attrib",
     "overlap_pairs",
     "z_part_pair_cooccurrence",
@@ -83,7 +85,9 @@ HEADLINE = [
     # flagships — inverted-index BM25, the value-cut exact quantile
     # plan, and degree-oriented triangle counting
     "bm25_topk",
-    "grouped_quantiles",
+    # parked to z_ in the r12 rotation (histogram_quantiles promoted
+    # as the quantile-family window member — same query here)
+    "z_grouped_quantiles",
     "triangle_counts",
     # r9 additions: IVFADC (persisted cell-partitioned PQ codes, DPP
     # probe), real BPE tokenization (distinct-word merge loop), and
@@ -91,7 +95,8 @@ HEADLINE = [
     # driver-window rotation — same queries, timings stay comparable)
     "ivfpq_topk",
     "bpe_tokenize",
-    "kcore",
+    # parked to z_ in the r12 rotation — same query
+    "z_kcore",
     # r10 addition: the probe-only IVFADC half over a build-once index
     # fixture — pass 1 pays the one-time build, the per-query min then
     # reflects the steady-state DPP-pruned probe cost
@@ -105,8 +110,17 @@ HEADLINE = [
     # scalar-quantized ANN, and the mergeable histogram quantiles —
     # the new batch families promoted/landed after the first r11 bench
     "ivm_join_agg",
-    "z_sq8_topk",
-    "z_histogram_quantiles",
+    "sq8_topk",
+    "histogram_quantiles",
+    # r12 additions: the promoted skew/streaming flagships (salted
+    # two-stage aggregate on a 90%-hot key; continuous MIN/MAX
+    # maintenance over the COW facts store), the hot-key salted
+    # broadcast join, and the incrementally-maintained REAL taxon
+    # mart (count-pyramid supports + bilinear changelog fold)
+    "skew_salted_agg",
+    "stream_ivm_minmax",
+    "z_skew_join_hot_key",
+    "z_ivm_mart_taxonomy",
 ]
 
 

@@ -189,6 +189,18 @@ def histogram_sketch(
     arithmetic on selection-exact bounds, so every cell replays in
     the oracle. Null values are excluded.
 
+    CLAMPING CAVEAT: values outside a SUPPLIED ``[lo, hi]`` are
+    clamped into the edge buckets 0 / bins-1 (by the least/greatest
+    guards below). When the bounds were trained on an earlier
+    snapshot (the streaming use — streams.py's
+    ``streaming_histogram_sketch``), drifted out-of-range values pile
+    silently into the edge cells and the one-bin-width quantile bound
+    NO LONGER HOLDS for quantiles that land there. Callers who feed
+    fixed bounds should monitor :func:`histogram_clamped_counts` on
+    the same (df, bounds) and re-train the grid when it reports
+    clamped rows. (Defaulted bounds are the data's own min/max, so
+    nothing clamps.)
+
     Returns (key, bucket, cnt); bounds default to the global min/max
     (two driver scalars, one aggregate pass).
     """
@@ -218,6 +230,39 @@ def histogram_sketch(
         base.select("key", bucket.alias("bucket"))
         .groupBy("key", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_clamped_counts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Overflow indicator for :func:`histogram_sketch` under FIXED
+    bounds: per key, how many non-null values fell outside ``[lo,
+    hi]`` and were therefore clamped into the edge buckets. Zero
+    means the sketch's one-bin-width quantile bound holds; a non-zero
+    count means the grid is stale for that key (re-train the bounds).
+    Same one-aggregate shape as the sketch itself — mergeable, and
+    valid as a streaming aggregate.
+
+    Returns (key, n_below, n_above).
+    """
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull())
+        .select(F.col(key_col).alias("key"), v.alias("__v"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("__v") > F.lit(hi), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
     )
 
 
@@ -326,17 +371,27 @@ def histogram_drift(
             ).alias("__d"),
         )
     )
-    return (
-        cells.groupBy("key", "n_old", "n_new")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.abs(F.col("__d")))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.lit(2.0),
-                6,
-            ).alias("tvd")
-        )
+    folded = cells.groupBy("key", "n_old", "n_new").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.abs(F.col("__d")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("__tvd")
+    )
+    # a one-sided key has every |p-q| cell NULL (division by the NULL
+    # side's n); collect_list silently DROPS nulls and the fold's 0.0
+    # init would then read as "zero drift" — gate the fold on both
+    # counts being present so the documented NULL-tvd contract holds
+    return folded.select(
+        "key",
+        "n_old",
+        "n_new",
+        F.when(
+            F.col("n_old").isNotNull() & F.col("n_new").isNotNull(),
+            F.col("__tvd"),
+        ).alias("tvd"),
     )

@@ -1137,6 +1137,15 @@ def sq8_train(
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
         .collect()
     )
+    # a dim/data mismatch must be loud: a longer vector would
+    # IndexError below, a shorter one would leave (0, 0) entries that
+    # sq8_encode silently codes as 0 — both are caller bugs
+    seen = {r.d for r in rows}
+    if seen and (max(seen) >= dim or seen != set(range(dim))):
+        raise ValueError(
+            f"sq8_train: dim={dim} but data has dimensions "
+            f"[{min(seen)}..{max(seen)}] covering {len(seen)} indexes"
+        )
     mn = [0.0] * dim
     rng = [0.0] * dim
     for r in rows:
@@ -1263,4 +1272,192 @@ def sq8_topk(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vid", "adist")
+    )
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + SQ8 — FAISS ``IndexIVFScalarQuantizer`` (QT_8bit, raw
+    encoding, not by-residual): corpus rows live in their nearest
+    coarse-quantizer cell AND are stored as per-dimension byte codes;
+    a query scans only its ``nprobe`` closest cells, scoring
+    asymmetric COSINE against the dequantized candidates (the query
+    stays full precision). Same metric as :func:`ivf_topk` /
+    :func:`cosine_topk`, so recall differences in tools/ann_curve.py
+    isolate QUANTIZATION loss at fixed probe budget: flat > SQ8
+    (64 bytes/vec) > PQ m=16 (16 bytes) > PQ m=8 (8 bytes), the FAISS
+    compression-vs-recall ladder.
+
+    Scale: the quantizer state is 2 x dim floats in one broadcast row
+    (sq8_encode); cells keep candidate generation an equi-join on cid
+    (corpus partitioned by cid, queries broadcast) — 1/nlist of the
+    corpus scanned per probed cell, zero codebook tables.
+    """
+    mn, rng = sq8_train(emb, dim=dim, vec_col=vec_col)
+    cdf = ivf_centroids_df(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    n = with_norm(emb, vec_col)
+    nc = _attach_centroids(n, cdf)
+    cells = nc.select(
+        F.col(id_col).alias("vid"), _nearest_cid(F.col("__v")).alias("cid")
+    )
+    codes = sq8_encode(emb, mn, rng, dim=dim, id_col=id_col, vec_col=vec_col)
+    stats = emb.sparkSession.createDataFrame(
+        [(list(mn), list(rng))], "mn array<double>, rng array<double>"
+    )
+    deq = F.zip_with(
+        F.col("codes"),
+        F.arrays_zip(F.col("mn"), F.col("rng")),
+        lambda c, s: s["mn"] + (c.cast("double") * s["rng"]) / F.lit(255.0),
+    )
+    corpus = (
+        codes.withColumnRenamed(id_col, "vid")
+        .join(cells, "vid")
+        .crossJoin(F.broadcast(stats))
+        .select("vid", "cid", deq.alias("cv"))
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    q = nc.filter(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+        F.explode(
+            F.slice(F.array_sort(_cand_structs(F.col("__v"))), 1, nprobe)
+            .getField("cid")
+        ).alias("cid"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(corpus, "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "sim")
+    )
+
+
+def pca_rotation(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    m: int | None = None,
+) -> list[list[float]]:
+    """OPQ's non-parametric initializer (Ge et al. 2013 §4.1): the
+    PCA eigenbasis of the corpus covariance, optionally followed by
+    EIGENVALUE ALLOCATION for an m-subspace product quantizer.
+    Rotating into the eigenbasis decorrelates the coordinates PQ's
+    subspace split assumes independent — but decorrelating ALONE is
+    the published trap this module measured (PERF.md r12): on a
+    low-rank corpus plain PCA concentrates all variance in the first
+    few coordinates, so one subspace must quantize nearly the whole
+    signal with ksub codes while the rest encode noise (clustered
+    m=16 recall COLLAPSED 0.66 -> 0.2). ``m`` therefore enables Ge's
+    balancing step: eigen-directions are dealt greedily into m
+    equal-size buckets minimizing each bucket's variance product, so
+    every subspace carries comparable signal.
+
+    Spark-side: one aggregate computes the dim x dim second-moment
+    matrix as posexplode pairs (4096 doubles to the driver —
+    dimension-sized, data-volume-free); numpy eigendecomposes it
+    (deterministic up to sign; signs are canonicalized so the
+    rotation reproduces across runs). Returns the rotation as a list
+    of rows; apply with :func:`rotate_embeddings`.
+    """
+    import math
+
+    import numpy as np
+
+    v = F.col(vec_col).cast("array<double>")
+    mean_rows = (
+        emb.select(F.posexplode(v).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r.d] = r.mu
+    pairs = (
+        emb.select(F.posexplode(v).alias("i", "xi"), v.alias("__v"))
+        .select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cov = np.zeros((dim, dim))
+    n_rows = 0
+    for r in pairs:
+        cov[r.i][r.j] = r.s / r.n
+        n_rows = max(n_rows, r.n)
+    cov -= np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    rot = vecs[:, order].T  # rows = descending-variance eigenvectors
+    if m is not None:
+        # eigenvalue allocation (Ge et al. 2013 Algorithm: balanced
+        # variance products): deal descending eigenvalues into m
+        # equal-capacity buckets, each new one to the non-full bucket
+        # with the smallest log-variance sum
+        cap = dim // m
+        assert cap * m == dim, (dim, m)
+        buckets: list[list[int]] = [[] for _ in range(m)]
+        sums = [0.0] * m
+        for idx in range(dim):
+            cand = min(
+                (b for b in range(m) if len(buckets[b]) < cap),
+                key=lambda b: sums[b],
+            )
+            buckets[cand].append(idx)
+            sums[cand] += math.log(max(float(w[idx]), 1e-12))
+        perm = [i for b in buckets for i in b]
+        rot = rot[perm]
+    # canonicalize signs: first nonzero entry of each row positive
+    for i in range(dim):
+        row = rot[i]
+        nz = np.nonzero(np.abs(row) > 1e-12)[0]
+        if len(nz) and row[nz[0]] < 0:
+            rot[i] = -row
+    return [[float(x) for x in row] for row in rot]
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a dim x dim rotation to every embedding, Spark-side: the
+    matrix rides as ONE broadcast row (array of row-structs — the
+    _attach_centroids discipline, never dim^2 Catalyst literals) and
+    the matvec is a transform of per-row dots. Rotation is an
+    isometry, so exact cosine/L2 rankings are unchanged — only PQ's
+    subspace split sees a difference."""
+    spark = emb.sparkSession
+    rows = spark.createDataFrame(
+        [(list(map(list, [rotation[i] for i in range(len(rotation))])),)],
+        "rot array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    rotated = F.transform(F.col("rot"), lambda row: _dot(v, row))
+    return emb.crossJoin(F.broadcast(rows)).select(
+        F.col(id_col), rotated.alias(vec_col)
     )

@@ -70,11 +70,22 @@ def salted_broadcast_join(
     right: DataFrame,
     key: str,
     num_salts: int = 16,
+    salt_source: str | None = None,
 ) -> DataFrame:
     """Equi-join with the small side replicated per salt so hot left
     keys spread over ``num_salts`` tasks. Right side must be broadcast-
-    sized (it is replicated num_salts times)."""
-    salted_left = left.withColumn("__salt", (F.rand() * num_salts).cast("int"))
+    sized (it is replicated num_salts times). ``salt_source`` (any
+    left column name, e.g. the row's primary key) makes the salt
+    deterministic — same plan-replay parity option as
+    :func:`salted_aggregate`; the JOIN RESULT is salt-invariant either
+    way, but a deterministic salt makes reruns and plan audits
+    reproduce task-level placement exactly."""
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(num_salts))
+        if salt_source
+        else (F.rand() * num_salts).cast("int")
+    )
+    salted_left = left.withColumn("__salt", salt)
     salted_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )

@@ -616,7 +616,7 @@ def _kcore(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="kcore",
+    name="z_kcore",
     # promoted into the driver window in the r10 rotation (was z_kcore)
     tags=("G9", "A2", "J4"),
     description="3-core decomposition of the co-occurrence graph "

@@ -3476,7 +3476,7 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="z_sq8_topk",
+    name="sq8_topk",
     tags=("NN2", "F9", "O5"),
     description="Approximate top-5 neighbors over an SQ8 "
     "scalar-quantized corpus (operators/similarity.py::sq8_topk, "
@@ -3546,7 +3546,7 @@ def _hist_quantiles(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_histogram_quantiles",
+    name="histogram_quantiles",
     tags=("A5", "TS1", "W4"),
     description="Approximate grouped quantiles from a MERGEABLE "
     "fixed-grid histogram sketch "
@@ -3754,4 +3754,101 @@ register(QuerySpec(
         JOIN na USING (key) JOIN nb USING (key)
         GROUP BY key
     """,
+))
+
+
+def _ann_recall_ivf_sq8_build(spark: SparkSession, sf: str):
+    """recall@5 of IVF+SQ8 (FAISS IndexIVFScalarQuantizer shape) on
+    the clustered low-rank fixture — the serve-path table's middle
+    rung between IVF-flat (512 bytes/vec here) and PQ (8-16 bytes):
+    SQ8 keeps 64 bytes/vec with near-flat recall. Same 20 queries,
+    nlist=8, nprobe=4 as z_ann_recall_clustered, so the two specs
+    differ ONLY in candidate compression."""
+    from ..sources.genfixtures import clustered_embeddings_path
+
+    emb = spark.read.parquet(clustered_embeddings_path())
+    return S.ann_recall_at_k(
+        S.ivf_sq8_topk(emb, F.col("vec_id") < 20, k=5, nlist=8, nprobe=4),
+        S.cosine_topk(emb, F.col("vec_id") < 20, k=5),
+        k=5,
+    )
+
+
+def _ann_ivf_sq8_oracle() -> str:
+    from ..sources.genfixtures import clustered_embeddings_path
+
+    path = clustered_embeddings_path()
+    return ("WITH " + _IVF_CTES + """,
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+stats AS (
+  SELECT dims.d AS d, min(n.v[dims.d]) AS mn,
+         max(n.v[dims.d]) - min(n.v[dims.d]) AS rng
+  FROM n, dims GROUP BY 1
+),
+deqv AS (
+  SELECT n.vec_id,
+         list(CASE WHEN s.rng > 0
+              THEN s.mn + (floor(((n.v[s.d] - s.mn) * 255.0) / s.rng
+                                 + 0.5) * s.rng) / 255.0
+              ELSE s.mn END ORDER BY s.d) AS dv
+  FROM n, stats s GROUP BY n.vec_id
+),
+sqcorpus AS (
+  SELECT c.vid, d.dv AS cv, sqrt(list_dot_product(d.dv, d.dv)) AS cn, c.cid
+  FROM corpus c JOIN deqv d ON c.vid = d.vec_id
+),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, nrm AS qn, cid FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY -list_dot_product(n.v, c.v), c.cid) AS rn
+    FROM n CROSS JOIN c2 c WHERE n.vec_id < 20) WHERE rn <= 4
+),
+asims AS (
+  SELECT q.qid, c.vid,
+         round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) AS sim
+  FROM probes q JOIN sqcorpus c USING (cid)
+  WHERE q.qid <> c.vid
+),
+atop AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+    FROM asims) WHERE rank <= 5
+),
+esims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+),
+etop AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+    FROM esims) WHERE rank <= 5
+),
+hits AS (
+  SELECT e.qid, CAST(count(a.vid) AS BIGINT) AS n_hits
+  FROM etop e LEFT JOIN atop a ON e.qid = a.qid AND e.vid = a.vid
+  GROUP BY e.qid
+)
+SELECT qid, n_hits, """ + round_div_sql("n_hits", "5", 4) + """ AS recall
+FROM hits
+    """).replace("FROM embeddings", f"FROM '{path}'")
+
+
+register(QuerySpec(
+    name="z_ann_recall_ivf_sq8",
+    tags=("NN2", "F9", "A2"),
+    description="recall@5 of IVF + SQ8 scalar quantization "
+    "(operators/similarity.py::ivf_sq8_topk — FAISS "
+    "IndexIVFScalarQuantizer QT_8bit shape) on the clustered "
+    "low-rank fixture, same queries/nlist/nprobe as "
+    "z_ann_recall_clustered so the pair isolates QUANTIZATION loss "
+    "on the serve-path ladder flat > SQ8 > PQ. Oracle replays the "
+    "whole pipeline: pinned-fold Lloyd centroids, per-dim SQ8 "
+    "bounds, floor(+0.5) codes, dequantized asymmetric cosine, both "
+    "top-k rankings, hit counts.",
+    build=_ann_recall_ivf_sq8_build,
+    oracle=_ann_ivf_sq8_oracle(),
 ))

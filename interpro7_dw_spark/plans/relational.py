@@ -675,7 +675,7 @@ register(QuerySpec(
 ))
 
 register(QuerySpec(
-    name="sessionize_events",
+    name="z_sessionize_events",
     tags=("W3",),
     description="Gaps-and-islands sessionization — the reference's interval "
     "condensation pattern (interpro/oracle/matches.py:60-103) on event time: "
@@ -786,7 +786,7 @@ def _custkeys_of_year(spark, sf, year: int):
 
 
 register(QuerySpec(
-    name="except_intersect_customers",
+    name="z_except_intersect_customers",
     tags=("U2", "U3", "J5"),
     description="Distinct set difference AND intersection, provenance-tagged in "
     "one result (reference ES leftover anti-sets, interpro/elastic/export.py:"

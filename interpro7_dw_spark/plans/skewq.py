@@ -303,7 +303,7 @@ def _skew_salted_agg(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_skew_salted_agg",
+    name="skew_salted_agg",
     tags=("A1", "SKEW"),
     description="Exact per-segment totals on a 90%-hot segment via "
     "the explicit two-stage salted aggregate "
@@ -322,5 +322,67 @@ register(QuerySpec(
                     AS DOUBLE) AS total,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY 1
+    """,
+))
+
+
+# --------------------------------------------------- hot-key join
+
+def _node_labels(spark: SparkSession, sf: str):
+    return spark.range(98).select(
+        F.col("id").alias("node"),
+        F.concat_ws("", F.lit("L"), (F.col("id") % 7)).alias("label"),
+    )
+
+
+def _skew_join(spark: SparkSession, sf: str):
+    """Hub-edge fact rows (node 0 on ~50% of them) joined to the
+    per-node label dim through the salted broadcast join, then
+    aggregated per label. Deterministic salt from the row's other
+    endpoint; the join result is salt-invariant, so the oracle is the
+    plain join + GROUP BY."""
+    fact = _hub_edges(spark, sf).select(F.col("a").alias("node"), "b")
+    joined = SK.salted_broadcast_join(
+        fact, _node_labels(spark, sf), "node", salt_source="b"
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("b").cast("long").alias("sum_b"),
+    )
+
+
+register(QuerySpec(
+    name="z_skew_join_hot_key",
+    tags=("J2", "A1", "SKEW"),
+    description="Per-label edge totals where ONE join key (the hub "
+    "vertex, least-endpoint of 50% of raw edge rows) dominates the "
+    "fact side (operators/skew.py::salted_broadcast_join): the dim "
+    "side is replicated once per salt and broadcast, so the hub key's "
+    "rows spread over num_salts tasks instead of one reducer — the "
+    "shape AQE's skew-join split cannot help when the join is already "
+    "broadcast but a single task's OUTPUT is the bottleneck. "
+    "Deterministic salt (hash of the row's other endpoint) for "
+    "plan-replay parity; the result is salt-invariant, and the oracle "
+    "runs the plain join + GROUP BY. tools/skew_audit.py measures the "
+    "same derivation's max/median task time as shuffle-join "
+    "(AQE skew split on/off) vs this plan at sf0.1.",
+    build=_skew_join,
+    oracle="""
+        WITH raw AS (
+          SELECT least(v1, v2) AS a, greatest(v1, v2) AS b FROM (
+            SELECT CAST(l_suppkey % 97 + 1 AS BIGINT) AS v1,
+                   CASE WHEN l_orderkey % 2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(l_partkey % 97 + 1 AS BIGINT) END AS v2
+            FROM lineitem
+          ) WHERE v1 <> v2
+        ),
+        labels AS (
+          SELECT i AS node, 'L' || (i % 7) AS label
+          FROM unnest(generate_series(0, 97)) AS g(i)
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM raw JOIN labels ON raw.a = labels.node
+        GROUP BY 1
     """,
 ))

@@ -567,7 +567,7 @@ def _stream_ivm_minmax(spark, sf):
 
 
 register(QuerySpec(
-    name="z_stream_ivm_minmax",
+    name="stream_ivm_minmax",
     tags=("ST4", "CD3", "A6"),
     description="CONTINUOUS MIN/MAX view maintenance "
     "(streaming/minmax_stream.py::maintain_group_minmax_stream): the "

@@ -326,7 +326,7 @@ def _grouped_quantiles(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="grouped_quantiles",
+    name="z_grouped_quantiles",
     tags=("A5", "W1", "F9"),
     description="EXACT per-key quantiles (p25/p50/p75) without a "
     "per-key sort (operators/quantiles.py::grouped_quantiles_exact): "

@@ -76,7 +76,10 @@ def _list_versions(
             continue
         committed = fs.exists(jpath_cls(st.getPath(), "_SUCCESS"))
         out.append((ver, epoch, committed, name))
-    return sorted(out)
+    # epoch can be None (pre-seeded v0) next to an int (e.g. a crashed
+    # v0_e<k> half-write beside it): bare sorted() would TypeError on
+    # None<int — order seedless versions first explicitly
+    return sorted(out, key=lambda t: (t[0], -1 if t[1] is None else t[1], t[3]))
 
 
 def _latest_committed(

@@ -8,20 +8,29 @@ table too. Rewriting |facts| per epoch would break the IVM cost
 contract, so the facts live in a miniature COPY-ON-WRITE bucket store
 (the Delta/Iceberg idea in one directory tree):
 
-    state_dir/facts/b<i>/v<n>/   — bucket i's rows as of mart version n
+    state_dir/facts/v<n>_e<epoch>/__b=<i>/  — bucket i's rows, written
+                                              at mart version n
 
-Each epoch rewrites ONLY the buckets holding changed groups (bucket =
+Each epoch writes ONLY the buckets holding changed groups (bucket =
 hash(group) % n_buckets, so a group's rows colocate and the rescan
-semi-join reads just-touched buckets); untouched buckets stay as
-older versions, and a reader resolves each bucket's newest committed
-version <= the mart version it wants — the directory tree IS the
-manifest. Per-epoch cost: |micro-batch delta| + the touched buckets'
-data + touched groups, never |facts|.
+reads just-touched buckets) — and writes them all in ONE Spark action
+(``partitionBy("__b")`` under a single version directory), so the
+per-epoch job count is CONSTANT, not linear in touched buckets, and
+the version's ``_SUCCESS`` commits every touched bucket atomically.
+A reader resolves each bucket's newest committed version <= the mart
+version it wants — the directory tree IS the manifest (a bucket not
+re-written at v_n is served by the newest older version that has its
+``__b=i`` partition). Per-epoch cost: |micro-batch delta| + the
+touched buckets' data + touched groups, never |facts|.
 
 Mart versions, epoch idempotence (``v<n>_e<epoch>`` + skip on replay)
-and retention reuse the machinery of :mod:`.ivm_stream`; facts-bucket
-retention keeps, per bucket, every version from its newest one at or
-below the keep floor (older ones can no longer be referenced).
+and retention reuse the machinery of :mod:`.ivm_stream`. Facts
+retention is reference-counted at PARTITION granularity, like an
+object-store table format's vacuum: a bucket partition ``__b=i`` of
+facts version v is deleted once a newer committed version <= the keep
+floor also carries bucket i (v can no longer be the bucket's resolved
+source for any retained mart version); a facts version directory is
+deleted when its last bucket partition goes.
 """
 
 from __future__ import annotations
@@ -37,41 +46,82 @@ def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
-def _bucket_versions(spark, state_dir: str, bucket: int) -> list[int]:
-    """Committed version numbers present for one facts bucket."""
-    return [
-        v
-        for v, _e, committed, _name in _list_versions(
-            spark, f"{state_dir}/facts/b{bucket}"
-        )
-        if committed
+def _version_buckets(spark, facts_dir: str, name: str) -> set[int]:
+    """Bucket ids present as ``__b=<i>`` partitions of one committed
+    facts version directory (filesystem metadata only)."""
+    fs, _root, jpath_cls = _fs(spark, facts_dir)
+    out: set[int] = set()
+    for st in fs.listStatus(jpath_cls(f"{facts_dir}/{name}")):
+        if not st.isDirectory():
+            continue
+        part = st.getPath().getName()
+        if part.startswith("__b="):
+            out.add(int(part[4:]))
+    return out
+
+
+def _bucket_sources(
+    spark, facts_dir: str, at_version: int, buckets: list[int] | None = None
+) -> dict[str, set[int]]:
+    """The manifest resolution: for each bucket (``buckets`` or every
+    bucket seen), the newest committed facts version <= ``at_version``
+    carrying it — returned grouped as {version_dir_name: buckets it
+    serves}. Pure directory listing; no data read."""
+    versions = [
+        t for t in _list_versions(spark, facts_dir) if t[2] and t[0] <= at_version
     ]
+    want = set(buckets) if buckets is not None else None
+    served: dict[str, set[int]] = {}
+    seen: set[int] = set()
+    for _ver, _epoch, _c, name in reversed(versions):  # newest first
+        here = _version_buckets(spark, facts_dir, name)
+        take = (here - seen) if want is None else (here & want) - seen
+        if take:
+            served[name] = take
+            seen |= take
+        if want is not None and seen >= want:
+            break
+    return served
 
 
-def _read_bucket(
-    spark, state_dir: str, bucket: int, at_version: int
+def _read_sources(
+    spark, facts_dir: str, served: dict[str, set[int]]
 ) -> DataFrame | None:
-    vs = [v for v in _bucket_versions(spark, state_dir, bucket) if v <= at_version]
-    if not vs:
-        return None
-    return spark.read.parquet(f"{state_dir}/facts/b{bucket}/v{max(vs)}")
+    """Union of the resolved bucket partitions, one partition-pruned
+    read per contributing version directory; ``__b`` dropped. A
+    version directory holding only EMPTY bucket partitions (every row
+    of its touched buckets was deleted) has no files to infer a schema
+    from — it serves zero rows by construction, so it is skipped."""
+    from pyspark.errors import AnalysisException
 
-
-def resolve_facts(
-    spark: SparkSession, state_dir: str, at_version: int, n_buckets: int
-) -> DataFrame:
-    """Reader view of the copy-on-write fact store as of a mart
-    version: per bucket, the newest committed version <= it."""
-    parts = [
-        df
-        for b in range(n_buckets)
-        if (df := _read_bucket(spark, state_dir, b, at_version)) is not None
-    ]
+    parts: list[DataFrame] = []
+    for name, bs in served.items():
+        try:
+            df = spark.read.parquet(f"{facts_dir}/{name}")
+        except AnalysisException:
+            continue
+        parts.append(
+            df.filter(F.col("__b").isin([int(b) for b in bs])).drop("__b")
+        )
     if not parts:
-        raise RuntimeError(f"no facts buckets at or below v{at_version}")
+        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def resolve_facts(
+    spark: SparkSession, state_dir: str, at_version: int, n_buckets: int = 16
+) -> DataFrame:
+    """Reader view of the copy-on-write fact store as of a mart
+    version: per bucket, the newest committed version <= it.
+    ``n_buckets`` is accepted for API symmetry; buckets are discovered
+    from the directory tree."""
+    served = _bucket_sources(spark, f"{state_dir}/facts", at_version)
+    out = _read_sources(spark, f"{state_dir}/facts", served)
+    if out is None:
+        raise RuntimeError(f"no facts buckets at or below v{at_version}")
     return out
 
 
@@ -83,12 +133,12 @@ def seed_minmax_state(
     value_col: str,
     n_buckets: int = 16,
 ) -> None:
-    """Materialize version 0: every facts bucket plus the mart."""
-    bucketed = facts.withColumn("__b", _bucket(F.col(group_col), n_buckets))
-    for b in range(n_buckets):
-        bucketed.filter(F.col("__b") == b).drop("__b").write.parquet(
-            f"{state_dir}/facts/b{b}/v0"
-        )
+    """Materialize version 0: the bucketed facts (one partitioned
+    write — every bucket with rows gets a ``__b=i`` partition) plus
+    the mart."""
+    facts.withColumn("__b", _bucket(F.col(group_col), n_buckets)).write.partitionBy(
+        "__b"
+    ).parquet(f"{state_dir}/facts/v0")
     facts.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min(value_col).alias("min_v"),
@@ -96,20 +146,110 @@ def seed_minmax_state(
     ).write.parquet(f"{state_dir}/mart/v0")
 
 
-def _vacuum_buckets(
-    spark, state_dir: str, n_buckets: int, keep_floor: int | None
-) -> None:
+def _vacuum_facts(spark, facts_dir: str, keep_floor: int | None, current_ver: int) -> None:
+    """Partition-granular reference-count vacuum (see module doc):
+    sweep crashed half-writes below the current version, then delete
+    any bucket partition superseded by a newer committed version at or
+    below the keep floor, and any version directory left empty."""
+    fs, _root, jpath_cls = _fs(spark, facts_dir)
+    versions = _list_versions(spark, facts_dir)
+    for ver, _e, committed, name in versions:
+        if not committed and ver < current_ver:
+            fs.delete(jpath_cls(f"{facts_dir}/{name}"), True)
     if keep_floor is None:
         return
-    fs, _root, jpath_cls = _fs(spark, state_dir)
-    for b in range(n_buckets):
-        vs = _bucket_versions(spark, state_dir, b)
-        anchored = max((v for v in vs if v <= keep_floor), default=None)
-        for v in vs:
-            # a version older than the bucket's anchor at the keep
-            # floor can never be referenced by a retained mart version
-            if anchored is not None and v < anchored:
-                fs.delete(jpath_cls(f"{state_dir}/facts/b{b}/v{v}"), True)
+    committed = [t for t in versions if t[2]]
+    # newest version <= keep_floor carrying each bucket = its anchor
+    anchor: dict[int, int] = {}
+    for ver, _e, _c, name in committed:
+        if ver > keep_floor:
+            continue
+        for b in _version_buckets(spark, facts_dir, name):
+            anchor[b] = max(anchor.get(b, ver), ver)
+    for ver, _e, _c, name in committed:
+        if ver >= keep_floor:
+            continue
+        remaining = _version_buckets(spark, facts_dir, name)
+        for b in list(remaining):
+            if anchor.get(b, ver) > ver:
+                fs.delete(jpath_cls(f"{facts_dir}/{name}/__b={b}"), True)
+                remaining.discard(b)
+        if not remaining:
+            fs.delete(jpath_cls(f"{facts_dir}/{name}"), True)
+
+
+def cow_apply_images(
+    spark: SparkSession,
+    facts_dir: str,
+    batch: DataFrame,
+    bucket_col: str,
+    key_cols: list[str],
+    n_buckets: int,
+    prev_version: int,
+    next_version: int,
+    epoch: int,
+) -> str:
+    """Merge ONE both-images changelog micro-batch into a COW bucket
+    store (bucket = hash(``bucket_col``) % n_buckets; rows identified
+    by ``key_cols``): resolve the touched buckets' current rows,
+    anti-join the changed keys out, union the incoming new images,
+    write every touched bucket in ONE ``partitionBy`` action as
+    ``facts_dir/v<next_version>_e<epoch>`` (_SUCCESS commits them
+    atomically; a fully-emptied touched bucket gets an explicit empty
+    partition dir so resolution never resurrects older rows). Returns
+    the written version directory. The caller owns the replay guard
+    and vacuum — this is the shared facts-maintenance primitive of
+    the MIN/MAX maintainer and the warehouse-mart maintainer
+    (streaming/mart_stream.py). When ``bucket_col`` is itself a key
+    column (a dimension store keyed and bucketed by the same id), the
+    changelog carries it unprefixed and both images bucket on it
+    directly."""
+    if f"old_{bucket_col}" in batch.columns:
+        old_b = _bucket(F.col(f"old_{bucket_col}"), n_buckets)
+        new_b = _bucket(F.col(f"new_{bucket_col}"), n_buckets)
+    else:
+        old_b = new_b = _bucket(F.col(bucket_col), n_buckets)
+    touched = sorted(
+        r[0]
+        for r in batch.filter(F.col("change_type").isin("delete", "update"))
+        .select(old_b.alias("b"))
+        .unionByName(
+            batch.filter(
+                F.col("change_type").isin("insert", "update")
+            ).select(new_b.alias("b"))
+        )
+        .distinct()
+        .collect()
+    )
+    data_cols = [c[4:] for c in batch.columns if c.startswith("new_")]
+    fact_cols = key_cols + [c for c in data_cols if c not in key_cols]
+    served = _bucket_sources(spark, facts_dir, prev_version, touched)
+    cur = _read_sources(spark, facts_dir, served)
+    incoming = batch.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in fact_cols if c not in key_cols],
+    )
+    if cur is None:
+        merged = incoming
+    else:
+        changed_keys = batch.select(
+            *[F.col(k).alias(k) for k in key_cols]
+        ).distinct()
+        on = cur[key_cols[0]].eqNullSafe(changed_keys[key_cols[0]])
+        for k in key_cols[1:]:
+            on = on & cur[k].eqNullSafe(changed_keys[k])
+        survivors = cur.join(changed_keys, on, "left_anti")
+        merged = survivors.select(*fact_cols).unionByName(incoming)
+    facts_ver = f"{facts_dir}/v{next_version}_e{epoch}"
+    merged.withColumn(
+        "__b", _bucket(F.col(bucket_col), n_buckets)
+    ).write.partitionBy("__b").mode("overwrite").parquet(facts_ver)
+    fs, _r, jp = _fs(spark, facts_dir)
+    for b in touched:
+        fs.mkdirs(jp(f"{facts_ver}/__b={b}"))
+    return facts_ver
 
 
 def maintain_group_minmax_stream(
@@ -127,8 +267,13 @@ def maintain_group_minmax_stream(
     ``(group, n_rows, min_v, max_v)`` mart, keeping the fact table
     current in the copy-on-write bucket store. Requires a seeded v0
     (:func:`seed_minmax_state`). Runs with ``trigger(availableNow)``;
-    returns the latest committed mart version."""
+    returns the latest committed mart version.
+
+    Per-epoch Spark actions are CONSTANT (one touched-bucket collect,
+    one partitioned facts write, one mart write) regardless of how
+    many buckets the micro-batch touches."""
     mart_dir = state_dir + "/mart"
+    facts_dir = state_dir + "/facts"
 
     def step(batch: DataFrame, epoch: int) -> None:
         prev = _latest_committed(spark, mart_dir)
@@ -142,63 +287,37 @@ def maintain_group_minmax_stream(
         nxt = prev[0] + 1
         batch = batch.persist()
         try:
-            old_b = _bucket(F.col(f"old_{group_col}"), n_buckets)
-            new_b = _bucket(F.col(f"new_{group_col}"), n_buckets)
-            # a row's OLD image is meaningful for delete/update, its
-            # NEW image for insert/update — bucket each side only
-            # where it exists (a NULL group value is a legal group
-            # and buckets deterministically on both sides)
-            touched = sorted(
-                r[0]
-                for r in batch.filter(
-                    F.col("change_type").isin("delete", "update")
-                )
-                .select(old_b.alias("b"))
-                .unionByName(
-                    batch.filter(
-                        F.col("change_type").isin("insert", "update")
-                    ).select(new_b.alias("b"))
-                )
-                .distinct()
-                .collect()
+            # ONE action writes every touched bucket (shared COW
+            # primitive; a NULL group value is a legal group and
+            # buckets deterministically on both sides)
+            facts_ver = cow_apply_images(
+                spark, facts_dir, batch, group_col, key_cols,
+                n_buckets, prev[0], nxt, epoch,
             )
-            merged_parts: list[DataFrame] = []
-            for b in touched:
-                cur = _read_bucket(spark, state_dir, b, prev[0])
-                if cur is None:
-                    raise RuntimeError(f"facts bucket b{b} missing below v{prev[0]}")
-                changed_keys = batch.select(
-                    *[F.col(k).alias(k) for k in key_cols]
-                ).distinct()
-                on = cur[key_cols[0]].eqNullSafe(changed_keys[key_cols[0]])
-                for k in key_cols[1:]:
-                    on = on & cur[k].eqNullSafe(changed_keys[k])
-                survivors = cur.join(changed_keys, on, "left_anti")
-                incoming = (
-                    batch.filter(F.col("change_type").isin("insert", "update"))
-                    .filter(new_b == b)
-                    .select(
-                        *key_cols,
-                        *[
-                            F.col(f"new_{c}").alias(c)
-                            for c in cur.columns
-                            if c not in key_cols
-                        ],
-                    )
-                )
-                nb = survivors.unionByName(incoming)
-                nb.write.mode("overwrite").parquet(
-                    f"{state_dir}/facts/b{b}/v{nxt}"
-                )
-                merged_parts.append(
-                    spark.read.parquet(f"{state_dir}/facts/b{b}/v{nxt}")
-                )
             # every extremum-retracted group changed in this batch, so
-            # its bucket is in `touched` — the rescan facts are
-            # exactly the just-merged buckets
-            rescan_facts = merged_parts[0]
-            for p in merged_parts[1:]:
-                rescan_facts = rescan_facts.unionByName(p)
+            # its bucket was just written — the rescan facts are
+            # exactly the new version's partitions (explicit schema:
+            # a fully-emptied version has no files to infer from)
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            data_cols = [c[4:] for c in batch.columns if c.startswith("new_")]
+            fact_cols = key_cols + [c for c in data_cols if c not in key_cols]
+            bfields = {f.name: f for f in batch.schema.fields}
+            read_schema = StructType(
+                [
+                    StructField(
+                        c,
+                        bfields[c].dataType
+                        if c in bfields
+                        else bfields[f"new_{c}"].dataType,
+                    )
+                    for c in fact_cols
+                ]
+                + [StructField("__b", IntegerType())]
+            )
+            rescan_facts = (
+                spark.read.schema(read_schema).parquet(facts_ver).drop("__b")
+            )
             mart = spark.read.parquet(f"{mart_dir}/{prev[3]}")
             out = ivm_apply_group_minmax(
                 mart, batch, rescan_facts, group_col, value_col
@@ -206,6 +325,7 @@ def maintain_group_minmax_stream(
             out.write.mode("overwrite").parquet(f"{mart_dir}/v{nxt}_e{epoch}")
         finally:
             batch.unpersist()
+        keep_floor = None
         if keep_last is not None:
             committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
             if len(committed) > keep_last:
@@ -214,7 +334,7 @@ def maintain_group_minmax_stream(
                 for v, _e, is_c, name in _list_versions(spark, mart_dir):
                     if (is_c and v < keep_floor) or (not is_c and v < nxt):
                         fs.delete(jp(f"{mart_dir}/{name}"), True)
-                _vacuum_buckets(spark, state_dir, n_buckets, keep_floor)
+        _vacuum_facts(spark, facts_dir, keep_floor, nxt)
 
     q = (
         changes.writeStream.foreachBatch(step)

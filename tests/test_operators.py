@@ -2002,6 +2002,60 @@ def test_histogram_sketch_merge_and_error_bound(spark):
             assert abs(got[(key, q_ppm)] - exact) <= width + 1e-9
 
 
+def test_histogram_drift_one_sided_key_and_clamped_counts(spark):
+    """A key present in only ONE snapshot must surface tvd=NULL (the
+    documented maximal-drift sentinel), never a computed 0.0; and the
+    clamped-row indicator reports exactly the out-of-range rows under
+    fixed bounds."""
+    from interpro7_dw_spark.operators.quantiles import (
+        histogram_clamped_counts,
+        histogram_drift,
+    )
+
+    old = spark.createDataFrame(
+        [("both", float(i)) for i in range(20)], "k string, v double"
+    )
+    new = spark.createDataFrame(
+        [("both", float(i) + 5.0) for i in range(20)]
+        + [("fresh", float(i)) for i in range(10)],
+        "k string, v double",
+    )
+    got = {r.key: r for r in histogram_drift(old, new, "k", "v", bins=16).collect()}
+    assert got["fresh"].n_old is None and got["fresh"].tvd is None
+    assert got["both"].tvd is not None and got["both"].tvd > 0.0
+    # vanished key: swap the snapshots
+    rev = {r.key: r for r in histogram_drift(new, old, "k", "v", bins=16).collect()}
+    assert rev["fresh"].n_new is None and rev["fresh"].tvd is None
+
+    clamped = {
+        r.key: (r.n_below, r.n_above)
+        for r in histogram_clamped_counts(new, "k", "v", lo=3.0, hi=20.0).collect()
+    }
+    # both: values 5..24 -> 4 above 20; fresh: values 0..9 -> 3 below 3
+    assert clamped["both"] == (0, 4)
+    assert clamped["fresh"] == (3, 0)
+
+
+def test_sq8_train_dim_mismatch_is_loud(spark):
+    """sq8_train must reject a dim that disagrees with the data
+    instead of crashing on the driver (longer vectors) or silently
+    zero-coding missing dimensions (shorter vectors)."""
+    import pytest as _pytest
+
+    from interpro7_dw_spark.operators.similarity import sq8_train
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [0.0, 1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="dim=2"):
+        sq8_train(emb, dim=2)
+    with _pytest.raises(ValueError, match="dim=8"):
+        sq8_train(emb, dim=8)
+    mn, rng = sq8_train(emb, dim=4)
+    assert len(mn) == 4 and rng[0] == 1.0
+
+
 def test_components_star_equivalence_and_chain_depth(spark):
     """Large-star/small-star must produce EXACTLY min-label
     propagation's components on a random graph, and solve a 300-node
@@ -2027,3 +2081,58 @@ def test_components_star_equivalence_and_chain_depth(spark):
     )
     got = {r.node: r.component for r in connected_components_star(chain).collect()}
     assert len(got) == 300 and set(got.values()) == {0}
+
+
+def test_pca_rotation_is_isometry_and_decorrelates(spark):
+    """pca_rotation: rotating embeddings leaves exact cosine top-k
+    EXACTLY unchanged (isometry), the rotation matrix is orthonormal,
+    and the rotated coordinates are decorrelated (off-diagonal
+    covariance ~0) with descending variance — the property PQ's
+    subspace independence assumption wants."""
+    import random
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.operators.similarity import (
+        cosine_topk,
+        pca_rotation,
+        rotate_embeddings,
+    )
+
+    rnd = random.Random(3)
+    dim = 8
+    # correlated data: low-rank latent + noise
+    basis = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(2)]
+    rows = []
+    for i in range(120):
+        z = [rnd.gauss(0, 2), rnd.gauss(0, 1)]
+        v = [
+            z[0] * basis[0][d] + z[1] * basis[1][d] + rnd.gauss(0, 0.1)
+            for d in range(dim)
+        ]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rot = pca_rotation(emb, dim=dim)
+    R = np.array(rot)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)
+
+    remb = rotate_embeddings(emb, rot)
+    before = sorted(
+        (r.qid, r.rank, r.vid)
+        for r in cosine_topk(emb, F.col("vec_id") < 10, k=3).collect()
+    )
+    after = sorted(
+        (r.qid, r.rank, r.vid)
+        for r in cosine_topk(remb, F.col("vec_id") < 10, k=3).collect()
+    )
+    assert before == after
+
+    X = np.array([v for _i, v in rows])
+    Xr = X @ R.T
+    cov = np.cov(Xr, rowvar=False)
+    off = cov - np.diag(np.diag(cov))
+    assert np.max(np.abs(off)) < 1e-6
+    d = np.diag(cov)
+    assert all(d[i] >= d[i + 1] - 1e-9 for i in range(dim - 1))

@@ -764,13 +764,18 @@ def test_streaming_minmax_ivm_copy_on_write(spark, tmp_path):
         map(tuple, resolve_facts(spark, state, latest, n_buckets).collect())
     )
     assert resolved == sorted(map(tuple, new.collect()))
-    # with 20 groups over 8 buckets every bucket holds changed groups
-    # here; rerun-style assertion instead: bucket version count is
-    # bounded by epochs+seed, and the seed version survives vacuum
-    # only where still referenced
-    for b in range(n_buckets):
-        vs = sorted(os.listdir(f"{state}/facts/b{b}"))
-        assert vs and all(x.startswith("v") for x in vs)
+    # version-major layout: facts/<v..>/__b=<i>/ — committed version
+    # dirs exist, each holds bucket partitions, and vacuum under
+    # keep_last=2 bounds the retained facts versions (seed + epochs,
+    # minus partition-granular sweeps)
+    fact_versions = sorted(
+        p for p in os.listdir(state + "/facts") if p.startswith("v")
+    )
+    assert fact_versions
+    assert all(
+        any(x.startswith("__b=") for x in os.listdir(f"{state}/facts/{p}"))
+        for p in fact_versions
+    ), fact_versions
 
 
 def test_streaming_minmax_untouched_bucket_not_rewritten(spark, tmp_path):
@@ -803,12 +808,135 @@ def test_streaming_minmax_untouched_bucket_not_rewritten(spark, tmp_path):
         ).collect()
     }
     assert got[0] == (9, 0.0, 54.0)
-    rewritten = [
-        b
-        for b in range(n_buckets)
-        if sorted(os.listdir(f"{state}/facts/b{b}")) != ["v0"]
-    ]
-    assert len(rewritten) == 1, rewritten
+    # version-major layout: the epoch's version dir must carry exactly
+    # ONE __b= partition (the touched group's bucket); every other
+    # bucket stays served by its seed-v0 partition
+    new_versions = sorted(
+        p
+        for p in os.listdir(state + "/facts")
+        if p.startswith("v") and p != "v0"
+    )
+    assert len(new_versions) == 1, new_versions
+    written = sorted(
+        x
+        for x in os.listdir(f"{state}/facts/{new_versions[0]}")
+        if x.startswith("__b=")
+    )
+    assert len(written) == 1, written
+    seed_buckets = sorted(
+        x for x in os.listdir(state + "/facts/v0") if x.startswith("__b=")
+    )
+    assert len(seed_buckets) >= 2  # 6 groups spread over 8 buckets
+
+
+def test_streaming_minmax_many_epochs_cost_tracks_delta(spark, tmp_path):
+    """40-epoch stressor for the copy-on-write MIN/MAX maintainer:
+    interleaved inserts / updates / deletes with DELIBERATE extremum
+    retractions every epoch (the delete always removes a current group
+    minimum, forcing the facts rescan path); maintained mart == batch
+    recompute at three checkpoints, per-epoch wall time stays flat
+    (cost follows |delta| + touched buckets, not facts age or version
+    history), and partition-granular vacuum under keep_last bounds the
+    retained facts versions."""
+    import os
+    import statistics
+    import time
+
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.streaming import minmax_stream
+    from interpro7_dw_spark.streaming.minmax_stream import (
+        maintain_group_minmax_stream,
+        seed_minmax_state,
+    )
+
+    n_epochs = 40
+    n_buckets = 4
+    keep_last = 3
+    rows = {k: (k % 7, float((k * 11) % 90)) for k in range(70)}
+
+    def snap(d):
+        return spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in sorted(d.items())],
+            "k long, g long, v double",
+        )
+
+    def recompute(d):
+        return {
+            r.g: (r.n_rows, r.min_v, r.max_v)
+            for r in snap(d)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+
+    src = str(tmp_path / "changes")
+    state = str(tmp_path / "mmx40")
+    seed_minmax_state(spark, snap(rows), state, "g", "v", n_buckets=n_buckets)
+    schema = snapshot_delta_images(snap(rows), snap(rows), ["k"], ["g", "v"]).schema
+
+    walls: list[float] = []
+    orig = minmax_stream.ivm_apply_group_minmax
+
+    def timed(*a, **kw):
+        walls.append(time.time())
+        return orig(*a, **kw)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return {
+            r.g: (r.n_rows, r.min_v, r.max_v)
+            for r in maintain_group_minmax_stream(
+                spark, stream, state, "g", "v", ["k"],
+                n_buckets=n_buckets, keep_last=keep_last,
+            ).collect()
+        }
+
+    cur = dict(rows)
+    checkpoints = (9, 24, n_epochs - 1)
+    minmax_stream.ivm_apply_group_minmax = timed
+    try:
+        for e in range(n_epochs):
+            nxt = dict(cur)
+            # delete the CURRENT MINIMUM of a rotating group — an
+            # extremum retraction every single epoch
+            victim_g = (e + 3) % 7
+            victims = [(k, v) for k, (g, v) in nxt.items() if g == victim_g]
+            if victims:
+                k_min = min(victims, key=lambda t: (t[1], t[0]))[0]
+                nxt.pop(k_min)
+            nxt[2000 + e] = (e % 7, -1.0 * e)          # insert: new group min
+            upd = (e * 3) % 70
+            if upd in nxt:                              # update (moves group)
+                nxt[upd] = ((nxt[upd][0] + 1) % 7, nxt[upd][1] + 0.5)
+            delta = snapshot_delta_images(snap(cur), snap(nxt), ["k"], ["g", "v"])
+            delta.coalesce(1).write.mode("append").parquet(src)
+            cur = nxt
+            if e in checkpoints:
+                assert drain() == recompute(cur), e
+    finally:
+        minmax_stream.ivm_apply_group_minmax = orig
+
+    gaps = [b - a for a, b in zip(walls, walls[1:])]
+    assert len(gaps) >= n_epochs - 2
+    third = len(gaps) // 3
+    early = statistics.median(gaps[:third])
+    late = statistics.median(gaps[-third:])
+    assert late < max(3.0 * early, early + 1.0), (early, late)
+    # retention: mart versions bounded by keep_last; facts versions
+    # bounded by the retained-mart window plus at most one anchor per
+    # bucket (partition-granular vacuum sweeps the rest)
+    mart_versions = [p for p in os.listdir(state + "/mart") if p.startswith("v")]
+    assert len(mart_versions) <= keep_last, mart_versions
+    fact_versions = [p for p in os.listdir(state + "/facts") if p.startswith("v")]
+    assert len(fact_versions) <= keep_last + n_buckets + 1, fact_versions
 
 
 def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):

@@ -52,6 +52,23 @@ def curve(spark, emb, tag: str) -> None:
         }))
         spark.catalog.clearCache()
         emb.persist(); exact.persist()
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.time()
+        approx = S.ivf_sq8_topk(
+            emb, F.col("vec_id") < N_QUERIES, k=K, nlist=NLIST, nprobe=nprobe
+        )
+        r = (
+            S.ann_recall_at_k(approx, exact, k=K)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        print(json.dumps({
+            "corpus": tag, "path": "ivf_sq8", "nprobe": nprobe,
+            "recall_at_5": round(float(r), 3),
+            "wall_s": round(time.time() - t0, 2),
+        }))
+        spark.catalog.clearCache()
+        emb.persist(); exact.persist()
     for m, ksub in ((8, 16), (16, 16), (8, 4)):
         idx = fixture_dir(f"ann_curve_{tag}_m{m}k{ksub}")
         shutil.rmtree(idx, ignore_errors=True)
@@ -75,6 +92,38 @@ def curve(spark, emb, tag: str) -> None:
             spark.catalog.clearCache()
             emb.persist(); exact.persist()
         shutil.rmtree(idx, ignore_errors=True)
+    # OPQ-style lever (clustered corpus only — the case where raw-space
+    # PQ saturates): PCA + eigenvalue allocation (Ge et al. 2013
+    # non-parametric OPQ), rebuild the m=16 index in the rotated space,
+    # query with rotated queries; exact top-k is rotation-invariant so
+    # recall compares directly. (Plain PCA WITHOUT the balancing step
+    # collapses recall to ~0.2 on this fixture — measured, PERF.md r12.)
+    if tag == "clustered":
+        rot = S.pca_rotation(emb, m=16)
+        remb = S.rotate_embeddings(emb, rot).persist()
+        idx = fixture_dir(f"ann_curve_{tag}_opq_m16")
+        shutil.rmtree(idx, ignore_errors=True)
+        S.write_ivfpq_index(remb, idx, nlist=NLIST, m=16, ksub=16, iters=2)
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            approx = S.ivfpq_topk(
+                remb.filter(F.col("vec_id") < N_QUERIES), idx,
+                k=K, nprobe=nprobe, m=16,
+            )
+            r = (
+                S.ann_recall_at_k(approx, exact, k=K)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+            print(json.dumps({
+                "corpus": tag, "path": "ivfpq_m16_opq_balanced",
+                "nprobe": nprobe, "recall_at_5": round(float(r), 3),
+                "wall_s": round(time.time() - t0, 2),
+            }))
+            spark.catalog.clearCache()
+            emb.persist(); exact.persist(); remb.persist()
+        shutil.rmtree(idx, ignore_errors=True)
+        remb.unpersist()
     exact.unpersist()
     emb.unpersist()
 

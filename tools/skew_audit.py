@@ -31,6 +31,8 @@ from interpro7_dw_spark.operators import skew as SK
 from interpro7_dw_spark.plans.skewq import (
     _boilerplate_docs,
     _hot_segment_orders,
+    _hub_edges,
+    _node_labels,
 )
 from interpro7_dw_spark.session import get_spark
 
@@ -183,6 +185,86 @@ def main() -> None:
         spark.sparkContext.setJobGroup("", "")
         spark.catalog.clearCache()
         results.append(stats)
+
+    # -- scenario 4: hot-key JOIN (hub vertex on 50% of fact rows) -----
+    # four physical strategies for the same logical join + per-label
+    # aggregate (per-row work made real with an xxhash fold so task
+    # time scales with rows):
+    #   (a) forced shuffle sort-merge join, AQE skew split OFF — the
+    #       hub key's whole fact volume lands in ONE reducer;
+    #   (b) same join with AQE skew-join splitting enabled (thresholds
+    #       lowered so this benchmark's partitions qualify; at 100 TB
+    #       the defaults fire on their own);
+    #   (c) salted_broadcast_join — dim replicated per salt, the join
+    #       keyed on (node, salt) so no single task owns the hub;
+    #   (d) plain broadcast join — the honest baseline: for a 1:1
+    #       broadcast-sized dim there is NO reducer to skew, so this
+    #       already de-skews; (c) earns its keep when the composition
+    #       pins partitioning to the join key or the dim fans out.
+    # The amplified fact is materialized evenly first so INPUT
+    # partition skew (one big parquet file) doesn't pollute the
+    # join-stage reading.
+    from interpro7_dw_spark.plans.spec import fixture_dir
+
+    fact = _hub_edges(spark, sf).select(F.col("a").alias("node"), "b")
+    fact = fact.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("__rep")
+    ).drop("__rep")  # 40x rows, hub share unchanged
+    fact_dir = fixture_dir("skew_audit_hub_fact", sf)
+    fact.repartition(32).write.mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    labels = _node_labels(spark, sf)
+
+    def label_agg(joined):
+        return joined.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                F.pmod(F.xxhash64("b", "label"), F.lit(1_000_000_007))
+            ).alias("fold"),
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        results.append(
+            _measure(
+                spark,
+                "join_hot_key/shuffle_no_skew_split",
+                label_agg(fact.join(labels, "node")),
+            )
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+        results.append(
+            _measure(
+                spark,
+                "join_hot_key/shuffle_aqe_skew_split",
+                label_agg(fact.join(labels, "node")),
+            )
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    salted = label_agg(
+        SK.salted_broadcast_join(fact, labels, "node", salt_source="b")
+    )
+    plain = label_agg(fact.join(F.broadcast(labels), "node"))
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    spark.catalog.clearCache()
+    results.append(_measure(spark, "join_hot_key/salted_broadcast", salted))
+    results.append(_measure(spark, "join_hot_key/plain_broadcast", plain))
 
     for r in results:
         print(json.dumps(r))
