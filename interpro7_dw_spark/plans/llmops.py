@@ -3481,7 +3481,7 @@ register(QuerySpec(
     description="Approximate top-5 neighbors over an SQ8 "
     "scalar-quantized corpus (operators/similarity.py::sq8_topk, "
     "FAISS QT_8bit shape): per-dim min/range bounds train in one "
-    "aggregate pass and ride as plan literals, encode is a map-side "
+    "aggregate pass and ride as ONE broadcast row, encode is a map-side "
     "floor (half-up via +0.5, engine-portable where round() is not), "
     "asymmetric distance dequantizes candidates against the "
     "full-precision query via the q.q - 2q.x + x.x dot decomposition. "
@@ -3851,4 +3851,36 @@ register(QuerySpec(
     "top-k rankings, hit counts.",
     build=_ann_recall_ivf_sq8_build,
     oracle=_ann_ivf_sq8_oracle(),
+))
+
+
+def _clamped_counts_build(spark: SparkSession, sf: str):
+    from ..operators.quantiles import histogram_clamped_counts
+
+    return histogram_clamped_counts(
+        t(spark, sf, "events").select("event_type", "value"),
+        "event_type", "value", lo=0.0, hi=50.0,
+    ).select(F.col("key").alias("event_type"), "n_below", "n_above")
+
+
+register(QuerySpec(
+    name="z_histogram_clamped_counts",
+    tags=("A5", "TS1"),
+    description="The histogram sketch's overflow indicator "
+    "(operators/quantiles.py::histogram_clamped_counts): per key, how "
+    "many non-null values fall outside a FIXED trained grid [0, 50] "
+    "and were clamped into the edge buckets — zero means the sketch's "
+    "one-bin-width quantile bound holds, non-zero means the grid is "
+    "stale and must be re-trained (the drift-monitoring companion to "
+    "histogram_quantiles' streaming use, where bounds come from an "
+    "earlier snapshot). Same one-aggregate mergeable shape as the "
+    "sketch itself.",
+    build=lambda spark, sf: _clamped_counts_build(spark, sf),
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN CAST(value AS DOUBLE) > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """,
 ))

@@ -261,3 +261,40 @@ def maintain_taxon_mart_stream(
     return taxon_mart_from_supports(
         read_mart_supports(spark, state_dir, latest[3])
     )
+
+
+def read_taxon_mart_version(
+    spark: SparkSession,
+    state_dir: str,
+    version: int | None = None,
+    epoch: int | None = None,
+) -> DataFrame:
+    """Time travel over the maintained warehouse mart: render the
+    supports of a specific committed version, or the newest committed
+    version applied at-or-before ``epoch`` (the as-of read against
+    the changelog clock), or the latest (both None). Same
+    ``_SUCCESS``-gated isolation as
+    ``ivm_stream.read_mart_version`` — the atomic per-version commit
+    marker means a reader can never see a torn set of supports; the
+    rendered output is the exact taxon_xrefs_mart schema AS OF that
+    release point, which is what the reference's per-release mart
+    dumps would have been."""
+    mart_dir = f"{state_dir}/mart"
+    versions = [t for t in _list_versions(spark, mart_dir) if t[2]]
+    if not versions:
+        raise KeyError(f"no committed versions under {mart_dir!r}")
+    if version is not None:
+        match = [t for t in versions if t[0] == version]
+        if not match:
+            raise KeyError(f"version {version} not committed under {mart_dir!r}")
+        pick = match[0]
+    elif epoch is not None:
+        match = [t for t in versions if t[1] is not None and t[1] <= epoch]
+        if not match:
+            raise KeyError(f"no committed version at or before epoch {epoch}")
+        pick = match[-1]
+    else:
+        pick = versions[-1]
+    return taxon_mart_from_supports(
+        read_mart_supports(spark, state_dir, pick[3])
+    )

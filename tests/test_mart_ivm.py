@@ -306,3 +306,58 @@ def test_mart_stream_equals_batch_rebuild(spark, tmp_path):
         )
     )
     assert got_m == sorted((k, *v) for k, v in m_new.items())
+
+
+def test_mart_stream_time_travel_renders_old_release(spark, tmp_path):
+    """read_taxon_mart_version: the maintained warehouse mart is
+    readable AS OF any committed version — the seed version renders
+    the OLD release's mart exactly (== full rebuild of the old
+    snapshot), the latest renders the new one, an as-of-epoch read
+    resolves to the newest version applied at or before that epoch,
+    and an uncommitted version raises."""
+    import pytest as _pytest
+
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_stream,
+        read_taxon_mart_version,
+        seed_mart_state,
+        unify_changelogs,
+    )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(18)}
+    m_old = {j: (f"P{j % 18}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(40)}
+    p_new = dict(p_old)
+    p_new.pop("P2")
+    p_new["P30"] = "N4"
+    m_new = dict(m_old)
+    m_new[100] = ("P30", "SIG3", "DB0")
+    m_new.pop(7)
+
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    unified = unify_changelogs(dp, dm)
+    src = str(tmp_path / "chg")
+    unified.coalesce(1).write.parquet(src)
+    state = str(tmp_path / "tt_state")
+    seed_mart_state(
+        spark, _p_df(spark, p_old), _m_df(spark, m_old),
+        _pp(spark), _ps(spark), _anc(spark), state, n_buckets=4,
+    )
+    stream = spark.readStream.schema(unified.schema).parquet(src)
+    maintain_taxon_mart_stream(
+        spark, stream, state, _pp(spark), _ps(spark), _anc(spark), n_buckets=4
+    )
+
+    old_render = _mart_rows(read_taxon_mart_version(spark, state, version=0))
+    assert old_render == _mart_rows(_rebuild(spark, p_old, m_old))
+    new_render = _mart_rows(read_taxon_mart_version(spark, state))
+    assert new_render == _mart_rows(_rebuild(spark, p_new, m_new))
+    as_of = _mart_rows(read_taxon_mart_version(spark, state, epoch=0))
+    assert as_of == new_render  # epoch 0 applied the whole single batch
+    with _pytest.raises(KeyError):
+        read_taxon_mart_version(spark, state, version=99)
