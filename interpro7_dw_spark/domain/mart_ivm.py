@@ -334,3 +334,217 @@ def taxon_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:
             F.coalesce("db_json", F.lit("")).alias("db_json"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The SAME pyramid, instantiated for the ENTRY mart — the reference's
+# single worst release cost (export-entry2xrefs budgeted <=24h/100GB,
+# /root/reference/interpro7dw/cli.py:355). Every column of
+# domain/marts.py::entry_xrefs_mart is a count of support rows:
+#
+#     sup_ep        (entry, protein, n)        -> n_proteins = #rows/entry
+#     sup_etp       (entry, tax, protein, n)   -> taxa map + n_taxa
+#     sup_eproteome (entry, proteome, n)       -> n_proteomes
+#     sup_estruct   (entry, pdb, n)            -> n_structures
+#     sup_eep       (entry, ec, protein, n)    -> EC coverage filter INPUT
+#
+# and even the EC coverage/stem-fallback rule renders from sup_eep +
+# n_proteins (it is a threshold function of maintained counts, not of
+# the facts). Changelogs: the protein->entry assignment (integration
+# changes, match arrivals) and the protein dimension (taxon moves),
+# composed by the same bilinear rule.
+
+ENTRY_SUPPORT_NAMES = (
+    "sup_ep", "sup_etp", "sup_eproteome", "sup_estruct", "sup_eep",
+)
+
+ENTRY_SUPPORT_KEYS: dict[str, list[str]] = {
+    "sup_ep": ["entry_acc", "protein_acc"],
+    "sup_etp": ["entry_acc", "tax_id", "protein_acc"],
+    "sup_eproteome": ["entry_acc", "proteome_id"],
+    "sup_estruct": ["entry_acc", "pdb_id"],
+    "sup_eep": ["entry_acc", "ec", "protein_acc"],
+}
+
+
+def seed_entry_supports(
+    protein_entries: DataFrame,     # protein_acc, entry_acc (multiplicity ok)
+    protein_taxa: DataFrame,        # protein_acc, tax_id
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,         # protein_acc, ec
+) -> dict[str, DataFrame]:
+    """Full aggregation of the entry-mart supports from a base
+    release — run once, then maintained forever. ``base`` persists
+    for the five branching aggregates (caller-owned lifetime, the
+    differ-clearCache convention)."""
+    base = protein_entries.select("protein_acc", "entry_acc").persist()
+    return {
+        "sup_ep": _count(base, ENTRY_SUPPORT_KEYS["sup_ep"]),
+        "sup_etp": _count(
+            base.join(protein_taxa, "protein_acc"),
+            ENTRY_SUPPORT_KEYS["sup_etp"],
+        ),
+        "sup_eproteome": _count(
+            base.join(protein_proteomes, "protein_acc"),
+            ENTRY_SUPPORT_KEYS["sup_eproteome"],
+        ),
+        "sup_estruct": _count(
+            base.join(protein_structures, "protein_acc"),
+            ENTRY_SUPPORT_KEYS["sup_estruct"],
+        ),
+        "sup_eep": _count(
+            base.join(protein_ecs, "protein_acc"),
+            ENTRY_SUPPORT_KEYS["sup_eep"],
+        ),
+    }
+
+
+def _signed_pe_delta(delta_pe: DataFrame) -> DataFrame:
+    """protein->entry changelog (keyed by assignment row id) ->
+    signed (protein_acc, entry_acc, s) rows."""
+    retract = delta_pe.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        F.col("old_protein_acc").alias("protein_acc"),
+        F.col("old_entry_acc").alias("entry_acc"),
+        F.lit(-1).cast("long").alias("s"),
+    )
+    add = delta_pe.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_protein_acc").alias("protein_acc"),
+        F.col("new_entry_acc").alias("entry_acc"),
+        F.lit(1).cast("long").alias("s"),
+    )
+    return retract.unionByName(add)
+
+
+def maintain_entry_supports(
+    supports: dict[str, DataFrame],
+    delta_pe: DataFrame,            # snapshot_delta_images over protein_entries (keyed pe_id)
+    delta_p: DataFrame,             # snapshot_delta_images over protein_taxa (keyed protein_acc)
+    protein_taxa_new: DataFrame,    # the NEW protein dim
+    protein_entries_old: DataFrame, # the OLD assignment snapshot (pruned-rescan source)
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+) -> dict[str, DataFrame]:
+    """One IVM epoch for the entry mart: fold the assignment and
+    protein-dim changelogs into the five supports. Same bilinear
+    shape as the taxon mart — dPE drives four supports directly (and
+    sup_etp through the NEW protein dim pruned to its proteins); dP
+    touches only sup_etp, through the OLD assignments of its touched
+    proteins (a |delta|-pruned semi-join rescan; in continuous
+    operation a protein-bucketed COW store)."""
+    dpe = _signed_pe_delta(delta_pe).persist()
+    dp = _signed_protein_delta(delta_p)
+
+    p_new_touched = protein_taxa_new.join(
+        dpe.select("protein_acc").distinct(), "protein_acc", "left_semi"
+    )
+    part1 = dpe.join(p_new_touched, "protein_acc").select(
+        "entry_acc", "tax_id", "protein_acc", "s"
+    )
+    pe_old_touched = protein_entries_old.join(
+        dp.select("protein_acc").distinct(), "protein_acc", "left_semi"
+    )
+    part2 = pe_old_touched.join(dp, "protein_acc").select(
+        "entry_acc", "tax_id", "protein_acc", "s"
+    )
+    d_etp = part1.unionByName(part2)
+
+    return {
+        "sup_ep": apply_count_delta(
+            supports["sup_ep"],
+            dpe.select("entry_acc", "protein_acc", "s"),
+            ENTRY_SUPPORT_KEYS["sup_ep"],
+        ),
+        "sup_etp": apply_count_delta(
+            supports["sup_etp"], d_etp, ENTRY_SUPPORT_KEYS["sup_etp"]
+        ),
+        "sup_eproteome": apply_count_delta(
+            supports["sup_eproteome"],
+            dpe.join(protein_proteomes, "protein_acc").select(
+                "entry_acc", "proteome_id", "s"
+            ),
+            ENTRY_SUPPORT_KEYS["sup_eproteome"],
+        ),
+        "sup_estruct": apply_count_delta(
+            supports["sup_estruct"],
+            dpe.join(protein_structures, "protein_acc").select(
+                "entry_acc", "pdb_id", "s"
+            ),
+            ENTRY_SUPPORT_KEYS["sup_estruct"],
+        ),
+        "sup_eep": apply_count_delta(
+            supports["sup_eep"],
+            dpe.join(protein_ecs, "protein_acc").select(
+                "entry_acc", "ec", "protein_acc", "s"
+            ),
+            ENTRY_SUPPORT_KEYS["sup_eep"],
+        ),
+    }
+
+
+def entry_mart_from_supports(
+    supports: dict[str, DataFrame],
+    entry_go: DataFrame | None = None,
+    with_ec: bool = True,
+) -> DataFrame:
+    """Render the maintained entry supports into
+    ``entry_xrefs_mart``'s exact output — including the per-taxon
+    JSON map (jsonify empty->NULL rule), the EC coverage filter +
+    3-digit stem fallback (applied to the SUPPORT rows — the rule is
+    a pure threshold function of maintained counts), and sorted GO
+    lists from the static dimension. Cost: one pass over each
+    support, never the facts."""
+    from ..functions.json_out import jsonify
+    from .xrefs import filter_ec_numbers
+
+    prot = supports["sup_ep"].groupBy("entry_acc").agg(
+        F.count(F.lit(1)).alias("n_proteins")
+    )
+    taxa_counts = supports["sup_etp"].groupBy("entry_acc", "tax_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    taxa_nested = taxa_counts.groupBy("entry_acc").agg(
+        F.countDistinct("tax_id").alias("n_taxa"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("tax_id", "n")))
+        ).alias("taxa_map"),
+    )
+    proteomes = supports["sup_eproteome"].groupBy("entry_acc").agg(
+        F.count(F.lit(1)).alias("n_proteomes")
+    )
+    structures = supports["sup_estruct"].groupBy("entry_acc").agg(
+        F.count(F.lit(1)).alias("n_structures")
+    )
+    out = (
+        prot.join(taxa_nested, "entry_acc", "left")
+        .join(proteomes, "entry_acc", "left")
+        .join(structures, "entry_acc", "left")
+        .select(
+            "entry_acc",
+            "n_proteins",
+            F.coalesce("n_taxa", F.lit(0)).alias("n_taxa"),
+            F.coalesce("n_proteomes", F.lit(0)).alias("n_proteomes"),
+            F.coalesce("n_structures", F.lit(0)).alias("n_structures"),
+            jsonify(F.col("taxa_map")).alias("taxa_json"),
+        )
+    )
+    if with_ec:
+        eep = supports["sup_eep"].select("entry_acc", "ec", "protein_acc")
+        ec_terms = filter_ec_numbers(eep, prot)
+        ec_json = ec_terms.groupBy("entry_acc").agg(
+            _sorted_join(F.collect_set("term"), ",").alias("ec_json")
+        )
+        out = out.join(ec_json, "entry_acc", "left").withColumn(
+            "ec_json", F.coalesce("ec_json", F.lit(""))
+        )
+    if entry_go is not None:
+        go_json = entry_go.groupBy("entry_acc").agg(
+            _sorted_join(F.collect_set("go_id"), ",").alias("go_json")
+        )
+        out = out.join(go_json, "entry_acc", "left").withColumn(
+            "go_json", F.coalesce("go_json", F.lit(""))
+        )
+    return out

@@ -965,3 +965,123 @@ register(QuerySpec(
     build=_stream_ivm_mart,
     oracle=REGISTRY["z_ivm_mart_taxonomy"].oracle,
 ))
+
+
+def _ivm_mart_entry(spark, sf):
+    """Release-over-release INCREMENTAL rebuild of the entry-xrefs
+    mart — the reference's single worst release cost
+    (export-entry2xrefs budgeted <=24h/100GB,
+    /root/reference/interpro7dw/cli.py:355) — via the entry count
+    pyramid of domain/mart_ivm.py: seed the five entry supports from
+    the OLD release, fold the protein->entry assignment changelog AND
+    the protein-dim changelog (bilinear rule), render with the exact
+    entry_xrefs_mart semantics INCLUDING the EC coverage filter +
+    stem fallback (a pure threshold function of maintained counts)
+    and GO lists. Oracle: the full rebuild of the NEW release."""
+    from ..domain.mart_ivm import (
+        entry_mart_from_supports,
+        maintain_entry_supports,
+        seed_entry_supports,
+    )
+    from ..operators.cdc import snapshot_delta_images
+
+    cust = t(spark, sf, "customer")
+    ck = F.col("c_custkey")
+    p_new = cust.filter(ck % 19 != 0).select(
+        ck.cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("N"), F.col("c_nationkey")).alias("tax_id"),
+    )
+    p_old = cust.filter(ck % 17 != 0).select(
+        ck.cast("string").alias("protein_acc"),
+        F.concat_ws(
+            "",
+            F.lit("N"),
+            (
+                F.col("c_nationkey")
+                + F.when(ck % 13 == 0, F.lit(1)).otherwise(F.lit(0))
+            )
+            % 25,
+        ).alias("tax_id"),
+    )
+    orders = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    sig_new = ok % 50
+    pe_new = orders.filter((sig_new % 3 == 0) & (ok % 11 != 0)).select(
+        ok.alias("pe_id"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("IPR"), sig_new % 10).alias("entry_acc"),
+    )
+    sig_old = (ok + F.when(ok % 13 == 0, F.lit(3)).otherwise(F.lit(0))) % 50
+    pe_old = orders.filter((sig_old % 3 == 0) & (ok % 7 != 0)).select(
+        ok.alias("pe_id"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("IPR"), sig_old % 10).alias("entry_acc"),
+    )
+    pp = _protein_proteomes(spark, sf)
+    ps = _protein_structures(spark, sf)
+    c10 = F.col("c_custkey") % 10
+    pec = cust.select(
+        ck.cast("string").alias("protein_acc"),
+        F.when(c10 < 4, "1.2.3.4").when(c10 < 8, "1.2.3.9").otherwise("5.5.5.5").alias("ec"),
+    )
+    ego = spark.range(10).select(
+        F.concat_ws("", F.lit("IPR"), F.col("id")).alias("entry_acc"),
+        F.explode(
+            F.array(
+                F.concat_ws("", F.lit("GO:00"), F.col("id")),
+                F.concat_ws("", F.lit("GO:01"), (F.col("id") + 1) % 10),
+            )
+        ).alias("go_id"),
+    )
+    sup0 = seed_entry_supports(pe_old.drop("pe_id"), p_old, pp, ps, pec)
+    dpe = snapshot_delta_images(
+        pe_old, pe_new, ["pe_id"], ["protein_acc", "entry_acc"]
+    )
+    dp = snapshot_delta_images(p_old, p_new, ["protein_acc"], ["tax_id"])
+    sup1 = maintain_entry_supports(
+        sup0, dpe, dp, p_new, pe_old.drop("pe_id"), pp, ps, pec
+    )
+    return entry_mart_from_supports(sup1, entry_go=ego)
+
+
+def _must_replace(s: str, old: str, new: str) -> str:
+    assert s.count(old) == 1, f"oracle template drifted: {old!r}"
+    return s.replace(old, new)
+
+
+def _ivm_entry_oracle() -> str:
+    """The full-rebuild oracle of mart_entry2xrefs with the NEW
+    release's generations swapped in (pe filtered to surviving
+    assignment rows; proteins to the new snapshot) — maintained ==
+    recomputed, column for column including ec_json/go_json."""
+    o = REGISTRY["mart_entry2xrefs"].oracle
+    o = _must_replace(
+        o,
+        "FROM orders WHERE (o_orderkey % 50) % 3 = 0",
+        "FROM orders WHERE (o_orderkey % 50) % 3 = 0 AND o_orderkey % 11 <> 0",
+    )
+    o = _must_replace(
+        o,
+        "'N' || c_nationkey AS tax_id\n    FROM customer\n  ),",
+        "'N' || c_nationkey AS tax_id\n    FROM customer WHERE c_custkey % 19 <> 0\n  ),",
+    )
+    return o
+
+
+register(QuerySpec(
+    name="z_ivm_mart_entry2xrefs",
+    tags=("X5", "A3", "A8", "A11", "CD3", "A13"),
+    description="INCREMENTALLY MAINTAINED entry2xrefs mart (domain/"
+    "mart_ivm.py, entry pyramid): the reference's worst release cost "
+    "(export-entry2xrefs <=24h/100GB, cli.py:355) as five count-IVM "
+    "supports — per-entry protein refs, (entry,taxon,protein) refs, "
+    "proteome/structure refs, and (entry,EC,protein) refs — folded "
+    "forward from a protein->entry assignment changelog plus a "
+    "protein-dim changelog via the bilinear rule. The EC coverage "
+    "filter + 3-digit stem fallback and the per-taxon JSON map render "
+    "from the MAINTAINED supports (they are threshold functions of "
+    "counts, not of facts). Oracle: the full DuckDB rebuild of the "
+    "new release, identical column set to mart_entry2xrefs.",
+    build=_ivm_mart_entry,
+    oracle=_ivm_entry_oracle(),
+))

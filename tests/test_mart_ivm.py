@@ -361,3 +361,86 @@ def test_mart_stream_time_travel_renders_old_release(spark, tmp_path):
     assert as_of == new_render  # epoch 0 applied the whole single batch
     with _pytest.raises(KeyError):
         read_taxon_mart_version(spark, state, version=99)
+
+
+def test_entry_mart_ivm_single_epoch_equals_full_rebuild(spark):
+    """Entry-pyramid maintenance (the reference's worst release cost):
+    assignment changelog (integration moves protein between entries,
+    inserts, deletes) + protein-dim changelog (taxon moves, protein
+    delete) folded into the five entry supports; the render — with
+    the EC coverage filter + stem fallback and GO lists applied to
+    MAINTAINED counts — equals entry_xrefs_mart's full rebuild of the
+    new snapshot."""
+    from interpro7_dw_spark.domain.mart_ivm import (
+        ENTRY_SUPPORT_KEYS,
+        entry_mart_from_supports,
+        maintain_entry_supports,
+        seed_entry_supports,
+    )
+    from interpro7_dw_spark.domain.marts import entry_xrefs_mart
+
+    def pe_df(d, with_id=True):
+        rows = sorted((k, *v) for k, v in d.items())
+        df = spark.createDataFrame(
+            rows, "pe_id long, protein_acc string, entry_acc string"
+        )
+        return df if with_id else df.drop("pe_id")
+
+    def pec(s):
+        return s.createDataFrame(
+            [
+                (f"P{i}", "1.2.3.4" if i % 3 == 0 else ("1.2.3.9" if i % 3 == 1 else "5.5.5.5"))
+                for i in range(40)
+            ],
+            "protein_acc string, ec string",
+        )
+
+    def ego(s):
+        return s.createDataFrame(
+            [(f"IPR{e}", f"GO:00{e}") for e in range(4)]
+            + [(f"IPR{e}", f"GO:01{(e + 1) % 4}") for e in range(4)],
+            "entry_acc string, go_id string",
+        )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(24)}
+    pe_old = {j: (f"P{j % 24}", f"IPR{j % 4}") for j in range(60)}
+    p_new = dict(p_old)
+    p_new.pop("P3")                      # protein deleted (taxa retract only)
+    p_new["P4"] = "N1"                   # taxon move
+    p_new["P25"] = "N5"                  # protein insert
+    pe_new = dict(pe_old)
+    pe_new.pop(10)                       # assignment delete
+    pe_new[11] = ("P11", "IPR0")         # entry move (integration change)
+    pe_new[100] = ("P25", "IPR2")        # new protein's assignment
+    pe_new[101] = ("P3", "IPR1")         # assignment to a DELETED protein
+                                         # (still counts: n_proteins ignores taxa)
+
+    sup0 = seed_entry_supports(
+        pe_df(pe_old, with_id=False), _p_df(spark, p_old),
+        _pp(spark), _ps(spark), pec(spark),
+    )
+    dpe = snapshot_delta_images(
+        pe_df(pe_old), pe_df(pe_new), ["pe_id"], ["protein_acc", "entry_acc"]
+    )
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    sup1 = maintain_entry_supports(
+        sup0, dpe, dp, _p_df(spark, p_new), pe_df(pe_old, with_id=False),
+        _pp(spark), _ps(spark), pec(spark),
+    )
+    got = {
+        r.entry_acc: tuple(r)[1:]
+        for r in entry_mart_from_supports(sup1, entry_go=ego(spark)).collect()
+    }
+    want = {
+        r.entry_acc: tuple(r)[1:]
+        for r in entry_xrefs_mart(
+            pe_df(pe_new, with_id=False), _p_df(spark, p_new),
+            _pp(spark), _ps(spark),
+            protein_ecs=pec(spark), entry_go=ego(spark),
+        ).collect()
+    }
+    assert got == want
+    for name in ENTRY_SUPPORT_KEYS:
+        assert sup1[name].filter(F.col("n") <= 0).count() == 0, name
