@@ -50,7 +50,7 @@ HEADLINE = [
     "z_embedding_topk",
     "grouping_sets_pyramid",
     "domorg_fingerprint",
-    "lca_per_nation",
+    "z_lca_per_nation",
     "search_documents",
     "z_multimodal_decode",
     "z_domain_merge_matches",
@@ -105,7 +105,7 @@ HEADLINE = [
     # the chunk-composed EWMA — the two new time/change-family ops
     # promoted into the driver window in the r11 rotation (same queries)
     "ivm_group_agg",
-    "ewma",
+    "z_ewma",
     # r11 second-half additions: multi-table (join-view) IVM, SQ8
     # scalar-quantized ANN, and the mergeable histogram quantiles —
     # the new batch families promoted/landed after the first r11 bench
@@ -119,8 +119,8 @@ HEADLINE = [
     # mart (count-pyramid supports + bilinear changelog fold)
     "skew_salted_agg",
     "stream_ivm_minmax",
-    "z_skew_join_hot_key",
-    "z_ivm_mart_taxonomy",
+    "skew_join_hot_key",
+    "ivm_mart_taxonomy",
 ]
 
 

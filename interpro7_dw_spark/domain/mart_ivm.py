@@ -41,9 +41,18 @@ assignment lifted through the ancestor closure):
         against the NEW protein snapshot pruned to dM's proteins.
 
 Per-epoch cost: |dP| + |dM| + old matches under touched proteins +
-new-protein rows under dM's proteins + |supports| (the count-merge
-outer joins — supports are aggregate-sized, orders of magnitude below
-the facts). Never a facts rescan, never a mart rebuild.
+new-protein rows under dM's proteins + the count merges. Four of the
+five supports are aggregate-sized (taxonomy / proteome / structure /
+signature cardinality — orders of magnitude below the facts) and
+merge whole; ``sup_prot_db`` is FACTS-SCALE (≈ |proteins| ×
+lineage-depth × dbs-per-protein after the ancestor lift), so its
+merge is PRUNED to the delta's touched proteins
+(:func:`apply_count_delta_pruned` — untouched rows pass through
+unshuffled behind a broadcast anti-join) and, in continuous
+operation, the support itself lives in a protein-bucketed
+copy-on-write store (``streaming/mart_stream.py``) so per-epoch IO
+is Θ(|touched buckets|), not Θ(|support|). Never a facts rescan,
+never a mart rebuild.
 
 The maintained render (:func:`taxon_mart_from_supports`) reproduces
 ``taxon_xrefs_mart``'s exact output schema and canonical db_json
@@ -69,6 +78,10 @@ SUPPORT_KEYS: dict[str, list[str]] = {
     "sup_sig": ["tax_id", "database", "signature_acc"],
     "sup_prot_db": ["tax_id", "database", "protein_acc"],
 }
+
+# the FACTS-SCALE supports and the key column their merges prune on /
+# their continuous COW stores bucket by — see the module docstring
+BUCKETED_SUPPORTS: dict[str, str] = {"sup_prot_db": "protein_acc"}
 
 
 def _count(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -119,7 +132,12 @@ def apply_count_delta(
     (support row counts) maintainable without any facts rescan.
     Multi-key sibling of ``operators/cdc.py::ivm_apply_group_agg``'s
     merge: group-keyed partial aggregate over the delta + one
-    null-safe outer join hashed on the support's own key."""
+    null-safe outer join hashed on the support's own key.
+
+    ``n == 0`` is the legitimate exit; ``n < 0`` can only mean a
+    corrupted changelog (double-applied or inconsistent) and RAISES at
+    execution time instead of being silently dropped — the same
+    loud-failure stance as ``sq8_train``'s range validation."""
     # support and delta often share lineage (the seed and the delta
     # read the same dimension tables) — alias both sides so the
     # null-safe outer join is unambiguous
@@ -134,14 +152,82 @@ def apply_count_delta(
     on = sc(keys[0]).eqNullSafe(dc(keys[0]))
     for k in keys[1:]:
         on = on & sc(k).eqNullSafe(dc(k))
+    n_merged = (
+        F.coalesce(F.col("__sup.n"), F.lit(0))
+        + F.coalesce(F.col("__dlt.__dn"), F.lit(0))
+    ).cast("long")
     merged = sup.join(d, on, "full_outer").select(
         *[F.coalesce(sc(k), dc(k)).alias(k) for k in keys],
-        (
-            F.coalesce(F.col("__sup.n"), F.lit(0))
-            + F.coalesce(F.col("__dlt.__dn"), F.lit(0))
-        ).cast("long").alias("n"),
+        F.when(
+            n_merged < 0,
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit(
+                        "apply_count_delta: negative maintained count"
+                        " (double-applied or inconsistent changelog) for key"
+                    ),
+                    *[
+                        F.coalesce(
+                            F.coalesce(sc(k), dc(k)).cast("string"),
+                            F.lit("NULL"),
+                        )
+                        for k in keys
+                    ],
+                )
+            ).cast("long"),
+        )
+        .otherwise(n_merged)
+        .alias("n"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+def apply_count_delta_pruned(
+    support: DataFrame, delta: DataFrame, keys: list[str], prune_col: str
+) -> DataFrame:
+    """:func:`apply_count_delta` with the merge PRUNED to the delta's
+    touched ``prune_col`` values — the merge discipline for a
+    FACTS-SCALE support. Correct because ``prune_col`` is part of the
+    support key: a row whose prune value never appears in the delta
+    cannot receive a contribution, so it passes through UNTOUCHED —
+    here physically untouched: the delta's distinct prune values
+    (delta-sized, the IVM premise) ride as a broadcast, the semi/anti
+    split is a broadcast hash join with NO shuffle of the support,
+    and the full-outer count merge shuffles only the touched slice.
+    In continuous operation the pruning is a partition-pruned bucket
+    READ as well (``streaming/mart_stream.py``'s COW support store);
+    this function is the plan-level half that keeps the one-shot
+    batch maintainer from reshuffling |support| per epoch."""
+    if prune_col not in keys:
+        raise ValueError(f"prune_col {prune_col!r} must be in keys {keys}")
+    sup = support.alias("__ps")
+    touched = F.broadcast(
+        delta.select(F.col(prune_col).alias("__pv")).distinct().alias("__pt")
+    )
+    on = F.col(f"__ps.{prune_col}").eqNullSafe(F.col("__pt.__pv"))
+    touched_rows = sup.join(touched, on, "left_semi")
+    untouched = sup.join(touched, on, "left_anti")
+    return untouched.unionByName(apply_count_delta(touched_rows, delta, keys))
+
+
+def _merge_supports(
+    supports: dict[str, DataFrame],
+    deltas: dict[str, DataFrame],
+    support_keys: dict[str, list[str]],
+    bucketed: dict[str, str],
+) -> dict[str, DataFrame]:
+    """Fold each support's signed delta in: aggregate-sized supports
+    merge whole, facts-scale ones through the pruned merge."""
+    out = {}
+    for name, keys in support_keys.items():
+        if name in bucketed:
+            out[name] = apply_count_delta_pruned(
+                supports[name], deltas[name], keys, bucketed[name]
+            )
+        else:
+            out[name] = apply_count_delta(supports[name], deltas[name], keys)
+    return out
 
 
 def _signed_protein_delta(delta_p: DataFrame) -> DataFrame:
@@ -183,8 +269,7 @@ def _signed_match_delta(delta_m: DataFrame) -> DataFrame:
     return retract.unionByName(add)
 
 
-def maintain_taxon_supports(
-    supports: dict[str, DataFrame],
+def taxon_support_deltas(
     delta_p: DataFrame,             # snapshot_delta_images(p_old, p_new, [protein_acc], [tax_id])
     delta_m: DataFrame,             # snapshot_delta_images(m_old, m_new, [match_id], [protein_acc, signature_acc, database])
     proteins_new: DataFrame,        # the NEW protein snapshot (protein_acc, tax_id)
@@ -193,11 +278,15 @@ def maintain_taxon_supports(
     protein_structures: DataFrame,
     taxon_ancestors: DataFrame,
 ) -> dict[str, DataFrame]:
-    """One IVM epoch: fold the protein and match changelogs into the
-    five supports. The ancestor closure is a dimension (taxonomy-
-    sized) and rides broadcast; the only fact-table touches are the
-    two |delta|-pruned semi-join rescans the bilinear rule requires
-    (old matches under dP's proteins, new proteins under dM's).
+    """The five SIGNED SUPPORT DELTAS of one epoch (bilinear rule) —
+    the delta computation of :func:`maintain_taxon_supports` without
+    the merges, so the streaming habitat can route each delta to its
+    own storage discipline (full rewrite for aggregate-sized
+    supports, COW touched-bucket writes for the facts-scale one).
+    The ancestor closure is a dimension (taxonomy-sized) and rides
+    broadcast; the only fact-table touches are the two |delta|-pruned
+    semi-join rescans the bilinear rule requires (old matches under
+    dP's proteins, new proteins under dM's).
 
     In continuous operation ``matches_old`` comes from a
     protein-bucketed store (the COW pattern of
@@ -245,36 +334,41 @@ def maintain_taxon_supports(
     d_matched = part1.unionByName(part2).persist()
 
     return {
-        "sup_tax": apply_count_delta(
-            supports["sup_tax"],
-            dp_lift.select("tax_id", "s"),
-            SUPPORT_KEYS["sup_tax"],
+        "sup_tax": dp_lift.select("tax_id", "s"),
+        "sup_proteome": dp_lift.join(protein_proteomes, "protein_acc").select(
+            "tax_id", "proteome_id", "s"
         ),
-        "sup_proteome": apply_count_delta(
-            supports["sup_proteome"],
-            dp_lift.join(protein_proteomes, "protein_acc").select(
-                "tax_id", "proteome_id", "s"
-            ),
-            SUPPORT_KEYS["sup_proteome"],
+        "sup_structure": dp_lift.join(protein_structures, "protein_acc").select(
+            "tax_id", "pdb_id", "s"
         ),
-        "sup_structure": apply_count_delta(
-            supports["sup_structure"],
-            dp_lift.join(protein_structures, "protein_acc").select(
-                "tax_id", "pdb_id", "s"
-            ),
-            SUPPORT_KEYS["sup_structure"],
-        ),
-        "sup_sig": apply_count_delta(
-            supports["sup_sig"],
-            d_matched.select("tax_id", "database", "signature_acc", "s"),
-            SUPPORT_KEYS["sup_sig"],
-        ),
-        "sup_prot_db": apply_count_delta(
-            supports["sup_prot_db"],
-            d_matched.select("tax_id", "database", "protein_acc", "s"),
-            SUPPORT_KEYS["sup_prot_db"],
+        "sup_sig": d_matched.select("tax_id", "database", "signature_acc", "s"),
+        "sup_prot_db": d_matched.select(
+            "tax_id", "database", "protein_acc", "s"
         ),
     }
+
+
+def maintain_taxon_supports(
+    supports: dict[str, DataFrame],
+    delta_p: DataFrame,
+    delta_m: DataFrame,
+    proteins_new: DataFrame,
+    matches_old: DataFrame,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    taxon_ancestors: DataFrame,
+) -> dict[str, DataFrame]:
+    """One IVM epoch: fold the protein and match changelogs into the
+    five supports — :func:`taxon_support_deltas` composed with the
+    merges. The four aggregate-sized supports merge whole; the
+    facts-scale ``sup_prot_db`` merges through
+    :func:`apply_count_delta_pruned` so its untouched rows are never
+    shuffled (and, in the streaming habitat, never read or written)."""
+    deltas = taxon_support_deltas(
+        delta_p, delta_m, proteins_new, matches_old,
+        protein_proteomes, protein_structures, taxon_ancestors,
+    )
+    return _merge_supports(supports, deltas, SUPPORT_KEYS, BUCKETED_SUPPORTS)
 
 
 def taxon_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:
@@ -366,6 +460,15 @@ ENTRY_SUPPORT_KEYS: dict[str, list[str]] = {
     "sup_eep": ["entry_acc", "ec", "protein_acc"],
 }
 
+# the protein-keyed entry supports are ASSIGNMENT-SCALE (sup_ep ≈ the
+# protein-entry table, sup_etp/sup_eep its taxon/EC lifts): pruned
+# merges + COW bucket stores, like the taxon mart's sup_prot_db
+ENTRY_BUCKETED_SUPPORTS: dict[str, str] = {
+    "sup_ep": "protein_acc",
+    "sup_etp": "protein_acc",
+    "sup_eep": "protein_acc",
+}
+
 
 def seed_entry_supports(
     protein_entries: DataFrame,     # protein_acc, entry_acc (multiplicity ok)
@@ -418,8 +521,7 @@ def _signed_pe_delta(delta_pe: DataFrame) -> DataFrame:
     return retract.unionByName(add)
 
 
-def maintain_entry_supports(
-    supports: dict[str, DataFrame],
+def entry_support_deltas(
     delta_pe: DataFrame,            # snapshot_delta_images over protein_entries (keyed pe_id)
     delta_p: DataFrame,             # snapshot_delta_images over protein_taxa (keyed protein_acc)
     protein_taxa_new: DataFrame,    # the NEW protein dim
@@ -428,13 +530,14 @@ def maintain_entry_supports(
     protein_structures: DataFrame,
     protein_ecs: DataFrame,
 ) -> dict[str, DataFrame]:
-    """One IVM epoch for the entry mart: fold the assignment and
-    protein-dim changelogs into the five supports. Same bilinear
-    shape as the taxon mart — dPE drives four supports directly (and
-    sup_etp through the NEW protein dim pruned to its proteins); dP
-    touches only sup_etp, through the OLD assignments of its touched
-    proteins (a |delta|-pruned semi-join rescan; in continuous
-    operation a protein-bucketed COW store)."""
+    """The five signed support deltas of one ENTRY-mart epoch. Same
+    bilinear shape as the taxon mart — dPE drives four supports
+    directly (and sup_etp through the NEW protein dim pruned to its
+    proteins); dP touches only sup_etp, through the OLD assignments
+    of its touched proteins (a |delta|-pruned semi-join rescan; in
+    continuous operation a protein-bucketed COW store). ``dpe``
+    persists (five consumers) — caller-owned lifetime, the
+    differ-clearCache convention."""
     dpe = _signed_pe_delta(delta_pe).persist()
     dp = _signed_protein_delta(delta_p)
 
@@ -450,39 +553,45 @@ def maintain_entry_supports(
     part2 = pe_old_touched.join(dp, "protein_acc").select(
         "entry_acc", "tax_id", "protein_acc", "s"
     )
-    d_etp = part1.unionByName(part2)
-
     return {
-        "sup_ep": apply_count_delta(
-            supports["sup_ep"],
-            dpe.select("entry_acc", "protein_acc", "s"),
-            ENTRY_SUPPORT_KEYS["sup_ep"],
+        "sup_ep": dpe.select("entry_acc", "protein_acc", "s"),
+        "sup_etp": part1.unionByName(part2),
+        "sup_eproteome": dpe.join(protein_proteomes, "protein_acc").select(
+            "entry_acc", "proteome_id", "s"
         ),
-        "sup_etp": apply_count_delta(
-            supports["sup_etp"], d_etp, ENTRY_SUPPORT_KEYS["sup_etp"]
+        "sup_estruct": dpe.join(protein_structures, "protein_acc").select(
+            "entry_acc", "pdb_id", "s"
         ),
-        "sup_eproteome": apply_count_delta(
-            supports["sup_eproteome"],
-            dpe.join(protein_proteomes, "protein_acc").select(
-                "entry_acc", "proteome_id", "s"
-            ),
-            ENTRY_SUPPORT_KEYS["sup_eproteome"],
-        ),
-        "sup_estruct": apply_count_delta(
-            supports["sup_estruct"],
-            dpe.join(protein_structures, "protein_acc").select(
-                "entry_acc", "pdb_id", "s"
-            ),
-            ENTRY_SUPPORT_KEYS["sup_estruct"],
-        ),
-        "sup_eep": apply_count_delta(
-            supports["sup_eep"],
-            dpe.join(protein_ecs, "protein_acc").select(
-                "entry_acc", "ec", "protein_acc", "s"
-            ),
-            ENTRY_SUPPORT_KEYS["sup_eep"],
+        "sup_eep": dpe.join(protein_ecs, "protein_acc").select(
+            "entry_acc", "ec", "protein_acc", "s"
         ),
     }
+
+
+def maintain_entry_supports(
+    supports: dict[str, DataFrame],
+    delta_pe: DataFrame,
+    delta_p: DataFrame,
+    protein_taxa_new: DataFrame,
+    protein_entries_old: DataFrame,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+) -> dict[str, DataFrame]:
+    """One IVM epoch for the entry mart —
+    :func:`entry_support_deltas` composed with the merges. The two
+    aggregate-sized supports merge whole; the three assignment-scale
+    protein-keyed ones (sup_ep / sup_etp / sup_eep) merge through
+    :func:`apply_count_delta_pruned` so their untouched rows are
+    never shuffled (and, in the streaming habitat, never read or
+    written)."""
+    deltas = entry_support_deltas(
+        delta_pe, delta_p, protein_taxa_new, protein_entries_old,
+        protein_proteomes, protein_structures, protein_ecs,
+    )
+    return _merge_supports(
+        supports, deltas, ENTRY_SUPPORT_KEYS, ENTRY_BUCKETED_SUPPORTS
+    )
 
 
 def entry_mart_from_supports(

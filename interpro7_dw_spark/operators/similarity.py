@@ -1354,6 +1354,85 @@ def ivf_sq8_topk(
     )
 
 
+def _cross_moment(
+    df: DataFrame, xcol: str, ycol: str, dim: int
+) -> tuple:
+    """(Σ x·yᵀ as dim x dim, Σ x, Σ y, n) over a DataFrame of two
+    array<double> columns, computed as PER-PARTITION NUMPY PARTIALS
+    (``X.T @ Y`` per Arrow batch via ``mapInPandas``) followed by a
+    d²-keyed sum — the scale-safe moment kernel. The r12 posexplode
+    pair join shuffled n·d² exploded rows (a 10³–10⁶× row blowup at
+    production embedding dims); here the shuffle carries only
+    |partitions| × (d² + 2d + 1) rows and the driver receives d²
+    doubles, independent of n. NULL vectors are skipped (posexplode
+    parity); a ragged vector raises loudly with its length."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(xcol).cast("array<double>").alias("__x"),
+        F.col(ycol).cast("array<double>").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def partials(batches):
+        xy = np.zeros((dim, dim))
+        sx = np.zeros(dim)
+        sy = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for c in ("__x", "__y"):
+                bad = pdf[c].map(len) != dim
+                if bad.any():
+                    raise ValueError(
+                        f"_cross_moment: ragged vector in {c!r} — expected "
+                        f"dim {dim}, saw length "
+                        f"{int(pdf[c][bad].map(len).iloc[0])}"
+                    )
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__x"]])
+            Y = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__y"]])
+            xy += X.T @ Y
+            sx += X.sum(axis=0)
+            sy += Y.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [ii.ravel(), np.arange(dim), np.full(dim, -1), [-1]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [jj.ravel(), np.full(dim, -1), np.arange(dim), [-1]]
+                ).astype("int32"),
+                "s": np.concatenate([xy.ravel(), sx, sy, [float(n)]]),
+            }
+        )
+
+    agg = (
+        src.mapInPandas(partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    xy = np.zeros((dim, dim))
+    sx = np.zeros(dim)
+    sy = np.zeros(dim)
+    n = 0
+    for r in agg:
+        if r.i == -1 and r.j == -1:
+            n = int(r.s)
+        elif r.j == -1:
+            sx[r.i] = r.s
+        elif r.i == -1:
+            sy[r.j] = r.s
+        else:
+            xy[r.i][r.j] = r.s
+    return xy, sx, sy, n
+
+
 def pca_rotation(
     emb: DataFrame,
     dim: int = 64,
@@ -1374,40 +1453,25 @@ def pca_rotation(
     equal-size buckets minimizing each bucket's variance product, so
     every subspace carries comparable signal.
 
-    Spark-side: one aggregate computes the dim x dim second-moment
-    matrix as posexplode pairs (4096 doubles to the driver —
-    dimension-sized, data-volume-free); numpy eigendecomposes it
-    (deterministic up to sign; signs are canonicalized so the
-    rotation reproduces across runs). Returns the rotation as a list
-    of rows; apply with :func:`rotate_embeddings`.
+    Spark-side: ONE job computes the dim x dim second-moment matrix
+    AND the mean vector via :func:`_cross_moment` — per-partition
+    numpy ``X.T @ X`` partials through a d²-keyed sum (never the
+    r12 posexplode pair join's n·d² row blowup); the driver receives
+    d² doubles, data-volume-free at any corpus size or embedding
+    width. numpy eigendecomposes it (deterministic up to sign; signs
+    are canonicalized so the rotation reproduces across runs).
+    Returns the rotation as a list of rows; apply with
+    :func:`rotate_embeddings`.
     """
     import math
 
     import numpy as np
 
-    v = F.col(vec_col).cast("array<double>")
-    mean_rows = (
-        emb.select(F.posexplode(v).alias("d", "x"))
-        .groupBy("d")
-        .agg(F.avg("x").alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(dim)
-    for r in mean_rows:
-        mu[r.d] = r.mu
-    pairs = (
-        emb.select(F.posexplode(v).alias("i", "xi"), v.alias("__v"))
-        .select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    cov = np.zeros((dim, dim))
-    n_rows = 0
-    for r in pairs:
-        cov[r.i][r.j] = r.s / r.n
-        n_rows = max(n_rows, r.n)
-    cov -= np.outer(mu, mu)
+    xx, sx, _sy, n = _cross_moment(emb, vec_col, vec_col, dim)
+    if n == 0:
+        raise ValueError("pca_rotation: empty corpus")
+    mu = sx / n
+    cov = xx / n - np.outer(mu, mu)
     w, vecs = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1]
     w = w[order]
@@ -1461,3 +1525,82 @@ def rotate_embeddings(
     return emb.crossJoin(F.broadcast(rows)).select(
         F.col(id_col), rotated.alias(vec_col)
     )
+
+
+def pq_reconstruct(
+    codes: DataFrame, cdf: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, recon): decode PQ codes back to the concatenated subspace
+    centroids — q(x), the ADC-side approximation made explicit. One
+    broadcast join against the m x ksub codebook, re-assembled in
+    subspace order; map-side, no fact shuffle beyond the per-id
+    regroup."""
+    j = codes.join(
+        F.broadcast(cdf.withColumnRenamed("cid", "code")), ["sub", "code"]
+    )
+    return j.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(F.collect_list(F.struct("sub", "cvec"))).getField(
+                "cvec"
+            )
+        ).alias("recon")
+    )
+
+
+def opq_rotation(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 2,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """FULL non-parametric OPQ (Ge et al. 2013 §4.2): alternate
+    (a) fix R — train the m-subspace PQ codebooks on the rotated
+    corpus (:func:`pq_codebooks_df`, the engine's pinned-fold Lloyd);
+    (b) fix the codebooks — re-solve the rotation as the ORTHOGONAL
+    PROCRUSTES problem min_R Σ‖R·xᵢ − q(R_old·xᵢ)‖², whose closed
+    form is R = V·Uᵀ from the SVD of the cross-moment M = Σ xᵢ·yᵢᵀ
+    (yᵢ = the PQ reconstruction). Initialized from
+    :func:`pca_rotation` with EIGENVALUE ALLOCATION (§4.1; plain PCA
+    without the balancing is the measured trap — PERF.md r12). Each
+    half-step is the exact minimizer of its subproblem given the
+    other, so the quantization objective is non-increasing (pinned by
+    tests/test_operators.py).
+
+    Scale: per iteration, one PQ training (the subspace-keyed Lloyd —
+    all broadcast joins and pinned folds, no all-pairs), one map-side
+    encode + reconstruct, and one :func:`_cross_moment` pass (d²-keyed
+    partial sum, driver holds d² doubles and a d x d SVD). Nothing is
+    ever n·d²; the corpus is scanned O(iters) times.
+    """
+    import numpy as np
+
+    R = pca_rotation(emb, dim=dim, vec_col=vec_col, m=m)
+    base = emb.select(id_col, vec_col)
+    for _ in range(iters):
+        rotated = rotate_embeddings(base, R, id_col=id_col, vec_col=vec_col)
+        cdf = pq_codebooks_df(
+            rotated, m=m, ksub=ksub, iters=pq_iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        recon = pq_reconstruct(
+            pq_encode(rotated, cdf, m=m, dim=dim, id_col=id_col, vec_col=vec_col),
+            cdf,
+            id_col=id_col,
+        )
+        pair = base.select(
+            F.col(id_col).alias("__pid"), F.col(vec_col).alias("__xv")
+        ).join(
+            recon.select(F.col(id_col).alias("__pid"), F.col("recon").alias("__yv")),
+            "__pid",
+        )
+        M, _sx, _sy, n = _cross_moment(pair, "__xv", "__yv", dim)
+        if n == 0:
+            raise ValueError("opq_rotation: empty corpus")
+        # max tr(R·M) over orthogonal R: M = U·S·Vᵀ → R = V·Uᵀ
+        U, _S, Vt = np.linalg.svd(M)
+        R = [[float(x) for x in row] for row in (Vt.T @ U.T)]
+    return R

@@ -121,7 +121,10 @@ def _lca_per_nation(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="lca_per_nation",
+    # z_-parked in the r13 rotation that promoted skew_join_hot_key:
+    # G1/G4 closure machinery stays in-window via closure_depths +
+    # tree_hierarchy_json; the differ still value-checks this spec
+    name="z_lca_per_nation",
     tags=("G4", "G1"),
     description="Lowest common ancestor per node group via closure join "
     "(reference per-domain LCA common-prefix fold, interpro/ftp/xmlfiles.py:149-197).",

@@ -2515,8 +2515,10 @@ def _ewma_oracle(chunk_seconds: int = 21_600) -> str:
 
 
 register(QuerySpec(
-    # promoted into the driver window in the r11 rotation (was z_ewma)
-    name="ewma",
+    # z_-parked in the r13 rotation that promoted ivm_mart_taxonomy:
+    # W4 recurrence stays in-window via window_suite's recurrence
+    # column and the differ still value-checks this spec every sweep
+    name="z_ewma",
     tags=("TS1", "W4", "F9"),
     description="Per-event EWMA / time-decayed score "
     "(operators/timeseries.py::ewma, zero-initialized — the biased "

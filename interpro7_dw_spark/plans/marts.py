@@ -791,7 +791,9 @@ def _ivm_mart_taxonomy(spark, sf):
 
 
 register(QuerySpec(
-    name="z_ivm_mart_taxonomy",
+    # promoted into the driver window in the r13 rotation (was
+    # z_ivm_mart_taxonomy) — the r12 headline capability
+    name="ivm_mart_taxonomy",
     tags=("X5", "A8", "A9", "CD3", "A13"),
     description="INCREMENTALLY MAINTAINED taxon2xrefs mart (domain/"
     "mart_ivm.py): the real warehouse mart's count pyramid — protein "
@@ -864,7 +866,7 @@ register(QuerySpec(
 
 
 def _stream_ivm_mart(spark, sf):
-    """The SAME release changelog as z_ivm_mart_taxonomy, drained as a
+    """The SAME release changelog as ivm_mart_taxonomy, drained as a
     STREAM (streaming/mart_stream.py): protein+match changes
     interleaved in one discriminated stream over 3 micro-batch files,
     folded per epoch against COW-stored protein/match state, supports
@@ -960,31 +962,19 @@ register(QuerySpec(
     "supports, committed atomically per version. Same epoch-"
     "idempotent replay guard as the sum/count IVM streams. Oracle: "
     "the full DuckDB rebuild of the new release — identical to "
-    "z_ivm_mart_taxonomy, because any micro-batch partitioning of "
+    "ivm_mart_taxonomy, because any micro-batch partitioning of "
     "the changelog converges to the same supports.",
     build=_stream_ivm_mart,
-    oracle=REGISTRY["z_ivm_mart_taxonomy"].oracle,
+    oracle=REGISTRY["ivm_mart_taxonomy"].oracle,
 ))
 
 
-def _ivm_mart_entry(spark, sf):
-    """Release-over-release INCREMENTAL rebuild of the entry-xrefs
-    mart — the reference's single worst release cost
-    (export-entry2xrefs budgeted <=24h/100GB,
-    /root/reference/interpro7dw/cli.py:355) — via the entry count
-    pyramid of domain/mart_ivm.py: seed the five entry supports from
-    the OLD release, fold the protein->entry assignment changelog AND
-    the protein-dim changelog (bilinear rule), render with the exact
-    entry_xrefs_mart semantics INCLUDING the EC coverage filter +
-    stem fallback (a pure threshold function of maintained counts)
-    and GO lists. Oracle: the full rebuild of the NEW release."""
-    from ..domain.mart_ivm import (
-        entry_mart_from_supports,
-        maintain_entry_supports,
-        seed_entry_supports,
-    )
-    from ..operators.cdc import snapshot_delta_images
-
+def _entry_release_tables(spark, sf) -> dict:
+    """The OLD/NEW release snapshots the entry-mart IVM specs share:
+    protein dim (taxon moves, inserts, deletes), protein->entry
+    assignment (integration moves, match arrivals/removals), EC and
+    GO dims — all deterministic derivations of the driver tables,
+    matching the full-rebuild oracle's CTEs."""
     cust = t(spark, sf, "customer")
     ck = F.col("c_custkey")
     p_new = cust.filter(ck % 19 != 0).select(
@@ -1033,15 +1023,46 @@ def _ivm_mart_entry(spark, sf):
             )
         ).alias("go_id"),
     )
-    sup0 = seed_entry_supports(pe_old.drop("pe_id"), p_old, pp, ps, pec)
+    return {
+        "p_old": p_old, "p_new": p_new,
+        "pe_old": pe_old, "pe_new": pe_new,
+        "pp": pp, "ps": ps, "pec": pec, "ego": ego,
+    }
+
+
+def _ivm_mart_entry(spark, sf):
+    """Release-over-release INCREMENTAL rebuild of the entry-xrefs
+    mart — the reference's single worst release cost
+    (export-entry2xrefs budgeted <=24h/100GB,
+    /root/reference/interpro7dw/cli.py:355) — via the entry count
+    pyramid of domain/mart_ivm.py: seed the five entry supports from
+    the OLD release, fold the protein->entry assignment changelog AND
+    the protein-dim changelog (bilinear rule), render with the exact
+    entry_xrefs_mart semantics INCLUDING the EC coverage filter +
+    stem fallback (a pure threshold function of maintained counts)
+    and GO lists. Oracle: the full rebuild of the NEW release."""
+    from ..domain.mart_ivm import (
+        entry_mart_from_supports,
+        maintain_entry_supports,
+        seed_entry_supports,
+    )
+    from ..operators.cdc import snapshot_delta_images
+
+    r = _entry_release_tables(spark, sf)
+    sup0 = seed_entry_supports(
+        r["pe_old"].drop("pe_id"), r["p_old"], r["pp"], r["ps"], r["pec"]
+    )
     dpe = snapshot_delta_images(
-        pe_old, pe_new, ["pe_id"], ["protein_acc", "entry_acc"]
+        r["pe_old"], r["pe_new"], ["pe_id"], ["protein_acc", "entry_acc"]
     )
-    dp = snapshot_delta_images(p_old, p_new, ["protein_acc"], ["tax_id"])
+    dp = snapshot_delta_images(
+        r["p_old"], r["p_new"], ["protein_acc"], ["tax_id"]
+    )
     sup1 = maintain_entry_supports(
-        sup0, dpe, dp, p_new, pe_old.drop("pe_id"), pp, ps, pec
+        sup0, dpe, dp, r["p_new"], r["pe_old"].drop("pe_id"),
+        r["pp"], r["ps"], r["pec"],
     )
-    return entry_mart_from_supports(sup1, entry_go=ego)
+    return entry_mart_from_supports(sup1, entry_go=r["ego"])
 
 
 def _must_replace(s: str, old: str, new: str) -> str:
@@ -1084,4 +1105,80 @@ register(QuerySpec(
     "new release, identical column set to mart_entry2xrefs.",
     build=_ivm_mart_entry,
     oracle=_ivm_entry_oracle(),
+))
+
+
+def _stream_ivm_mart_entry(spark, sf):
+    """The SAME release changelog as z_ivm_mart_entry2xrefs, drained
+    as a STREAM (streaming/mart_stream.py, entry habitat): assignment
+    + protein-dim changes interleaved in one discriminated stream
+    over 3 micro-batch files, folded per epoch against COW-stored
+    protein/assignment state; the three assignment-scale supports
+    advance as COW touched-bucket merges, the two aggregate-sized
+    ones rewrite whole, all committed atomically per version. Final
+    rendered mart must equal the full rebuild of the new release."""
+    import shutil
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.mart_stream import (
+        maintain_entry_mart_stream,
+        seed_entry_mart_state,
+        unify_entry_changelogs,
+    )
+    from .spec import fixture_dir
+
+    r = _entry_release_tables(spark, sf)
+    dpe = snapshot_delta_images(
+        r["pe_old"], r["pe_new"], ["pe_id"], ["protein_acc", "entry_acc"]
+    )
+    dp = snapshot_delta_images(
+        r["p_old"], r["p_new"], ["protein_acc"], ["tax_id"]
+    )
+    unified = unify_entry_changelogs(dpe, dp)
+    root = fixture_dir("ivm_mart_entry_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state", ignore_errors=True)
+    shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    split = F.coalesce(
+        F.col("pe_id") % 3, F.ascii(F.col("protein_acc")) % 3
+    )
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    state = root + "_state"
+    seed_entry_mart_state(
+        spark, r["p_old"], r["pe_old"], r["pp"], r["ps"], r["pec"],
+        state, n_buckets=16,
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    return maintain_entry_mart_stream(
+        spark, stream, state, r["pp"], r["ps"], r["pec"],
+        entry_go=r["ego"], n_buckets=16,
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm_mart_entry",
+    tags=("X5", "A3", "A8", "A11", "CD3", "ST4"),
+    description="The reference's WORST release cost (export-"
+    "entry2xrefs <=24h/100GB, cli.py:355) maintained as a STANDING "
+    "QUERY (streaming/mart_stream.py, entry habitat): protein->entry "
+    "assignment and protein-dim changelogs interleave in one "
+    "discriminated stream; each micro-batch advances the protein-"
+    "bucketed assignment + protein-dim COW stores (the bilinear "
+    "rescan is a partition-pruned bucket read) and the five entry "
+    "count-pyramid supports — the three assignment-scale ones "
+    "(sup_ep/sup_etp/sup_eep) as COW touched-bucket merges, never a "
+    "full support rewrite — committed atomically per version. Same "
+    "epoch-idempotent replay guard as every IVM stream. Oracle: the "
+    "full DuckDB rebuild of the new release — identical to "
+    "z_ivm_mart_entry2xrefs, because any micro-batch partitioning of "
+    "the changelog converges to the same supports.",
+    build=_stream_ivm_mart_entry,
+    oracle=REGISTRY["z_ivm_mart_entry2xrefs"].oracle,
 ))

@@ -352,7 +352,9 @@ def _skew_join(spark: SparkSession, sf: str):
 
 
 register(QuerySpec(
-    name="z_skew_join_hot_key",
+    # promoted into the driver window in the r13 rotation (was
+    # z_skew_join_hot_key) — the r12 measured hot-key join
+    name="skew_join_hot_key",
     tags=("J2", "A1", "SKEW"),
     description="Per-label edge totals where ONE join key (the hub "
     "vertex, least-endpoint of 50% of raw edge rows) dominates the "

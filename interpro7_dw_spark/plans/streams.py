@@ -931,7 +931,7 @@ register(QuerySpec(
     "batch for p50/p90/p99 with integer-ppm target ranks. The "
     "order-statistics sibling of the streamed CMS/HLL sketches; "
     "streamed cells equal batch cells, so the oracle is the same "
-    "grid replay as z_histogram_quantiles.",
+    "grid replay as histogram_quantiles.",
     build=_stream_histogram,
     oracle="""
         WITH v AS (

@@ -368,18 +368,36 @@ def read_mart_version(
     nothing committed matches — distinguishable from an empty mart.
     """
     versions = [t for t in _list_versions(spark, state_dir) if t[2]]
+    pick = _pick_version(versions, state_dir, version, epoch)
+    return spark.read.parquet(f"{state_dir}/{pick[3]}")
+
+
+def _pick_version(
+    versions: list[tuple[int, int | None, bool, str]],
+    state_dir: str,
+    version: int | None,
+    epoch: int | None,
+) -> tuple[int, int | None, bool, str]:
+    """Shared time-travel resolution over committed ``(version,
+    applied_epoch, committed, name)`` tuples (this module and
+    ``mart_stream.read_taxon_mart_version``). An as-of-``epoch`` read
+    with no qualifying epoch-stamped version falls back to the newest
+    SEED version (epoch None — batch-built, pre-changelog by
+    construction): the seed release is a valid as-of answer for any
+    epoch before the first applied batch, not an error."""
     if not versions:
         raise KeyError(f"no committed versions under {state_dir!r}")
     if version is not None:
         match = [t for t in versions if t[0] == version]
         if not match:
             raise KeyError(f"version {version} not committed under {state_dir!r}")
-        pick = match[0]
-    elif epoch is not None:
+        return match[0]
+    if epoch is not None:
         match = [t for t in versions if t[1] is not None and t[1] <= epoch]
-        if not match:
-            raise KeyError(f"no committed version at or before epoch {epoch}")
-        pick = match[-1]
-    else:
-        pick = versions[-1]
-    return spark.read.parquet(f"{state_dir}/{pick[3]}")
+        if match:
+            return match[-1]
+        seeds = [t for t in versions if t[1] is None]
+        if seeds:
+            return seeds[-1]
+        raise KeyError(f"no committed version at or before epoch {epoch}")
+    return versions[-1]

@@ -14,16 +14,30 @@ micro-batch advances three pieces of versioned state together:
                                             by protein so the bilinear
                                             rescan reads only touched
                                             proteins' buckets)
-    state_dir/mart/v<n>_e<e>/<support>/     the five count-pyramid
-                                            supports, committed
-                                            atomically by ONE
-                                            _SUCCESS at the version
-                                            root written LAST
+    state_dir/mart/v<n>_e<e>/<support>/     the AGGREGATE-SIZED
+                                            count-pyramid supports
+                                            (taxonomy / proteome /
+                                            structure / signature
+                                            cardinality), rewritten
+                                            whole per version and
+                                            committed atomically by
+                                            ONE _SUCCESS at the
+                                            version root written LAST
+    state_dir/sup_cow/<support>/v<n>_e<e>/__b=<i>/
+                                            the FACTS-SCALE supports
+                                            (sup_prot_db ≈ proteins ×
+                                            lineage × dbs) in the
+                                            same COW bucket layout as
+                                            the fact stores: only the
+                                            delta-touched buckets are
+                                            read, merged and
+                                            rewritten per epoch
 
-Per-epoch cost: |micro-batch| + touched COW buckets + |supports| —
-the reference's whole-DAG release rebuild
-(`/root/reference/interpro7dw/cli.py:101-986`) becomes a standing
-query. Epoch idempotence, ``_SUCCESS`` gating, ``keep_last`` vacuum
+Per-epoch cost: |micro-batch| + touched COW buckets (facts AND
+facts-scale supports) + the aggregate-sized supports — never
+Θ(|support|) for the big ones; the reference's whole-DAG release
+rebuild (`/root/reference/interpro7dw/cli.py:101-986`) becomes a
+standing query. Epoch idempotence, ``_SUCCESS`` gating, ``keep_last`` vacuum
 and the COW machinery are all shared with :mod:`.ivm_stream` /
 :mod:`.minmax_stream`; the streamed result equals the batch
 maintainer on the same total changelog, which equals the full
@@ -36,12 +50,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..domain.mart_ivm import (
+    BUCKETED_SUPPORTS,
+    ENTRY_BUCKETED_SUPPORTS,
+    ENTRY_SUPPORT_KEYS,
+    ENTRY_SUPPORT_NAMES,
+    SUPPORT_KEYS,
     SUPPORT_NAMES,
-    maintain_taxon_supports,
+    apply_count_delta,
+    entry_mart_from_supports,
+    entry_support_deltas,
+    seed_entry_supports,
     seed_taxon_supports,
     taxon_mart_from_supports,
+    taxon_support_deltas,
 )
-from .ivm_stream import _fs, _latest_committed, _list_versions, _vacuum
+from .ivm_stream import _fs, _latest_committed, _list_versions, _pick_version, _vacuum
 from .minmax_stream import (
     _bucket,
     _bucket_sources,
@@ -105,10 +128,82 @@ def seed_mart_state(
         protein_structures,
         taxon_ancestors,
     )
-    for name in SUPPORT_NAMES:
-        sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
-    _commit_marker(spark, f"{state_dir}/mart/v0")
+    _seed_supports(
+        spark, state_dir, sup, SUPPORT_NAMES, BUCKETED_SUPPORTS, n_buckets
+    )
     spark.catalog.clearCache()  # drop the seed's spine/matched persists
+
+
+def _seed_supports(
+    spark: SparkSession,
+    state_dir: str,
+    sup: dict[str, DataFrame],
+    names: tuple,
+    bucketed: dict[str, str],
+    n_buckets: int,
+) -> None:
+    """v0 of the support state: aggregate-sized supports as plain
+    parquet under the mart version root, facts-scale ones as bucketed
+    COW stores; the mart root ``_SUCCESS`` written LAST commits all."""
+    for name in names:
+        if name in bucketed:
+            sup[name].withColumn(
+                "__b", _bucket(F.col(bucketed[name]), n_buckets)
+            ).write.partitionBy("__b").parquet(
+                f"{state_dir}/sup_cow/{name}/v0"
+            )
+        else:
+            sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
+    _commit_marker(spark, f"{state_dir}/mart/v0")
+
+
+def cow_apply_count_delta(
+    spark: SparkSession,
+    sup_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    n_buckets: int,
+    prev_version: int,
+    next_version: int,
+    epoch: int,
+) -> None:
+    """Merge a SIGNED count delta (``keys`` + ``s``) into a COW-
+    bucketed count support: resolve ONLY the delta-touched buckets at
+    ``prev_version``, run :func:`..domain.mart_ivm.apply_count_delta`
+    on those rows alone, and write them as the new version in ONE
+    ``partitionBy`` action (explicit empty dirs for fully-emptied
+    touched buckets, exactly like ``cow_apply_images``). Untouched
+    buckets are never read, shuffled or rewritten — they stay served
+    by older versions through the same per-bucket manifest resolution
+    as the fact stores — so per-epoch support IO is
+    Θ(|touched buckets|), not Θ(|support|) (the r12 verdict's one
+    scale finding, measured in tests/test_mart_ivm.py +
+    PERF.md r13)."""
+    touched = sorted(
+        r[0]
+        for r in delta.select(
+            _bucket(F.col(bucket_col), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    served = _bucket_sources(spark, sup_dir, prev_version, touched)
+    cur = _read_sources(spark, sup_dir, served)
+    if cur is None:
+        cur = (
+            delta.select(*keys)
+            .limit(0)
+            .withColumn("n", F.lit(0).cast("long"))
+        )
+    merged = apply_count_delta(cur, delta, keys)
+    ver = f"{sup_dir}/v{next_version}_e{epoch}"
+    merged.withColumn(
+        "__b", _bucket(F.col(bucket_col), n_buckets)
+    ).write.partitionBy("__b").mode("overwrite").parquet(ver)
+    fs, _r, jp = _fs(spark, sup_dir)
+    for b in touched:
+        fs.mkdirs(jp(f"{ver}/__b={b}"))
 
 
 def _commit_marker(spark: SparkSession, version_dir: str) -> None:
@@ -122,10 +217,74 @@ def _commit_marker(spark: SparkSession, version_dir: str) -> None:
 def read_mart_supports(
     spark: SparkSession, state_dir: str, version_name: str
 ) -> dict[str, DataFrame]:
-    return {
-        name: spark.read.parquet(f"{state_dir}/mart/{version_name}/{name}")
-        for name in SUPPORT_NAMES
-    }
+    """All five supports AS OF a committed mart version: aggregate-
+    sized ones from the version directory itself, facts-scale ones
+    resolved per bucket from their COW stores at that version number
+    (a bucket not rewritten at v_n is served by the newest older
+    version carrying it — the fact-store manifest discipline)."""
+    return _read_supports(
+        spark, state_dir, version_name, SUPPORT_NAMES, BUCKETED_SUPPORTS
+    )
+
+
+def _read_supports(
+    spark: SparkSession,
+    state_dir: str,
+    version_name: str,
+    names: tuple,
+    bucketed: dict[str, str],
+) -> dict[str, DataFrame]:
+    ver = int(version_name[1:].partition("_e")[0])
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        if name in bucketed:
+            sup_dir = f"{state_dir}/sup_cow/{name}"
+            df = _read_sources(
+                spark, sup_dir, _bucket_sources(spark, sup_dir, ver)
+            )
+            if df is None:
+                raise RuntimeError(
+                    f"no committed buckets for {name} at or below v{ver}"
+                )
+            out[name] = df
+        else:
+            out[name] = spark.read.parquet(
+                f"{state_dir}/mart/{version_name}/{name}"
+            )
+    return out
+
+
+def _advance_supports(
+    spark: SparkSession,
+    state_dir: str,
+    deltas: dict[str, DataFrame],
+    prev: tuple,
+    nxt: int,
+    epoch: int,
+    names: tuple,
+    support_keys: dict[str, list[str]],
+    bucketed: dict[str, str],
+    n_buckets: int,
+) -> None:
+    """Fold one epoch's signed support deltas into version ``nxt``:
+    aggregate-sized supports merge whole against the previous version
+    and rewrite whole under the mart version root; facts-scale ones
+    COW-merge only their delta-touched buckets. The mart-root
+    ``_SUCCESS``, written LAST, commits every piece atomically."""
+    vdir = f"{state_dir}/mart/v{nxt}_e{epoch}"
+    for name in names:
+        keys = support_keys[name]
+        if name in bucketed:
+            cow_apply_count_delta(
+                spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
+                bucketed[name], n_buckets, prev[0], nxt, epoch,
+            )
+        else:
+            cur = spark.read.parquet(f"{state_dir}/mart/{prev[3]}/{name}")
+            apply_count_delta(cur, deltas[name], keys).write.mode(
+                "overwrite"
+            ).parquet(f"{vdir}/{name}")
+    _commit_marker(spark, vdir)
 
 
 def maintain_taxon_mart_stream(
@@ -139,16 +298,19 @@ def maintain_taxon_mart_stream(
     keep_last: int | None = None,
 ) -> DataFrame:
     """Drain the unified changelog with ``trigger(availableNow)``,
-    folding each micro-batch through the batch maintainer against the
-    COW-stored protein/match state; returns the RENDERED mart
+    folding each micro-batch through the bilinear delta rule against
+    the COW-stored protein/match state; returns the RENDERED mart
     (taxon_xrefs_mart schema) at the latest committed version.
 
-    Bilinear-rescan pruning is physical here: the match store is
+    Pruning is physical at BOTH ends here: the match store is
     bucketed by protein, so ``M_old`` under the protein delta's
     touched proteins is a partition-pruned read of just their
-    buckets, and ``P_new`` under the match delta's proteins likewise.
-    A replayed epoch (at-least-once foreachBatch) no-ops exactly as
-    in :mod:`.ivm_stream`."""
+    buckets (``P_new`` under the match delta's proteins likewise),
+    and the facts-scale ``sup_prot_db`` support lives in its own COW
+    bucket store, so the count merge reads and rewrites only the
+    delta-touched buckets — per-epoch support IO tracks |touched
+    buckets|, never |support|. A replayed epoch (at-least-once
+    foreachBatch) no-ops exactly as in :mod:`.ivm_stream`."""
     mart_dir = f"{state_dir}/mart"
     p_dir = f"{state_dir}/proteins"
     m_dir = f"{state_dir}/matches"
@@ -219,8 +381,7 @@ def maintain_taxon_mart_stream(
                     F.col("new_database").alias("database"),
                 ).limit(0)
 
-            sup = maintain_taxon_supports(
-                read_mart_supports(spark, state_dir, prev[3]),
+            deltas = taxon_support_deltas(
                 dp,
                 dm,
                 p_new,
@@ -229,10 +390,10 @@ def maintain_taxon_mart_stream(
                 protein_structures,
                 taxon_ancestors,
             )
-            vdir = f"{mart_dir}/v{nxt}_e{epoch}"
-            for name in SUPPORT_NAMES:
-                sup[name].write.mode("overwrite").parquet(f"{vdir}/{name}")
-            _commit_marker(spark, vdir)
+            _advance_supports(
+                spark, state_dir, deltas, prev, nxt, epoch,
+                SUPPORT_NAMES, SUPPORT_KEYS, BUCKETED_SUPPORTS, n_buckets,
+            )
         finally:
             batch.unpersist()
             # the maintainer's internal persists (dp_lift, d_matched)
@@ -247,6 +408,10 @@ def maintain_taxon_mart_stream(
                 keep_floor = committed[0][0]
         _vacuum_facts(spark, p_dir, keep_floor, nxt)
         _vacuum_facts(spark, m_dir, keep_floor, nxt)
+        for name in BUCKETED_SUPPORTS:
+            _vacuum_facts(
+                spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt
+            )
 
     q = (
         changes.writeStream.foreachBatch(step)
@@ -260,6 +425,220 @@ def maintain_taxon_mart_stream(
         raise RuntimeError("mart never materialized")
     return taxon_mart_from_supports(
         read_mart_supports(spark, state_dir, latest[3])
+    )
+
+
+# ---------------------------------------------------------------------------
+# The ENTRY pyramid's streaming habitat — the reference's single worst
+# release cost (export-entry2xrefs <=24h/100GB,
+# /root/reference/interpro7dw/cli.py:355) as a STANDING QUERY. Same
+# discriminated-stream / COW-store / atomic-version machinery as the
+# taxon mart above: the protein->entry ASSIGNMENT changelog (keyed
+# pe_id, bucketed by protein) and the protein-dim changelog interleave
+# in one stream; the three assignment-scale supports (sup_ep, sup_etp,
+# sup_eep) live in COW bucket stores, the two aggregate-sized ones
+# rewrite whole per version.
+
+_EPROT_COLS = ["protein_acc", "change_type", "old_tax_id", "new_tax_id"]
+_ASSIGN_COLS = [
+    "pe_id", "change_type",
+    "old_protein_acc", "old_entry_acc",
+    "new_protein_acc", "new_entry_acc",
+]
+
+
+def unify_entry_changelogs(delta_pe: DataFrame, delta_p: DataFrame) -> DataFrame:
+    """Interleave the assignment and protein-dim changelogs into one
+    discriminated stream (``src`` = 'assign' | 'protein')."""
+    a = delta_pe.select(
+        F.lit("assign").alias("src"),
+        "pe_id",
+        F.lit(None).cast("string").alias("protein_acc"),
+        "change_type",
+        F.lit(None).cast("string").alias("old_tax_id"),
+        F.lit(None).cast("string").alias("new_tax_id"),
+        *_ASSIGN_COLS[2:],
+    )
+    p = delta_p.select(
+        F.lit("protein").alias("src"),
+        F.lit(None).cast("long").alias("pe_id"),
+        *_EPROT_COLS,
+        *[F.lit(None).cast("string").alias(c) for c in _ASSIGN_COLS[2:]],
+    )
+    return a.unionByName(p)
+
+
+def seed_entry_mart_state(
+    spark: SparkSession,
+    protein_taxa: DataFrame,        # protein_acc, tax_id
+    protein_entries: DataFrame,     # pe_id, protein_acc, entry_acc
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+    state_dir: str,
+    n_buckets: int = 16,
+) -> None:
+    """Version 0 of the entry-mart state: both fact stores bucketed by
+    protein, the five entry supports per their storage discipline."""
+    protein_taxa.withColumn(
+        "__b", _bucket(F.col("protein_acc"), n_buckets)
+    ).write.partitionBy("__b").parquet(f"{state_dir}/proteins/v0")
+    protein_entries.withColumn(
+        "__b", _bucket(F.col("protein_acc"), n_buckets)
+    ).write.partitionBy("__b").parquet(f"{state_dir}/assignments/v0")
+    sup = seed_entry_supports(
+        protein_entries.drop("pe_id"),
+        protein_taxa,
+        protein_proteomes,
+        protein_structures,
+        protein_ecs,
+    )
+    _seed_supports(
+        spark, state_dir, sup, ENTRY_SUPPORT_NAMES,
+        ENTRY_BUCKETED_SUPPORTS, n_buckets,
+    )
+    spark.catalog.clearCache()  # drop the seed's base persist
+
+
+def read_entry_mart_supports(
+    spark: SparkSession, state_dir: str, version_name: str
+) -> dict[str, DataFrame]:
+    return _read_supports(
+        spark, state_dir, version_name, ENTRY_SUPPORT_NAMES,
+        ENTRY_BUCKETED_SUPPORTS,
+    )
+
+
+def maintain_entry_mart_stream(
+    spark: SparkSession,
+    changes: DataFrame,             # streaming DF in unify_entry_changelogs shape
+    state_dir: str,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+    entry_go: DataFrame | None = None,
+    n_buckets: int = 16,
+    keep_last: int | None = None,
+) -> DataFrame:
+    """Drain the unified assignment+protein changelog with
+    ``trigger(availableNow)``; each epoch advances the protein-dim
+    and assignment COW stores, folds the bilinear support deltas
+    (assignment-scale supports COW-merged into touched buckets only),
+    and commits atomically. Returns the RENDERED entry mart
+    (entry_xrefs_mart schema, EC coverage filter + GO lists applied
+    to the MAINTAINED counts) at the latest committed version. Same
+    epoch-idempotent replay guard, ``_SUCCESS`` gating and
+    ``keep_last`` vacuum as the taxon maintainer."""
+    mart_dir = f"{state_dir}/mart"
+    p_dir = f"{state_dir}/proteins"
+    a_dir = f"{state_dir}/assignments"
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        prev = _latest_committed(spark, mart_dir)
+        if prev is None:
+            raise RuntimeError(
+                "entry-mart maintenance requires a seeded v0 "
+                "(seed_entry_mart_state)"
+            )
+        if prev[1] is not None and epoch <= prev[1]:
+            return  # replayed epoch already committed — no-op
+        nxt = prev[0] + 1
+        batch = batch.persist()
+        try:
+            dp = batch.filter(F.col("src") == "protein").select(*_EPROT_COLS)
+            dpe = batch.filter(F.col("src") == "assign").select(*_ASSIGN_COLS)
+
+            cow_apply_images(
+                spark, p_dir, dp, "protein_acc", ["protein_acc"],
+                n_buckets, prev[0], nxt, epoch,
+            )
+            cow_apply_images(
+                spark, a_dir, dpe, "protein_acc", ["pe_id"],
+                n_buckets, prev[0], nxt, epoch,
+            )
+
+            dpe_buckets = sorted(
+                r[0]
+                for r in dpe.select(
+                    F.explode(
+                        F.array(
+                            _bucket(F.col("old_protein_acc"), n_buckets),
+                            _bucket(F.col("new_protein_acc"), n_buckets),
+                        )
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            dp_buckets = sorted(
+                r[0]
+                for r in dp.select(
+                    _bucket(F.col("protein_acc"), n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            p_new = _read_sources(
+                spark, p_dir, _bucket_sources(spark, p_dir, nxt, dpe_buckets)
+            )
+            pe_old = _read_sources(
+                spark, a_dir, _bucket_sources(spark, a_dir, prev[0], dp_buckets)
+            )
+            if p_new is None:
+                p_new = dp.select(
+                    "protein_acc", F.col("new_tax_id").alias("tax_id")
+                ).limit(0)
+            if pe_old is None:
+                pe_old = dpe.select(
+                    F.col("new_protein_acc").alias("protein_acc"),
+                    F.col("new_entry_acc").alias("entry_acc"),
+                ).limit(0)
+            else:
+                pe_old = pe_old.drop("pe_id")
+
+            deltas = entry_support_deltas(
+                dpe,
+                dp,
+                p_new,
+                pe_old,
+                protein_proteomes,
+                protein_structures,
+                protein_ecs,
+            )
+            _advance_supports(
+                spark, state_dir, deltas, prev, nxt, epoch,
+                ENTRY_SUPPORT_NAMES, ENTRY_SUPPORT_KEYS,
+                ENTRY_BUCKETED_SUPPORTS, n_buckets,
+            )
+        finally:
+            batch.unpersist()
+            spark.catalog.clearCache()
+        _vacuum(spark, mart_dir, nxt, keep_last)
+        keep_floor = None
+        if keep_last is not None:
+            committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
+            if committed:
+                keep_floor = committed[0][0]
+        _vacuum_facts(spark, p_dir, keep_floor, nxt)
+        _vacuum_facts(spark, a_dir, keep_floor, nxt)
+        for name in ENTRY_BUCKETED_SUPPORTS:
+            _vacuum_facts(
+                spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt
+            )
+
+    q = (
+        changes.writeStream.foreachBatch(step)
+        .option("checkpointLocation", state_dir + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_committed(spark, mart_dir)
+    if latest is None:
+        raise RuntimeError("entry mart never materialized")
+    return entry_mart_from_supports(
+        read_entry_mart_supports(spark, state_dir, latest[3]),
+        entry_go=entry_go,
     )
 
 
@@ -281,20 +660,7 @@ def read_taxon_mart_version(
     dumps would have been."""
     mart_dir = f"{state_dir}/mart"
     versions = [t for t in _list_versions(spark, mart_dir) if t[2]]
-    if not versions:
-        raise KeyError(f"no committed versions under {mart_dir!r}")
-    if version is not None:
-        match = [t for t in versions if t[0] == version]
-        if not match:
-            raise KeyError(f"version {version} not committed under {mart_dir!r}")
-        pick = match[0]
-    elif epoch is not None:
-        match = [t for t in versions if t[1] is not None and t[1] <= epoch]
-        if not match:
-            raise KeyError(f"no committed version at or before epoch {epoch}")
-        pick = match[-1]
-    else:
-        pick = versions[-1]
+    pick = _pick_version(versions, mart_dir, version, epoch)
     return taxon_mart_from_supports(
         read_mart_supports(spark, state_dir, pick[3])
     )

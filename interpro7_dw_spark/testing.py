@@ -101,6 +101,57 @@ def compare_spec(spec, spark, duck_con, sf_dir: str) -> list[str]:
             sdf.unpersist()
 
 
+def max_job_id(spark) -> int:
+    """Highest Spark job id seen by the app status store — a
+    monotonic resource clock. Diffing it across maintenance epochs
+    gives the per-epoch JOB COUNT, the deterministic flatness
+    invariant the multi-epoch IVM stressors assert (constant jobs per
+    epoch == cost tracks |delta|, not release age) instead of flaky
+    wall-clock medians. Status-store eviction never breaks it: job
+    ids only grow."""
+    jl = spark._jsc.sc().statusStore().jobsList(None)
+    return max(
+        (jl.apply(i).jobId() for i in range(jl.size())), default=-1
+    )
+
+
+def stage_metrics_between(spark, j0: int, j1: int) -> dict:
+    """Aggregate stage metrics (input records/bytes, shuffle-write
+    records) across every stage of the jobs in the ``(j0, j1]`` job-id
+    window (marks from :func:`max_job_id`) — the measured per-epoch
+    IO of a maintenance step. This is how the COW support/fact stores
+    prove 'per-epoch IO tracks |touched buckets|, not |store|' with
+    numbers instead of assertions about plans."""
+    store = spark._jsc.sc().statusStore()
+    jl = store.jobsList(None)
+    sids = set()
+    for i in range(jl.size()):
+        j = jl.apply(i)
+        if j0 < j.jobId() <= j1:
+            it = j.stageIds().iterator()
+            while it.hasNext():
+                sids.add(int(str(it.next())))
+    gw = spark.sparkContext._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    sl = store.stageList(
+        empty, False, False, gw.new_array(gw.jvm.double, 0), empty
+    )
+    out = {"input_records": 0, "input_bytes": 0, "shuffle_write_records": 0}
+    for i in range(sl.size()):
+        sd = sl.apply(i)
+        if int(sd.stageId()) in sids:
+            out["input_records"] += int(sd.inputRecords())
+            out["input_bytes"] += int(sd.inputBytes())
+            out["shuffle_write_records"] += int(sd.shuffleWriteRecords())
+    return out
+
+
+def stage_input_records_between(spark, j0: int, j1: int) -> int:
+    """Total INPUT RECORDS in the ``(j0, j1]`` job window — see
+    :func:`stage_metrics_between`."""
+    return stage_metrics_between(spark, j0, j1)["input_records"]
+
+
 def make_duck_con(sf_dir: str):
     import duckdb
 

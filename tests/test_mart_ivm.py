@@ -131,20 +131,34 @@ def test_apply_count_delta_exit_at_zero_and_null_keys(spark):
     assert got == {None: 2, "b": 3}
 
 
+def test_apply_count_delta_negative_count_raises(spark):
+    """A merged count going NEGATIVE means a corrupted changelog
+    (double-applied or inconsistent) — loudly raised at execution,
+    never silently dropped like the legitimate exit-at-zero."""
+    import pytest as _pytest
+
+    sup = spark.createDataFrame([("a", 2)], "k string, n long")
+    d = spark.createDataFrame([("a", -3)], "k string, s long")
+    with _pytest.raises(Exception, match="negative maintained count"):
+        apply_count_delta(sup, d, ["k"]).collect()
+
+
 def test_mart_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
     """Multi-epoch mart stressor (the tests/test_streaming.py:509
     pattern, on the REAL warehouse mart): each epoch mutates both the
     protein dimension (insert/move/delete) and the match facts
     (insert/signature-change/delete), supports persist to parquet
     between epochs (the production shape), maintained == full rebuild
-    at three checkpoints, and per-epoch maintain time stays flat —
-    cost follows |delta| + supports, not release age. 15 epochs, not
-    40: one mart epoch is five support merges + five parquet
-    round-trips (vs the single-mart streaming stressor), and O(age)
-    growth — the thing the flatness bound guards — would already be
-    visible across 15."""
+    at three checkpoints, and the per-epoch SPARK JOB COUNT stays
+    constant — the deterministic resource invariant for "cost follows
+    |delta| + supports, not release age" (wall-clock medians flake on
+    loaded machines; job counts don't). 15 epochs, not 40: one mart
+    epoch is five support merges + five parquet round-trips (vs the
+    single-mart streaming stressor), and O(age) growth — the thing
+    the flatness bound guards — would already be visible across 15."""
     import statistics
-    import time
+
+    from interpro7_dw_spark.testing import max_job_id
 
     n_epochs = 15
     p_cur = {f"P{i}": f"N{i % 6}" for i in range(24)}
@@ -168,7 +182,7 @@ def test_mart_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
     )
     write(sup, 0)
 
-    walls = []
+    jobs_per_epoch: list[int] = []
     checkpoints = (4, 9, n_epochs - 1)
     for e in range(n_epochs):
         p_nxt = dict(p_cur)
@@ -192,14 +206,14 @@ def test_mart_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
             _m_df(spark, m_cur), _m_df(spark, m_nxt), ["match_id"],
             ["protein_acc", "signature_acc", "database"],
         )
-        t0 = time.time()
+        j0 = max_job_id(spark)
         sup = maintain_taxon_supports(
             read(e), dp, dm, _p_df(spark, p_nxt),
             _m_df(spark, m_cur, with_id=False),
             _pp(spark), _ps(spark), _anc(spark),
         )
         write(sup, e + 1)
-        walls.append(time.time() - t0)
+        jobs_per_epoch.append(max_job_id(spark) - j0)
         spark.catalog.clearCache()  # drop the epoch's persisted deltas
         p_cur, m_cur = p_nxt, m_nxt
         if e in checkpoints:
@@ -207,10 +221,14 @@ def test_mart_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
             want = _mart_rows(_rebuild(spark, p_cur, m_cur))
             assert got == want, e
 
-    third = len(walls) // 3
-    early = statistics.median(walls[:third])
-    late = statistics.median(walls[-third:])
-    assert late < max(3.0 * early, early + 1.0), (early, late)
+    # O(age) growth would add jobs (or data per job — but the fixture
+    # data is flat, so jobs ARE the cost) every epoch; constant per-
+    # epoch job count == cost tracks the delta. +2 slack: AQE may
+    # re-plan a stage boundary when a delta happens to skew.
+    third = len(jobs_per_epoch) // 3
+    early = statistics.median(jobs_per_epoch[:third])
+    late = statistics.median(jobs_per_epoch[-third:])
+    assert late <= early + 2, (early, late, jobs_per_epoch)
 
 
 def test_mart_stream_equals_batch_rebuild(spark, tmp_path):
@@ -359,6 +377,10 @@ def test_mart_stream_time_travel_renders_old_release(spark, tmp_path):
     assert new_render == _mart_rows(_rebuild(spark, p_new, m_new))
     as_of = _mart_rows(read_taxon_mart_version(spark, state, epoch=0))
     assert as_of == new_render  # epoch 0 applied the whole single batch
+    # an epoch BEFORE the first applied batch resolves to the seed v0
+    # (epoch None) — the seed release is a valid as-of answer
+    pre = _mart_rows(read_taxon_mart_version(spark, state, epoch=-1))
+    assert pre == old_render
     with _pytest.raises(KeyError):
         read_taxon_mart_version(spark, state, version=99)
 
@@ -444,3 +466,198 @@ def test_entry_mart_ivm_single_epoch_equals_full_rebuild(spark):
     assert got == want
     for name in ENTRY_SUPPORT_KEYS:
         assert sup1[name].filter(F.col("n") <= 0).count() == 0, name
+
+
+def test_cow_support_io_tracks_touched_buckets(spark, tmp_path):
+    """The r12 verdict's one scale finding, MEASURED: a facts-scale
+    support in the COW bucket store must do per-epoch IO proportional
+    to the delta's TOUCHED BUCKETS, never the support. Support 8000x
+    the delta (64k rows over 64 buckets; an 8-protein delta touching
+    <= 8 buckets): the epoch's total stage INPUT RECORDS must be a
+    small fraction of |support|, the written version must carry only
+    touched bucket partitions, and the resolved store must equal the
+    unpruned full merge."""
+    import os
+
+    from interpro7_dw_spark.streaming.mart_stream import cow_apply_count_delta
+    from interpro7_dw_spark.streaming.minmax_stream import (
+        _bucket,
+        _bucket_sources,
+        _read_sources,
+    )
+    from interpro7_dw_spark.testing import max_job_id, stage_input_records_between
+
+    n_buckets, n_support, n_delta = 64, 64_000, 8
+    keys = ["tax_id", "database", "protein_acc"]
+    sup_dir = str(tmp_path / "sup_cow_prot_db")
+    support = spark.range(n_support).select(
+        F.concat_ws("", F.lit("N"), F.col("id") % 50).alias("tax_id"),
+        F.concat_ws("", F.lit("DB"), F.col("id") % 4).alias("database"),
+        F.col("id").cast("string").alias("protein_acc"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    support.withColumn(
+        "__b", _bucket(F.col("protein_acc"), n_buckets)
+    ).write.partitionBy("__b").parquet(f"{sup_dir}/v0")
+
+    # 8 proteins: 7 increments + 1 exit-at-zero retraction
+    delta = spark.createDataFrame(
+        [(f"N{i % 50}", f"DB{i % 4}", str(i), 1 if i else -1) for i in range(n_delta)],
+        "tax_id string, database string, protein_acc string, s long",
+    )
+    touched = {
+        r[0]
+        for r in delta.select(
+            _bucket(F.col("protein_acc"), n_buckets).alias("b")
+        ).distinct().collect()
+    }
+    assert len(touched) <= n_delta
+
+    j0 = max_job_id(spark)
+    cow_apply_count_delta(
+        spark, sup_dir, delta, keys, "protein_acc", n_buckets, 0, 1, 0
+    )
+    j1 = max_job_id(spark)
+    rec = stage_input_records_between(spark, j0, j1)
+    # the full support is 64k records; the touched slice is ~1k per
+    # bucket. Non-trivial (metrics actually reporting) AND far below
+    # a full-support merge:
+    assert rec > 0, "input metrics not reporting"
+    assert rec < n_support // 4, (rec, sorted(touched))
+
+    # the new version carries ONLY touched bucket partitions
+    written = {
+        int(p[4:])
+        for p in os.listdir(f"{sup_dir}/v1_e0")
+        if p.startswith("__b=")
+    }
+    assert written == touched, (written, touched)
+
+    # correctness: resolved COW store == unpruned full merge
+    resolved = _read_sources(
+        spark, sup_dir, _bucket_sources(spark, sup_dir, 1)
+    )
+    got = sorted(map(tuple, resolved.collect()))
+    want = sorted(map(tuple, apply_count_delta(support, delta, keys).collect()))
+    assert got == want
+
+
+def test_entry_mart_stream_equals_batch_rebuild_and_replay(spark, tmp_path):
+    """streaming/mart_stream.py entry habitat: assignment + protein
+    changelogs drained over three micro-batches against COW-stored
+    assignment/protein state; the rendered mart equals the full
+    entry_xrefs_mart rebuild of the final snapshot, the COW support
+    stores advance by touched buckets only, and a FULL REPLAY of the
+    changelog (checkpoint loss — at-least-once redelivery of every
+    epoch) is a no-op."""
+    import os
+    import shutil
+
+    from interpro7_dw_spark.domain.marts import entry_xrefs_mart
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_entry_mart_stream,
+        read_entry_mart_supports,
+        seed_entry_mart_state,
+        unify_entry_changelogs,
+    )
+
+    def pe_df(d, with_id=True):
+        rows = sorted((k, *v) for k, v in d.items())
+        df = spark.createDataFrame(
+            rows, "pe_id long, protein_acc string, entry_acc string"
+        )
+        return df if with_id else df.drop("pe_id")
+
+    def pec(s):
+        return s.createDataFrame(
+            [
+                (f"P{i}", "1.2.3.4" if i % 3 == 0 else ("1.2.3.9" if i % 3 == 1 else "5.5.5.5"))
+                for i in range(40)
+            ],
+            "protein_acc string, ec string",
+        )
+
+    def ego(s):
+        return s.createDataFrame(
+            [(f"IPR{e}", f"GO:00{e}") for e in range(4)]
+            + [(f"IPR{e}", f"GO:01{(e + 1) % 4}") for e in range(4)],
+            "entry_acc string, go_id string",
+        )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(24)}
+    pe_old = {j: (f"P{j % 24}", f"IPR{j % 4}") for j in range(60)}
+    p_new = dict(p_old)
+    p_new.pop("P3")
+    p_new["P4"] = "N1"
+    p_new["P25"] = "N5"
+    pe_new = dict(pe_old)
+    pe_new.pop(10)
+    pe_new[11] = ("P11", "IPR0")
+    pe_new[100] = ("P25", "IPR2")
+    pe_new[101] = ("P3", "IPR1")
+
+    dpe = snapshot_delta_images(
+        pe_df(pe_old), pe_df(pe_new), ["pe_id"], ["protein_acc", "entry_acc"]
+    )
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    unified = unify_entry_changelogs(dpe, dp)
+    src = str(tmp_path / "changes")
+    split = F.coalesce(F.col("pe_id") % 3, F.ascii(F.col("protein_acc")) % 3)
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "entry_state")
+    seed_entry_mart_state(
+        spark, _p_df(spark, p_old), pe_df(pe_old),
+        _pp(spark), _ps(spark), pec(spark), state, n_buckets=8,
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(unified.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return maintain_entry_mart_stream(
+            spark, stream, state, _pp(spark), _ps(spark), pec(spark),
+            entry_go=ego(spark), n_buckets=8,
+        )
+
+    def rows(df):
+        return {r.entry_acc: tuple(r)[1:] for r in df.collect()}
+
+    got = rows(drain())
+    want = rows(
+        entry_xrefs_mart(
+            pe_df(pe_new, with_id=False), _p_df(spark, p_new),
+            _pp(spark), _ps(spark),
+            protein_ecs=pec(spark), entry_go=ego(spark),
+        )
+    )
+    assert got == want
+
+    versions_before = sorted(os.listdir(state + "/mart"))
+    sup_versions_before = sorted(os.listdir(state + "/sup_cow/sup_etp"))
+    # checkpoint loss: every epoch is REDELIVERED — the epoch guard
+    # must no-op each one (same version set, same rendered mart)
+    shutil.rmtree(state + "_chk")
+    got_replay = rows(drain())
+    assert got_replay == got
+    assert sorted(os.listdir(state + "/mart")) == versions_before
+    assert sorted(os.listdir(state + "/sup_cow/sup_etp")) == sup_versions_before
+
+    # the COW support stores advanced by TOUCHED buckets only: every
+    # post-seed version of sup_etp carries fewer partitions than the
+    # bucket count (an epoch whose micro-batch produced no sup_etp
+    # delta legally writes ZERO partitions), and at least one epoch
+    # actually advanced buckets
+    post_seed_parts = []
+    for v in sup_versions_before:
+        if v == "v0":
+            continue
+        parts = [p for p in os.listdir(f"{state}/sup_cow/sup_etp/{v}") if p.startswith("__b=")]
+        assert len(parts) < 8, (v, parts)
+        post_seed_parts += parts
+    assert post_seed_parts

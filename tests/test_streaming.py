@@ -509,15 +509,16 @@ def test_streaming_ivm_half_write_ignored_and_vacuumed(spark, tmp_path):
 def test_streaming_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
     """Multi-epoch stressor: ~40 changelog epochs of interleaved
     inserts/updates/deletes folded one file per micro-batch; maintained
-    mart == batch recompute at three checkpoints, and per-epoch wall
-    time stays flat (cost follows |delta| + touched groups, not mart
-    age) — the late-epoch median must not blow up over the early one."""
+    mart == batch recompute at three checkpoints, and the per-epoch
+    SPARK JOB COUNT stays constant (cost follows |delta| + touched
+    groups, not mart age) — the deterministic resource invariant;
+    wall-clock medians flake on loaded machines, job counts don't."""
     import statistics
-    import time
 
     from interpro7_dw_spark.operators.cdc import snapshot_delta_images
     from interpro7_dw_spark.streaming import ivm_stream
     from interpro7_dw_spark.streaming.ivm_stream import maintain_group_agg_stream
+    from interpro7_dw_spark.testing import max_job_id
 
     n_epochs = 40
     rows = {k: ("g%d" % (k % 7), float(k)) for k in range(60)}
@@ -530,17 +531,18 @@ def test_streaming_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
 
     src = str(tmp_path / "changes")
     cur = dict(rows)
-    walls = []
+    job_marks: list[int] = []
     orig_step_host = ivm_stream.ivm_apply_group_agg
     state = str(tmp_path / "mart")
     _group_agg(snap(rows)).write.parquet(state + "/v0")  # seed: initial snapshot
     schema = snapshot_delta_images(
         snap(rows), snap(rows), ["k"], ["g", "v"]
     ).schema
-    t_wrap = time.time
 
     def timed_apply(*a, **kw):
-        walls.append(t_wrap())
+        # one call per applied epoch: consecutive diffs of this
+        # monotonic job-id mark are the per-epoch job counts
+        job_marks.append(max_job_id(spark))
         return orig_step_host(*a, **kw)
 
     def drain():
@@ -575,15 +577,17 @@ def test_streaming_ivm_many_epochs_cost_tracks_delta(spark, tmp_path):
                 assert drain() == _mart_dict(_group_agg(snap(cur))), e
     finally:
         ivm_stream.ivm_apply_group_agg = orig_step_host
-    # epoch wall times from merge-start deltas: compare medians of the
-    # first and last third (generous 3x bound — this guards against
-    # O(mart-age) blowup, not scheduler noise)
-    gaps = [b - a for a, b in zip(walls, walls[1:])]
+    # per-epoch job counts from merge-start mark deltas: constant ==
+    # cost tracks |delta| + touched groups, never mart age. Medians
+    # of thirds are robust to the checkpoint gaps (which include the
+    # recompute's own jobs); +2 slack for AQE re-planning a stage
+    # boundary on a skewed delta.
+    gaps = [b - a for a, b in zip(job_marks, job_marks[1:])]
     assert len(gaps) >= n_epochs - 2
     third = len(gaps) // 3
     early = statistics.median(gaps[:third])
     late = statistics.median(gaps[-third:])
-    assert late < max(3.0 * early, early + 1.0), (early, late)
+    assert late <= early + 2, (early, late, gaps)
     # maintained mart at intermediate checkpoints: replay from retained
     # versions is covered by keep_last=3; verify version count bounded
     import os
@@ -834,15 +838,18 @@ def test_streaming_minmax_many_epochs_cost_tracks_delta(spark, tmp_path):
     interleaved inserts / updates / deletes with DELIBERATE extremum
     retractions every epoch (the delete always removes a current group
     minimum, forcing the facts rescan path); maintained mart == batch
-    recompute at three checkpoints, per-epoch wall time stays flat
-    (cost follows |delta| + touched buckets, not facts age or version
-    history), and partition-granular vacuum under keep_last bounds the
-    retained facts versions."""
+    recompute at three checkpoints, the per-epoch SPARK JOB COUNT
+    stays constant (the deterministic resource invariant for "cost
+    follows |delta| + touched buckets, not facts age or version
+    history" — wall-clock medians flake on loaded machines, job
+    counts don't; BENCH r12 measured 17 vs 18 jobs for 1 vs 16
+    touched buckets), and partition-granular vacuum under keep_last
+    bounds the retained facts versions."""
     import os
     import statistics
-    import time
 
     from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.testing import max_job_id
     from interpro7_dw_spark.streaming import minmax_stream
     from interpro7_dw_spark.streaming.minmax_stream import (
         maintain_group_minmax_stream,
@@ -878,11 +885,13 @@ def test_streaming_minmax_many_epochs_cost_tracks_delta(spark, tmp_path):
     seed_minmax_state(spark, snap(rows), state, "g", "v", n_buckets=n_buckets)
     schema = snapshot_delta_images(snap(rows), snap(rows), ["k"], ["g", "v"]).schema
 
-    walls: list[float] = []
+    job_marks: list[int] = []
     orig = minmax_stream.ivm_apply_group_minmax
 
     def timed(*a, **kw):
-        walls.append(time.time())
+        # one call per applied epoch: consecutive diffs of this
+        # monotonic job-id mark are the per-epoch job counts
+        job_marks.append(max_job_id(spark))
         return orig(*a, **kw)
 
     def drain():
@@ -924,12 +933,16 @@ def test_streaming_minmax_many_epochs_cost_tracks_delta(spark, tmp_path):
     finally:
         minmax_stream.ivm_apply_group_minmax = orig
 
-    gaps = [b - a for a, b in zip(walls, walls[1:])]
+    gaps = [b - a for a, b in zip(job_marks, job_marks[1:])]
     assert len(gaps) >= n_epochs - 2
+    # constant jobs per epoch == cost tracks |delta| + touched
+    # buckets, never facts age. Medians of thirds are robust to the
+    # checkpoint gaps (which include the recompute's own jobs); +2
+    # slack for AQE re-planning a stage boundary on a skewed delta.
     third = len(gaps) // 3
     early = statistics.median(gaps[:third])
     late = statistics.median(gaps[-third:])
-    assert late < max(3.0 * early, early + 1.0), (early, late)
+    assert late <= early + 2, (early, late, gaps)
     # retention: mart versions bounded by keep_last; facts versions
     # bounded by the retained-mart window plus at most one anchor per
     # bucket (partition-granular vacuum sweeps the rest)
@@ -1164,7 +1177,15 @@ def test_read_mart_version_time_travel(spark, tmp_path):
     assert read_mart_version(spark, state, version=0).collect()[0].n == 1
     assert read_mart_version(spark, state, epoch=5).collect()[0].n == 2
     assert read_mart_version(spark, state, epoch=7).collect()[0].n == 3
+    # pre-first-batch epoch: the SEED v0 (epoch None) is the valid
+    # as-of answer — the seed release predates every changelog epoch
+    assert read_mart_version(spark, state, epoch=1).collect()[0].n == 1
     with pytest.raises(KeyError):
         read_mart_version(spark, state, version=3)                   # gated
+    # a store with NO seed version: a pre-first epoch is a real miss
+    seedless = str(tmp_path / "seedless")
+    spark.createDataFrame([("g", 2)], "g string, n long").write.parquet(
+        f"{seedless}/v1_e3"
+    )
     with pytest.raises(KeyError):
-        read_mart_version(spark, state, epoch=1)                     # pre-first
+        read_mart_version(spark, seedless, epoch=1)
