@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from interpro7_dw_spark.caching import engine_cache_scope
 from interpro7_dw_spark.plans.spec import all_specs
 from interpro7_dw_spark.session import get_spark
 
@@ -134,7 +135,10 @@ def main() -> None:
     specs = all_specs()
 
     def run(name: str, d: str) -> None:
-        specs[name].build(spark, d).write.mode("overwrite").format("noop").save()
+        # engine_cache_scope releases the query's operator-owned
+        # persists on exit — each query is measured independently
+        with engine_cache_scope():
+            specs[name].build(spark, d).write.mode("overwrite").format("noop").save()
 
     # Warm each plan once at the smallest scale: whole-stage codegen
     # compilation (Janino) costs seconds per novel plan shape and is a
@@ -142,7 +146,6 @@ def main() -> None:
     # what a long-running cluster app sees.
     for name in HEADLINE:
         run(name, WARMUP_SF_DIR)
-        spark.catalog.clearCache()
 
     # Three full passes at the target scale, per-query min across
     # passes: pass 1 absorbs the once-per-session costs (JIT, buffer
@@ -151,16 +154,15 @@ def main() -> None:
     # passes (not two) because this VM shows multi-minute
     # noisy-neighbor windows that can cover two consecutive passes of
     # one query (r03 measured dedup_ngram_jaccard at 13.5s min-of-2 in
-    # bench vs 3.8-4.8s x4 in isolation minutes later). clearCache
-    # between queries drops operator persist()s so each query is
-    # measured independently.
+    # bench vs 3.8-4.8s x4 in isolation minutes later). Each run is
+    # wrapped in engine_cache_scope, which drops operator-owned
+    # persists so each query is measured independently.
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             run(name, sf_dir)
             times[name] = min(times[name], time.time() - t0)
-            spark.catalog.clearCache()
     times = {k: round(v, 3) for k, v in times.items()}
 
     carried = [n for n in HEADLINE[:CARRIED21_COUNT]]

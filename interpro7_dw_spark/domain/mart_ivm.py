@@ -66,6 +66,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 from .marts import _sorted_join
 
 SUPPORT_NAMES = ("sup_tax", "sup_proteome", "sup_structure", "sup_sig", "sup_prot_db")
@@ -101,12 +103,15 @@ def seed_taxon_supports(
     # persisted: five grouped aggregates branch off these two
     # facts-sized relations inside ONE final plan — without the
     # persist each support re-runs the lineage join (and matched the
-    # match join) from the scan. Caller-owned lifetime, the engine's
-    # differ-clearCache convention (see maintain_taxon_supports).
-    spine = proteins.join(taxon_ancestors, "tax_id").select(
-        F.col("ancestor").alias("tax_id"), "protein_acc"
-    ).persist()
-    matched = spine.join(matches, "protein_acc").persist()
+    # match join) from the scan. Lifetime outlives this call:
+    # owned_persist registers both for release by the consumer's
+    # engine_cache_scope (interpro7_dw_spark/caching.py).
+    spine = owned_persist(
+        proteins.join(taxon_ancestors, "tax_id").select(
+            F.col("ancestor").alias("tax_id"), "protein_acc"
+        )
+    )
+    matched = owned_persist(spine.join(matches, "protein_acc"))
     return {
         "sup_tax": _count(spine, ["tax_id"]),
         "sup_proteome": _count(
@@ -299,12 +304,14 @@ def taxon_support_deltas(
     # lift through the ancestor closure: (protein, ancestor, s).
     # persisted: five support merges and both rescan prunings consume
     # it — without the persist each consumer re-runs the changelog's
-    # full-outer snapshot join. Caller-owned lifetime (the differ's
-    # clearCache convention, same contract as operators/timeseries.py
-    # ewma's chunk aggregate).
-    dp_lift = dp.join(anc, "tax_id").select(
-        "protein_acc", F.col("ancestor").alias("tax_id"), "s"
-    ).persist()
+    # full-outer snapshot join. Lifetime outlives this call:
+    # owned_persist registers it for release by the consumer's
+    # engine_cache_scope (same contract as ewma's chunk aggregate).
+    dp_lift = owned_persist(
+        dp.join(anc, "tax_id").select(
+            "protein_acc", F.col("ancestor").alias("tax_id"), "s"
+        )
+    )
 
     dm = _signed_match_delta(delta_m)
     touched_m_proteins = dm.select("protein_acc").distinct()
@@ -331,7 +338,7 @@ def taxon_support_deltas(
         "tax_id", "database", "signature_acc", "protein_acc", "s"
     )
     # persisted for the same reason: both match supports fold it
-    d_matched = part1.unionByName(part2).persist()
+    d_matched = owned_persist(part1.unionByName(part2))
 
     return {
         "sup_tax": dp_lift.select("tax_id", "s"),
@@ -479,9 +486,9 @@ def seed_entry_supports(
 ) -> dict[str, DataFrame]:
     """Full aggregation of the entry-mart supports from a base
     release — run once, then maintained forever. ``base`` persists
-    for the five branching aggregates (caller-owned lifetime, the
-    differ-clearCache convention)."""
-    base = protein_entries.select("protein_acc", "entry_acc").persist()
+    for the five branching aggregates (released by the consumer's
+    engine_cache_scope)."""
+    base = owned_persist(protein_entries.select("protein_acc", "entry_acc"))
     return {
         "sup_ep": _count(base, ENTRY_SUPPORT_KEYS["sup_ep"]),
         "sup_etp": _count(
@@ -536,9 +543,9 @@ def entry_support_deltas(
     proteins); dP touches only sup_etp, through the OLD assignments
     of its touched proteins (a |delta|-pruned semi-join rescan; in
     continuous operation a protein-bucketed COW store). ``dpe``
-    persists (five consumers) — caller-owned lifetime, the
-    differ-clearCache convention."""
-    dpe = _signed_pe_delta(delta_pe).persist()
+    persists (five consumers) — released by the consumer's
+    engine_cache_scope."""
+    dpe = owned_persist(_signed_pe_delta(delta_pe))
     dp = _signed_protein_delta(delta_p)
 
     p_new_touched = protein_taxa_new.join(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 from ..functions.portable import round_div
 
 
@@ -90,7 +92,7 @@ def jaccard_pairs(
     # the shingle relation feeds three plan branches (sizes + both join
     # sides); persist so the tokenize/explode/distinct subtree runs once
     # (at cluster scale: checkpoint to parquet instead)
-    sh = sh.persist()
+    sh = owned_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")
@@ -127,14 +129,14 @@ def containment_pairs(
 
     Returns (da, db, containment_a_in_b, containment_b_in_a).
 
-    Cache note: persists an intermediate that the lazy result
-    reuses; the CALLER owns cache lifetime (long-lived drivers
-    should spark.catalog.clearCache() between queries, as
-    tools/differ.py and bench.py do).
+    Cache note: persists an intermediate (via owned_persist) that
+    the lazy result reuses; consumers bound its lifetime with
+    ``with engine_cache_scope(): ...`` (interpro7_dw_spark/caching.py),
+    as tools/differ.py and bench.py do per query.
     """
     if max_doc_freq is not None:
         sh = drop_hot_shingles(sh, max_doc_freq)
-    sh = sh.persist()
+    sh = owned_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")
@@ -205,7 +207,7 @@ def minhash_bands(
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Docs sharing at least one LSH band bucket."""
-    bands = bands.persist()  # self-join: compute the signature pipeline once
+    bands = owned_persist(bands)  # self-join: compute the signature pipeline once
     a = bands.select(F.col("doc_id").alias("da"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
     return (
@@ -289,7 +291,7 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFr
     n_seg = max_hamming + 1
     seg_w = bits // n_seg
     assert seg_w > 0, "fingerprint too narrow for max_hamming"
-    sh = sh.persist()  # self-join: compute fingerprints once
+    sh = owned_persist(sh)  # self-join: compute fingerprints once
     # last segment absorbs the remainder bits; mask derives per row
     # from the seg index so one explode covers uneven splits too
     segs = sh.select(
@@ -345,15 +347,15 @@ def repeated_passage_stats(
     substring dedup would explode; apply :func:`drop_hot_shingles`
     first if boilerplate passages dominate the index.
 
-    Cache note: persists an intermediate that the lazy result
-    reuses; the CALLER owns cache lifetime (long-lived drivers
-    should spark.catalog.clearCache() between queries, as
-    tools/differ.py and bench.py do).
+    Cache note: persists an intermediate (via owned_persist) that
+    the lazy result reuses; consumers bound its lifetime with
+    ``with engine_cache_scope(): ...`` (interpro7_dw_spark/caching.py),
+    as tools/differ.py and bench.py do per query.
     """
     sh = shingles(docs, n=window, id_col=id_col, text_col=text_col)
     # branch point: the shingle relation feeds both the df aggregate
     # and the mark join — persist so tokenize/explode/distinct runs once
-    sh = sh.persist()
+    sh = owned_persist(sh)
     shared = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -409,10 +411,10 @@ def exact_substring_dedup(
     cleaned_text); docs shorter than ``k`` tokens pass through
     untouched (no window, no span).
 
-    Cache note: persists an intermediate that the lazy result
-    reuses; the CALLER owns cache lifetime (long-lived drivers
-    should spark.catalog.clearCache() between queries, as
-    tools/differ.py and bench.py do).
+    Cache note: persists an intermediate (via owned_persist) that
+    the lazy result reuses; consumers bound its lifetime with
+    ``with engine_cache_scope(): ...`` (interpro7_dw_spark/caching.py),
+    as tools/differ.py and bench.py do per query.
     """
     from ..functions.intervals import condense_intervals, interval_union_length
 
@@ -438,7 +440,7 @@ def exact_substring_dedup(
             ).otherwise(F.expr("CAST(array() AS array<struct<pos INT, h STRING>>)"))
         ).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    win = win.persist()  # feeds both the occurrence count and the probe side
+    win = owned_persist(win)  # feeds both the occurrence count and the probe side
     dup = (
         win.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -312,7 +314,8 @@ def ivf_topk(
     repeated query batches skip the assignment shuffle.
     """
     cdf = ivf_centroids_df(emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
-    n = with_norm(emb, vec_col).persist()  # assignment + query probe reuse the normed corpus
+    # assignment + query probe reuse the normed corpus
+    n = owned_persist(with_norm(emb, vec_col))
     nc = _attach_centroids(n, cdf)
     corpus = nc.select(
         F.col(id_col).alias("vid"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 
 def _bucket(key_sql: str, r: int, width: int):
     return F.expr(
@@ -114,12 +116,12 @@ def heavy_hitters(
     Returns (key, exact_n, cms_est, overestimate); ``cms_est >=
     exact_n`` always (the one-sided CMS guarantee).
 
-    Cache note: persists an intermediate that the lazy result
-    reuses; the CALLER owns cache lifetime (long-lived drivers
-    should spark.catalog.clearCache() between queries, as
-    tools/differ.py and bench.py do).
+    Cache note: persists an intermediate (via owned_persist) that
+    the lazy result reuses; consumers bound its lifetime with
+    ``with engine_cache_scope(): ...`` (interpro7_dw_spark/caching.py),
+    as tools/differ.py and bench.py do per query.
     """
-    occurrences = occurrences.persist()  # feeds sketch build + exact counts
+    occurrences = owned_persist(occurrences)  # feeds sketch build + exact counts
     sketch = cms_build(occurrences, key_col, depth, width)
     exact = (
         occurrences.groupBy(key_col)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 from ..functions.portable import round_div
 
 # minimal marker-token sets per language for the n-gram/stopword
@@ -351,10 +353,10 @@ def bigram_lm(
 
     Returns (w1, w2, n_bigram, n_context, cond_p).
 
-    Cache note: persists an intermediate that the lazy result
-    reuses; the CALLER owns cache lifetime (long-lived drivers
-    should spark.catalog.clearCache() between queries, as
-    tools/differ.py and bench.py do).
+    Cache note: persists an intermediate (via owned_persist) that
+    the lazy result reuses; consumers bound its lifetime with
+    ``with engine_cache_scope(): ...`` (interpro7_dw_spark/caching.py),
+    as tools/differ.py and bench.py do per query.
     """
     toks = _tokens(text_col)
     pairs = docs.select(
@@ -374,7 +376,7 @@ def bigram_lm(
     # feeds bigram counts AND context counts (at cluster scale:
     # checkpoint the pair relation to parquet instead, as jaccard_pairs
     # documents for its shingle relation)
-    pairs = pairs.persist()
+    pairs = owned_persist(pairs)
     bi = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))

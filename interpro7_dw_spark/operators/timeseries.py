@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import owned_persist
+
 
 def gapfill_locf(
     events: DataFrame,
@@ -433,11 +435,13 @@ def ewma(
     # g feeds BOTH the chunk-summary branch and the row-replay join;
     # persist so the collect_list aggregation and sort run once (the
     # scan+shuffle would be shared by ReuseExchange, the fold would
-    # not). Lifetime is caller-owned: released by the harness's
-    # clearCache between queries (the kcore convention).
-    g = e.groupBy("key", "__c").agg(
-        F.array_sort(F.collect_list("ev")).alias("arr")
-    ).persist()
+    # not). Lifetime outlives this call — owned_persist registers it
+    # for release by the consumer's engine_cache_scope.
+    g = owned_persist(
+        e.groupBy("key", "__c").agg(
+            F.array_sort(F.collect_list("ev")).alias("arr")
+        )
+    )
     al, om = F.lit(a), F.lit(one_m)
     summ = g.select(
         "key",

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 from ..domain.clans import clan_alignment_graph
 from ..domain.xrefs import sim_entries
 from ..operators import graph as G
@@ -72,7 +74,9 @@ register(QuerySpec(
 
 def _part_pairs(spark: SparkSession, sf: str):
     # persist: the distinct() feeds both sides of the self-join
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct().persist()
+    li = owned_persist(
+        t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     return (

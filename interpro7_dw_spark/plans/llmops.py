@@ -2116,6 +2116,151 @@ register(QuerySpec(
 ))
 
 
+def _ann_recall_opq_build(spark: SparkSession, sf: str):
+    """recall@5 of OPQ-rotated PQ/ADC vs exact cosine on the
+    clustered fixture: the rotation is the FIXTURE-STORED product of
+    the full alternating OPQ optimization (genfixtures.py::
+    opq_rotation_path — numpy at generation time, engine-independent
+    bytes), applied Spark-side via rotate_embeddings; the m=16
+    subspace codebooks retrain from the rotated corpus with the
+    pinned-fold Lloyd, so the whole serve path (rotation matvec →
+    subspace Lloyd → codes → ADC → recall) replays bit-identically in
+    the DuckDB oracle. Exact top-k runs on the UNROTATED corpus —
+    rotation is an isometry, so recall compares directly."""
+    from ..sources.genfixtures import (
+        clustered_embeddings_path,
+        opq_rotation_path,
+    )
+
+    rotation = [
+        list(r.row)
+        for r in spark.read.parquet(opq_rotation_path()).orderBy("i").collect()
+    ]
+    emb = spark.read.parquet(clustered_embeddings_path()).select(
+        "vec_id", "embedding"
+    )
+    remb = S.rotate_embeddings(emb, rotation)
+    approx = S.pq_topk(remb, F.col("vec_id") < 10, k=5, m=16, ksub=8, iters=2)
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    return S.ann_recall_at_k(approx, exact, k=5)
+
+
+def _ann_recall_opq_oracle() -> str:
+    from ..sources.genfixtures import (
+        clustered_embeddings_path,
+        opq_rotation_path,
+    )
+
+    head = f"""
+    WITH raw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM '{clustered_embeddings_path()}'
+    ),
+    rot AS (SELECT i, row AS r FROM '{opq_rotation_path()}'),
+    rv AS (
+      SELECT vec_id, list(d ORDER BY i) AS v FROM (
+        SELECT raw.vec_id, rot.i, list_dot_product(raw.v, rot.r) AS d
+        FROM raw CROSS JOIN rot
+      ) GROUP BY vec_id
+    ),
+    subv AS (
+      SELECT vec_id, g.s AS sub, v[g.s * 4 + 1 : g.s * 4 + 4] AS sv
+      FROM rv, LATERAL unnest(generate_series(0, 15)) AS g(s)
+    ),
+    seed_ids AS (
+      SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
+      FROM rv QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    c0 AS (SELECT s.sub, si.cid, s.sv AS cv
+           FROM subv s JOIN seed_ids si USING (vec_id)),"""
+    tail = """
+    codes AS (
+      SELECT vec_id AS vid, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_dot_product(c.cv, c.cv)
+                          - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+        FROM subv s JOIN c2 c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT s.vec_id AS qid, s.sub, c.cid,
+             list_dot_product(s.sv, s.sv)
+             - 2 * list_dot_product(s.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d
+      FROM subv s JOIN c2 c ON s.sub = c.sub
+      WHERE s.vec_id < 10
+    ),
+    cand AS (
+      SELECT d.qid, co.vid, d.sub, d.d
+      FROM dtab d JOIN codes co ON d.sub = co.sub AND d.cid = co.cid
+      WHERE d.qid <> co.vid
+    ),
+    adist AS (
+      SELECT qid, vid,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                               (a, b) -> a + b), 6) AS adist
+      FROM cand GROUP BY qid, vid
+    ),
+    atop AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+        FROM adist) WHERE rank <= 5
+    ),
+    nq AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM raw
+    ),
+    esims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vid,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+      FROM nq q JOIN nq c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    etop AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+        FROM esims) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.qid, CAST(count(a.vid) AS BIGINT) AS n_hits
+      FROM etop e LEFT JOIN atop a ON e.qid = a.qid AND e.vid = a.vid
+      GROUP BY e.qid
+    )
+    SELECT qid, n_hits, """ + round_div_sql("n_hits", "5", 4) + """ AS recall
+    FROM hits
+    """
+    return (
+        head
+        + _pq_assign_cte("c0", "a1") + ","
+        + _pq_mean_cte("a1", "c1", "c0") + ","
+        + _pq_assign_cte("c1", "a2") + ","
+        + _pq_mean_cte("a2", "c2", "c1") + ","
+        + tail
+    )
+
+
+register(QuerySpec(
+    name="z_ann_recall_opq",
+    tags=("NN2", "F9", "A2"),
+    description="recall@5 of PQ/ADC under the FULL alternating-OPQ "
+    "rotation (Ge et al. 2013 §4.2; fixture-stored matrix from "
+    "genfixtures.py::opq_rotation_path, derived by eigenvalue-"
+    "allocation init + k-means/Procrustes alternation): both engines "
+    "read the same rotation parquet, apply the matvec, retrain the "
+    "m=16 ksub=8 subspace codebooks with the pinned-fold Lloyd, and "
+    "score ADC top-5 against the exact cosine top-5 of the unrotated "
+    "corpus (rotation is an isometry). The Spark in-engine trainer "
+    "twin (operators/similarity.py::opq_rotation) is pinned by tests "
+    "for isometry + objective descent and measured in the PERF.md "
+    "recall ladder.",
+    build=_ann_recall_opq_build,
+    oracle=_ann_recall_opq_oracle(),
+))
+
+
+
 def _snapshot_diff_orders(spark: SparkSession, sf: str):
     """Synthetic release-over-release delta on orders: %7 keys deleted,
     %5 survivors repriced (+1), %11 keys re-inserted under shifted ids

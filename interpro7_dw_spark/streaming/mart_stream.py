@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import engine_cache_scope
 from ..domain.mart_ivm import (
     BUCKETED_SUPPORTS,
     ENTRY_BUCKETED_SUPPORTS,
@@ -131,7 +132,6 @@ def seed_mart_state(
     _seed_supports(
         spark, state_dir, sup, SUPPORT_NAMES, BUCKETED_SUPPORTS, n_buckets
     )
-    spark.catalog.clearCache()  # drop the seed's spine/matched persists
 
 
 def _seed_supports(
@@ -381,25 +381,25 @@ def maintain_taxon_mart_stream(
                     F.col("new_database").alias("database"),
                 ).limit(0)
 
-            deltas = taxon_support_deltas(
-                dp,
-                dm,
-                p_new,
-                m_old.drop("match_id"),
-                protein_proteomes,
-                protein_structures,
-                taxon_ancestors,
-            )
-            _advance_supports(
-                spark, state_dir, deltas, prev, nxt, epoch,
-                SUPPORT_NAMES, SUPPORT_KEYS, BUCKETED_SUPPORTS, n_buckets,
-            )
+            # the delta computation's owned persists (dp_lift,
+            # d_matched) are epoch-scoped: the scope releases them
+            # once every support consumed them
+            with engine_cache_scope():
+                deltas = taxon_support_deltas(
+                    dp,
+                    dm,
+                    p_new,
+                    m_old.drop("match_id"),
+                    protein_proteomes,
+                    protein_structures,
+                    taxon_ancestors,
+                )
+                _advance_supports(
+                    spark, state_dir, deltas, prev, nxt, epoch,
+                    SUPPORT_NAMES, SUPPORT_KEYS, BUCKETED_SUPPORTS, n_buckets,
+                )
         finally:
             batch.unpersist()
-            # the maintainer's internal persists (dp_lift, d_matched)
-            # are epoch-scoped; the differ-wide clearCache convention
-            # applies per micro-batch here
-            spark.catalog.clearCache()
         _vacuum(spark, mart_dir, nxt, keep_last)
         keep_floor = None
         if keep_last is not None:
@@ -497,7 +497,6 @@ def seed_entry_mart_state(
         spark, state_dir, sup, ENTRY_SUPPORT_NAMES,
         ENTRY_BUCKETED_SUPPORTS, n_buckets,
     )
-    spark.catalog.clearCache()  # drop the seed's base persist
 
 
 def read_entry_mart_supports(
@@ -596,23 +595,24 @@ def maintain_entry_mart_stream(
             else:
                 pe_old = pe_old.drop("pe_id")
 
-            deltas = entry_support_deltas(
-                dpe,
-                dp,
-                p_new,
-                pe_old,
-                protein_proteomes,
-                protein_structures,
-                protein_ecs,
-            )
-            _advance_supports(
-                spark, state_dir, deltas, prev, nxt, epoch,
-                ENTRY_SUPPORT_NAMES, ENTRY_SUPPORT_KEYS,
-                ENTRY_BUCKETED_SUPPORTS, n_buckets,
-            )
+            # epoch-scoped owned persists (dpe) released by the scope
+            with engine_cache_scope():
+                deltas = entry_support_deltas(
+                    dpe,
+                    dp,
+                    p_new,
+                    pe_old,
+                    protein_proteomes,
+                    protein_structures,
+                    protein_ecs,
+                )
+                _advance_supports(
+                    spark, state_dir, deltas, prev, nxt, epoch,
+                    ENTRY_SUPPORT_NAMES, ENTRY_SUPPORT_KEYS,
+                    ENTRY_BUCKETED_SUPPORTS, n_buckets,
+                )
         finally:
             batch.unpersist()
-            spark.catalog.clearCache()
         _vacuum(spark, mart_dir, nxt, keep_last)
         keep_floor = None
         if keep_last is not None:

@@ -2199,3 +2199,27 @@ def test_opq_rotation_descends_and_stays_orthonormal(spark):
     e0, e2 = qerr(R0), qerr(R2)
     # exact minimizers per half-step: non-increasing (1e-6 float slack)
     assert e2 <= e0 * (1.0 + 1e-6), (e0, e2)
+
+
+def test_engine_cache_scope_releases_owned_persists(spark):
+    """caching.py: ownership of operator persists is structural — a
+    scope releases exactly the owned_persist blocks taken inside it
+    (nested scopes release only their own), never a cache persisted
+    outside the registry (a user's own cache)."""
+    from interpro7_dw_spark.caching import engine_cache_scope, owned_persist
+
+    user_df = spark.range(3).persist()
+    user_df.count()
+    with engine_cache_scope():
+        outer = owned_persist(spark.range(10))
+        outer.count()
+        assert outer.storageLevel.useMemory
+        with engine_cache_scope():
+            inner = owned_persist(spark.range(5))
+            inner.count()
+            assert inner.storageLevel.useMemory
+        assert not inner.storageLevel.useMemory   # inner scope released it
+        assert outer.storageLevel.useMemory       # ... and only it
+    assert not outer.storageLevel.useMemory
+    assert user_df.storageLevel.useMemory         # user caches untouched
+    user_df.unpersist()

@@ -124,6 +124,35 @@ def curve(spark, emb, tag: str) -> None:
             emb.persist(); exact.persist(); remb.persist()
         shutil.rmtree(idx, ignore_errors=True)
         remb.unpersist()
+        # FULL alternating OPQ (Ge et al. 2013 §4.2): eigenvalue-
+        # allocation init + 2 rounds of [subspace Lloyd -> orthogonal
+        # Procrustes re-solve] — the next rung above the initializer
+        # named by PERF.md r12.
+        rot2 = S.opq_rotation(emb, m=16, ksub=16, iters=2, pq_iters=2)
+        remb2 = S.rotate_embeddings(emb, rot2).persist()
+        idx = fixture_dir(f"ann_curve_{tag}_opq_full_m16")
+        shutil.rmtree(idx, ignore_errors=True)
+        S.write_ivfpq_index(remb2, idx, nlist=NLIST, m=16, ksub=16, iters=2)
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            approx = S.ivfpq_topk(
+                remb2.filter(F.col("vec_id") < N_QUERIES), idx,
+                k=K, nprobe=nprobe, m=16,
+            )
+            r = (
+                S.ann_recall_at_k(approx, exact, k=K)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+            print(json.dumps({
+                "corpus": tag, "path": "ivfpq_m16_opq_full_alt2",
+                "nprobe": nprobe, "recall_at_5": round(float(r), 3),
+                "wall_s": round(time.time() - t0, 2),
+            }))
+            spark.catalog.clearCache()
+            emb.persist(); exact.persist(); remb2.persist()
+        shutil.rmtree(idx, ignore_errors=True)
+        remb2.unpersist()
     exact.unpersist()
     emb.unpersist()
 

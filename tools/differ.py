@@ -5,6 +5,13 @@ CORRECTNESS gate so failures surface before a round ends.
 
 Usage:
     python tools/differ.py [sf_dir] [query ...]
+
+Do NOT run two sweeps (or a sweep and tests/test_catalog.py, which is
+the same comparison as a pytest matrix) CONCURRENTLY in separate
+processes: the streaming specs rebuild shared state directories under
+spark-warehouse/fixtures per run (rmtree + reseed), so two processes
+executing the same spec race on those paths and produce spurious
+one-off mismatches.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
+    from interpro7_dw_spark.caching import engine_cache_scope
     from interpro7_dw_spark.plans.spec import all_specs
     from interpro7_dw_spark.session import get_spark
     from interpro7_dw_spark.testing import compare_spec, make_duck_con
@@ -39,7 +47,12 @@ def main() -> int:
         n_run += 1
         t0 = time.time()
         try:
-            problems = compare_spec(spec, spark, con, sf_dir)
+            # operators that persist an intermediate return it lazily;
+            # the scope releases exactly those owned_persist blocks, so
+            # a full-catalog sweep never accumulates query caches (and
+            # never nukes unrelated user caches like clearCache did)
+            with engine_cache_scope():
+                problems = compare_spec(spec, spark, con, sf_dir)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
@@ -50,10 +63,6 @@ def main() -> int:
         else:
             kind = "ok~  " if spec.oracle is None else "ok   "
             print(f"{kind} {name} ({time.time() - t0:.1f}s)")
-        # operators that persist() an intermediate return lazily, so
-        # the CALLER owns cache lifetime — drop blocks between queries
-        # or a full-catalog sweep accumulates every query's cache
-        spark.catalog.clearCache()
 
     print(f"\n{n_run - len(failures)}/{n_run} matched")
     return 1 if failures else 0
