@@ -134,11 +134,16 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    def run(name: str, d: str) -> None:
+    def run(name: str, d: str) -> float:
         # engine_cache_scope releases the query's operator-owned
-        # persists on exit — each query is measured independently
+        # persists on exit, so each query is measured independently —
+        # and the timer stops BEFORE the scope exit, keeping the
+        # unpersist bookkeeping outside the measured window (exactly
+        # where the old clearCache-after-timing sat)
         with engine_cache_scope():
+            t0 = time.time()
             specs[name].build(spark, d).write.mode("overwrite").format("noop").save()
+            return time.time() - t0
 
     # Warm each plan once at the smallest scale: whole-stage codegen
     # compilation (Janino) costs seconds per novel plan shape and is a
@@ -160,9 +165,7 @@ def main() -> None:
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
-            t0 = time.time()
-            run(name, sf_dir)
-            times[name] = min(times[name], time.time() - t0)
+            times[name] = min(times[name], run(name, sf_dir))
     times = {k: round(v, 3) for k, v in times.items()}
 
     carried = [n for n in HEADLINE[:CARRIED21_COUNT]]
