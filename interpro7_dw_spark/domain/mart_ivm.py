@@ -188,6 +188,83 @@ def apply_count_delta(
     return merged.filter(F.col("n") > 0)
 
 
+def apply_count_delta_with_transitions(
+    support: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    roll_keys: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """The count merge that ALSO emits the NEXT pyramid level's signed
+    delta: a support row ENTERING (count 0 → >0) contributes +1 and a
+    row EXITING (>0 → 0) contributes −1, projected to ``roll_keys`` —
+    exactly the changelog a DISTINCT count one level up needs (e.g.
+    ``sup_db(tax_id, database) = #distinct proteins`` maintained from
+    ``sup_prot_db``'s transitions). This is what completes the count
+    PYRAMID: every level maintains from the level below's entrances
+    and exits, so no level — including the renders — ever
+    re-aggregates a facts-scale relation. The merge work is the same
+    single full-outer join as :func:`apply_count_delta` (one pass,
+    the result persists via ``owned_persist`` because both outputs
+    branch from it); prune with the broadcast semi/anti split of
+    :func:`apply_count_delta_pruned` first when the support is
+    facts-scale — untouched rows cannot transition.
+
+    Returns ``(new_support, transitions)`` where transitions has
+    columns ``roll_keys`` + ``s`` (±1 rows, ready for another
+    :func:`apply_count_delta`). Same negative-count loud failure as
+    the plain merge."""
+    from ..caching import owned_persist
+
+    sup = support.alias("__sup")
+    d = (
+        delta.groupBy(*keys)
+        .agg(F.sum("s").cast("long").alias("__dn"))
+        .alias("__dlt")
+    )
+    sc = lambda k: F.col(f"__sup.{k}")
+    dc = lambda k: F.col(f"__dlt.{k}")
+    on = sc(keys[0]).eqNullSafe(dc(keys[0]))
+    for k in keys[1:]:
+        on = on & sc(k).eqNullSafe(dc(k))
+    n_old = F.coalesce(F.col("__sup.n"), F.lit(0)).cast("long")
+    n_new_raw = (n_old + F.coalesce(F.col("__dlt.__dn"), F.lit(0))).cast("long")
+    n_new = F.when(
+        n_new_raw < 0,
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit(
+                    "apply_count_delta_with_transitions: negative maintained"
+                    " count (double-applied or inconsistent changelog) for key"
+                ),
+                *[
+                    F.coalesce(
+                        F.coalesce(sc(k), dc(k)).cast("string"), F.lit("NULL")
+                    )
+                    for k in keys
+                ],
+            )
+        ).cast("long"),
+    ).otherwise(n_new_raw)
+    merged = owned_persist(
+        sup.join(d, on, "full_outer").select(
+            *[F.coalesce(sc(k), dc(k)).alias(k) for k in keys],
+            n_old.alias("__n_old"),
+            n_new.alias("__n_new"),
+        )
+    )
+    new_support = merged.filter(F.col("__n_new") > 0).select(
+        *keys, F.col("__n_new").alias("n")
+    )
+    entered = (F.col("__n_old") <= 0) & (F.col("__n_new") > 0)
+    exited = (F.col("__n_old") > 0) & (F.col("__n_new") <= 0)
+    transitions = merged.filter(entered | exited).select(
+        *roll_keys,
+        F.when(entered, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("s"),
+    )
+    return new_support, transitions
+
+
 def apply_count_delta_pruned(
     support: DataFrame, delta: DataFrame, keys: list[str], prune_col: str
 ) -> DataFrame:

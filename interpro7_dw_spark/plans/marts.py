@@ -1162,6 +1162,76 @@ def _stream_ivm_mart_entry(spark, sf):
     )
 
 
+def _ivm_count_pyramid(spark, sf):
+    """Two-LEVEL maintained count pyramid
+    (domain/mart_ivm.py::apply_count_delta_with_transitions): level 1
+    is the (database, protein) ref-count support seeded from the OLD
+    match snapshot; one release delta folds in and the SAME merge
+    emits the enter/exit transitions that maintain level 2 — the
+    per-database DISTINCT-protein count — without ever re-aggregating
+    level 1. Oracle: the distinct count recomputed from the NEW
+    snapshot, because maintained level 2 == level 1's live key count
+    by induction."""
+    from ..domain.mart_ivm import (
+        apply_count_delta,
+        apply_count_delta_with_transitions,
+    )
+
+    orders = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    db_old = F.concat_ws(
+        "",
+        F.lit("DB"),
+        (ok + F.when(ok % 13 == 0, F.lit(3)).otherwise(F.lit(0))) % 4,
+    )
+    m_old = orders.filter(ok % 7 != 0).select(
+        db_old.alias("database"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+    )
+    m_new = orders.filter(ok % 11 != 0).select(
+        F.concat_ws("", F.lit("DB"), ok % 4).alias("database"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+    )
+    keys = ["database", "protein_acc"]
+    l1 = m_old.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    l2 = l1.groupBy("database").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    delta = m_old.select(
+        *keys, F.lit(-1).cast("long").alias("s")
+    ).unionByName(m_new.select(*keys, F.lit(1).cast("long").alias("s")))
+    _l1_new, trans = apply_count_delta_with_transitions(
+        l1, delta, keys, ["database"]
+    )
+    return apply_count_delta(l2, trans, ["database"]).select(
+        "database", F.col("n").alias("n_proteins")
+    )
+
+
+register(QuerySpec(
+    name="z_ivm_count_pyramid",
+    tags=("A5", "CD3", "A8"),
+    description="Two-level MAINTAINED count pyramid "
+    "(domain/mart_ivm.py::apply_count_delta_with_transitions): the "
+    "count merge that also emits enter/exit transitions, so the next "
+    "level's DISTINCT count (here: distinct proteins per database) "
+    "folds forward from level 1's membership changes alone — no level "
+    "ever re-aggregates the facts-scale level below it, which is the "
+    "discipline that makes mart RENDERS aggregate-sized at 100 TB. "
+    "Oracle: the distinct count fully recomputed from the new "
+    "snapshot (maintained == recomputed).",
+    build=_ivm_count_pyramid,
+    oracle="""
+        WITH m_new AS (
+          SELECT 'DB' || (o_orderkey % 4) AS database,
+                 CAST(o_custkey AS VARCHAR) AS protein_acc
+          FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT database,
+               CAST(count(DISTINCT protein_acc) AS BIGINT) AS n_proteins
+        FROM m_new GROUP BY 1
+    """,
+))
+
+
 register(QuerySpec(
     name="z_stream_ivm_mart_entry",
     tags=("X5", "A3", "A8", "A11", "CD3", "ST4"),

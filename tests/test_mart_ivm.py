@@ -661,3 +661,41 @@ def test_entry_mart_stream_equals_batch_rebuild_and_replay(spark, tmp_path):
         assert len(parts) < 8, (v, parts)
         post_seed_parts += parts
     assert post_seed_parts
+
+
+def test_apply_count_delta_with_transitions_maintains_next_level(spark):
+    """The pyramid-completing primitive: one count merge emits the
+    NEXT level's signed delta (enter=+1 / exit=-1 per member row), so
+    a distinct count one level up maintains WITHOUT re-aggregating
+    level 1. Enter, exit, and a no-transition count change in one
+    epoch; maintained level 2 == recompute from the merged level 1."""
+    from interpro7_dw_spark.domain.mart_ivm import (
+        apply_count_delta_with_transitions,
+    )
+
+    l1 = spark.createDataFrame(
+        [("a", "p1", 2), ("a", "p2", 1), ("b", "p3", 1)],
+        "g string, member string, n long",
+    )
+    l2 = spark.createDataFrame([("a", 2), ("b", 1)], "g string, n long")
+    delta = spark.createDataFrame(
+        # p2 exits (1-1=0), p4 enters group a, p3 changes count (1->2,
+        # no transition), p1 drops 2->1 (no transition)
+        [("a", "p2", -1), ("a", "p4", 2), ("b", "p3", 1), ("a", "p1", -1)],
+        "g string, member string, s long",
+    )
+    new_l1, trans = apply_count_delta_with_transitions(
+        l1, delta, ["g", "member"], ["g"]
+    )
+    got_l1 = {(r.g, r.member): r.n for r in new_l1.collect()}
+    assert got_l1 == {("a", "p1"): 1, ("a", "p4"): 2, ("b", "p3"): 2}
+    got_t = sorted((r.g, r.s) for r in trans.collect())
+    assert got_t == [("a", -1), ("a", 1)]
+    new_l2 = {r.g: r.n for r in apply_count_delta(l2, trans, ["g"]).collect()}
+    # == recompute: distinct members per group of the merged level 1
+    want_l2 = {
+        r.g: r.n
+        for r in new_l1.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert new_l2 == want_l2 == {"a": 2, "b": 1}
+    spark.catalog.clearCache()  # release the merge's owned persist
