@@ -51,6 +51,8 @@ HEADLINE = [
     "z_embedding_topk",
     "grouping_sets_pyramid",
     "domorg_fingerprint",
+    # parked to z_ in the r13 rotation that promoted skew_join_hot_key —
+    # same query, so carried21 stays comparable
     "z_lca_per_nation",
     "search_documents",
     "z_multimodal_decode",
@@ -104,7 +106,8 @@ HEADLINE = [
     "z_ivfpq_probe",
     # r10: incremental view maintenance (delta-driven mart merge) and
     # the chunk-composed EWMA — the two new time/change-family ops
-    # promoted into the driver window in the r11 rotation (same queries)
+    # promoted into the driver window in the r11 rotation (same queries;
+    # ewma parked back to z_ in the r13 rotation — same query)
     "ivm_group_agg",
     "z_ewma",
     # r11 second-half additions: multi-table (join-view) IVM, SQ8
@@ -120,6 +123,7 @@ HEADLINE = [
     # mart (count-pyramid supports + bilinear changelog fold)
     "skew_salted_agg",
     "stream_ivm_minmax",
+    # promoted from z_ names in the r13 rotation — same queries
     "skew_join_hot_key",
     "ivm_mart_taxonomy",
 ]
