@@ -223,7 +223,8 @@ def read_mart_supports(
     (a bucket not rewritten at v_n is served by the newest older
     version carrying it — the fact-store manifest discipline)."""
     return _read_supports(
-        spark, state_dir, version_name, SUPPORT_NAMES, BUCKETED_SUPPORTS
+        spark, state_dir, version_name, SUPPORT_NAMES, BUCKETED_SUPPORTS,
+        SUPPORT_KEYS,
     )
 
 
@@ -233,6 +234,7 @@ def _read_supports(
     version_name: str,
     names: tuple,
     bucketed: dict[str, str],
+    support_keys: dict[str, list[str]],
 ) -> dict[str, DataFrame]:
     ver = int(version_name[1:].partition("_e")[0])
     out: dict[str, DataFrame] = {}
@@ -243,8 +245,15 @@ def _read_supports(
                 spark, sup_dir, _bucket_sources(spark, sup_dir, ver)
             )
             if df is None:
-                raise RuntimeError(
-                    f"no committed buckets for {name} at or below v{ver}"
+                # a LEGITIMATELY EMPTY support (e.g. a seed release
+                # with zero matches): the partitioned write produced
+                # no data files to infer a schema from, so serve the
+                # schema explicitly — every support key in this domain
+                # is a string, and the count column is always long
+                df = spark.createDataFrame(
+                    [],
+                    ", ".join(f"{k} string" for k in support_keys[name])
+                    + ", n long",
                 )
             out[name] = df
         else:
@@ -504,7 +513,7 @@ def read_entry_mart_supports(
 ) -> dict[str, DataFrame]:
     return _read_supports(
         spark, state_dir, version_name, ENTRY_SUPPORT_NAMES,
-        ENTRY_BUCKETED_SUPPORTS,
+        ENTRY_BUCKETED_SUPPORTS, ENTRY_SUPPORT_KEYS,
     )
 
 

@@ -699,3 +699,47 @@ def test_apply_count_delta_with_transitions_maintains_next_level(spark):
     }
     assert new_l2 == want_l2 == {"a": 2, "b": 1}
     spark.catalog.clearCache()  # release the merge's owned persist
+
+
+def test_mart_stream_empty_facts_scale_support(spark, tmp_path):
+    """A release with ZERO matches seeds an EMPTY sup_prot_db — the
+    COW store's partitioned write produces no data files, so the
+    reader must serve the support's schema explicitly instead of
+    failing. Seed renders, one protein-only micro-batch folds in, and
+    both renders equal the full rebuild (empty db_json everywhere)."""
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_stream,
+        read_taxon_mart_version,
+        seed_mart_state,
+        unify_changelogs,
+    )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(10)}
+    m_empty: dict = {}
+    p_new = dict(p_old)
+    p_new["P11"] = "N2"
+    p_new.pop("P3")
+
+    state = str(tmp_path / "nofacts")
+    seed_mart_state(
+        spark, _p_df(spark, p_old), _m_df(spark, m_empty),
+        _pp(spark), _ps(spark), _anc(spark), state, n_buckets=4,
+    )
+    seed_render = _mart_rows(read_taxon_mart_version(spark, state, version=0))
+    assert seed_render == _mart_rows(_rebuild(spark, p_old, m_empty))
+
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_empty), _m_df(spark, m_empty), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    unified = unify_changelogs(dp, dm)
+    src = str(tmp_path / "chg")
+    unified.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(unified.schema).parquet(src)
+    out = maintain_taxon_mart_stream(
+        spark, stream, state, _pp(spark), _ps(spark), _anc(spark), n_buckets=4
+    )
+    assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_empty))
