@@ -42,15 +42,25 @@ def _owned() -> list:
     return _LOCAL.dfs
 
 
+def _depth() -> int:
+    return getattr(_LOCAL, "depth", 0)
+
+
 def owned_persist(df: DataFrame) -> DataFrame:
     """``persist()`` a DataFrame whose cache must outlive the operator
     that created it, registering it for release by the innermost
     enclosing :func:`engine_cache_scope` on this thread. Outside any
     scope the behavior degrades to the old convention (the persist
     stays until a consumer cleans up) — existing callers keep
-    working; scoped consumers get deterministic release."""
+    working; scoped consumers get deterministic release. The
+    registration only happens INSIDE a scope: an unscoped caller gets
+    the persist but no list entry, so a long-lived session that never
+    opens scopes cannot accumulate permanent DataFrame references in
+    the thread-local registry (it still owns the persisted blocks, as
+    the old convention always did)."""
     df.persist()
-    _owned().append(df)
+    if _depth() > 0:
+        _owned().append(df)
     return df
 
 
@@ -62,9 +72,11 @@ def engine_cache_scope():
     releases only its own persists."""
     owned = _owned()
     mark = len(owned)
+    _LOCAL.depth = _depth() + 1
     try:
         yield
     finally:
+        _LOCAL.depth = _depth() - 1
         for df in reversed(owned[mark:]):
             try:
                 df.unpersist()

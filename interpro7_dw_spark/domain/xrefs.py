@@ -120,11 +120,36 @@ def filter_ec_numbers(
     ``entry_ec_proteins``: (entry_acc, ec, protein_acc) distinct rows.
     ``entry_totals``: (entry_acc, n_proteins).
     """
-    counts = (
-        entry_ec_proteins.groupBy("entry_acc", "ec")
-        .agg(F.countDistinct("protein_acc").alias("cnt"))
-        .join(F.broadcast(entry_totals), "entry_acc")
-        .withColumn("coverage", F.col("cnt") / F.col("n_proteins"))
+    counts = entry_ec_proteins.groupBy("entry_acc", "ec").agg(
+        F.countDistinct("protein_acc").alias("cnt")
+    )
+    return filter_ec_numbers_from_counts(
+        counts, entry_ec_proteins, entry_totals, min_count, min_coverage
+    )
+
+
+def filter_ec_numbers_from_counts(
+    ec_counts: DataFrame,
+    entry_ec_proteins: DataFrame,
+    entry_totals: DataFrame,
+    min_count: int = 3,
+    min_coverage: float = 0.6,
+) -> DataFrame:
+    """:func:`filter_ec_numbers` with the per-(entry, ec) DISTINCT-
+    protein counts PRECOMPUTED (``ec_counts``: entry_acc, ec, cnt) —
+    the shape the maintained entry mart renders from: the coverage
+    threshold and the failing-stem detection are pure functions of
+    those aggregate-sized counts (a maintained level-2 support), so
+    the common path never touches the assignment-scale
+    ``entry_ec_proteins`` relation. Only the stem-fallback member
+    union still needs protein identity (distinct proteins across the
+    prefix-matched ECs are NOT derivable from per-ec counts); that
+    scan is PRUNED to the failing (entry, stem) candidates behind a
+    broadcast join — a set that needs >=2 distinct above-min_count
+    below-coverage ECs sharing a stem in one entry, i.e. empty or
+    tiny at any scale."""
+    counts = ec_counts.join(F.broadcast(entry_totals), "entry_acc").withColumn(
+        "coverage", F.col("cnt") / F.col("n_proteins")
     )
     passing = (
         counts.filter((F.col("cnt") >= min_count) & (F.col("coverage") >= min_coverage))
@@ -143,9 +168,11 @@ def filter_ec_numbers(
 
     # union member proteins over EVERY ec of the entry that string-
     # prefix-matches the stem (reference uses startswith — faithfully
-    # prefix, not component-wise)
+    # prefix, not component-wise); the broadcast of the failing
+    # candidates makes this a map-side prune of the one facts-shaped
+    # input on the render path
     stem_members = (
-        entry_ec_proteins.join(failing_stems, "entry_acc")
+        entry_ec_proteins.join(F.broadcast(failing_stems), "entry_acc")
         .filter(F.col("ec").startswith(F.col("stem")))
         .groupBy("entry_acc", "stem")
         .agg(F.countDistinct("protein_acc").alias("cnt"))

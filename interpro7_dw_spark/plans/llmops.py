@@ -512,7 +512,7 @@ register(QuerySpec(
     "oracle replays the identical IVF pipeline against the same "
     "parquet file by path.",
     build=_ann_recall_clustered_build,
-    oracle=_ann_clustered_oracle(),
+    oracle=_ann_clustered_oracle,  # lazy: building it generates fixture parquet
 ))
 
 
@@ -2256,7 +2256,7 @@ register(QuerySpec(
     "for isometry + objective descent and measured in the PERF.md "
     "recall ladder.",
     build=_ann_recall_opq_build,
-    oracle=_ann_recall_opq_oracle(),
+    oracle=_ann_recall_opq_oracle,  # lazy: building it generates fixture parquet
 ))
 
 
@@ -3997,7 +3997,7 @@ register(QuerySpec(
     "bounds, floor(+0.5) codes, dequantized asymmetric cosine, both "
     "top-k rankings, hit counts.",
     build=_ann_recall_ivf_sq8_build,
-    oracle=_ann_ivf_sq8_oracle(),
+    oracle=_ann_ivf_sq8_oracle,  # lazy: building it generates fixture parquet
 ))
 
 

@@ -798,7 +798,10 @@ register(QuerySpec(
     description="INCREMENTALLY MAINTAINED taxon2xrefs mart (domain/"
     "mart_ivm.py): the real warehouse mart's count pyramid — protein "
     "counts, distinct proteome/structure counts, the per-database "
-    "nested entry map — kept as five count-IVM supports; a protein "
+    "nested entry map — kept as a count-IVM support PYRAMID (five "
+    "level-1 supports plus the level-2 sup_db maintained from the "
+    "facts-scale sup_prot_db's enter/exit transitions, so the render "
+    "reads only aggregate-sized supports); a protein "
     "changelog (inserts/deletes/taxon moves) and a match changelog "
     "(inserts/deletes/signature changes) fold in via the bilinear "
     "delta rule (dM JOIN P_new + M_old JOIN dP, both |delta|-pruned), "
@@ -958,8 +961,10 @@ register(QuerySpec(
     "changelogs interleave in one discriminated stream; each "
     "micro-batch advances the protein-dim COW store, the "
     "protein-bucketed match COW store (so the bilinear rescan is a "
-    "partition-pruned bucket read), and the five count-pyramid "
-    "supports, committed atomically per version. Same epoch-"
+    "partition-pruned bucket read), and the count-pyramid supports "
+    "(the facts-scale sup_prot_db as a COW touched-bucket merge whose "
+    "transitions maintain the level-2 sup_db the render reads), "
+    "committed atomically per version. Same epoch-"
     "idempotent replay guard as the sum/count IVM streams. Oracle: "
     "the full DuckDB rebuild of the new release — identical to "
     "ivm_mart_taxonomy, because any micro-batch partitioning of "
@@ -1035,7 +1040,7 @@ def _ivm_mart_entry(spark, sf):
     mart — the reference's single worst release cost
     (export-entry2xrefs budgeted <=24h/100GB,
     /root/reference/interpro7dw/cli.py:355) — via the entry count
-    pyramid of domain/mart_ivm.py: seed the five entry supports from
+    pyramid of domain/mart_ivm.py: seed the entry support pyramid from
     the OLD release, fold the protein->entry assignment changelog AND
     the protein-dim changelog (bilinear rule), render with the exact
     entry_xrefs_mart semantics INCLUDING the EC coverage filter +
@@ -1094,14 +1099,15 @@ register(QuerySpec(
     tags=("X5", "A3", "A8", "A11", "CD3", "A13"),
     description="INCREMENTALLY MAINTAINED entry2xrefs mart (domain/"
     "mart_ivm.py, entry pyramid): the reference's worst release cost "
-    "(export-entry2xrefs <=24h/100GB, cli.py:355) as five count-IVM "
-    "supports — per-entry protein refs, (entry,taxon,protein) refs, "
+    "(export-entry2xrefs <=24h/100GB, cli.py:355) as a count-IVM "
+    "support PYRAMID — per-entry protein refs, (entry,taxon,protein) refs, "
     "proteome/structure refs, and (entry,EC,protein) refs — folded "
     "forward from a protein->entry assignment changelog plus a "
     "protein-dim changelog via the bilinear rule. The EC coverage "
     "filter + 3-digit stem fallback and the per-taxon JSON map render "
-    "from the MAINTAINED supports (they are threshold functions of "
-    "counts, not of facts). Oracle: the full DuckDB rebuild of the "
+    "from the maintained LEVEL-2 distinct counts (threshold functions "
+    "of counts, not of facts; only the rare stem member union touches "
+    "level 1, pruned to the failing candidates). Oracle: the full DuckDB rebuild of the "
     "new release, identical column set to mart_entry2xrefs.",
     build=_ivm_mart_entry,
     oracle=_ivm_entry_oracle(),
@@ -1215,7 +1221,9 @@ register(QuerySpec(
     "level's DISTINCT count (here: distinct proteins per database) "
     "folds forward from level 1's membership changes alone — no level "
     "ever re-aggregates the facts-scale level below it, which is the "
-    "discipline that makes mart RENDERS aggregate-sized at 100 TB. "
+    "discipline that makes mart RENDERS aggregate-sized at 100 TB — "
+    "wired into the REAL taxon/entry habitats as LEVEL2_ROLLUPS / "
+    "ENTRY_LEVEL2_ROLLUPS. "
     "Oracle: the distinct count fully recomputed from the new "
     "snapshot (maintained == recomputed).",
     build=_ivm_count_pyramid,
@@ -1241,10 +1249,11 @@ register(QuerySpec(
     "assignment and protein-dim changelogs interleave in one "
     "discriminated stream; each micro-batch advances the protein-"
     "bucketed assignment + protein-dim COW stores (the bilinear "
-    "rescan is a partition-pruned bucket read) and the five entry "
+    "rescan is a partition-pruned bucket read) and the entry "
     "count-pyramid supports — the three assignment-scale ones "
     "(sup_ep/sup_etp/sup_eep) as COW touched-bucket merges, never a "
-    "full support rewrite — committed atomically per version. Same "
+    "full support rewrite, their transitions maintaining the level-2 "
+    "counts the render reads — committed atomically per version. Same "
     "epoch-idempotent replay guard as every IVM stream. Oracle: the "
     "full DuckDB rebuild of the new release — identical to "
     "z_ivm_mart_entry2xrefs, because any micro-batch partitioning of "

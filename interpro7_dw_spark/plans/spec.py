@@ -43,7 +43,6 @@ double, and boolean columns:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,13 +50,35 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 
 
-@dataclass(frozen=True)
 class QuerySpec:
-    name: str
-    build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
-    tags: tuple[str, ...] = ()  # SURVEY §2 operator ids this query exercises
-    description: str = ""
+    """One catalog entry. ``oracle`` may be the ANSI SQL string
+    itself, ``None`` (rows-only check), or a ZERO-ARG CALLABLE
+    returning the SQL — resolved (and cached) on first ``.oracle``
+    access, so oracles whose construction has side effects (e.g.
+    generating a fixture parquet the SQL embeds by path) don't run at
+    import time for tools that only list specs."""
+
+    __slots__ = ("name", "build", "_oracle", "tags", "description")
+
+    def __init__(
+        self,
+        name: str,
+        build: Callable[[SparkSession, str], DataFrame],
+        oracle: str | None | Callable[[], str],
+        tags: tuple[str, ...] = (),
+        description: str = "",
+    ) -> None:
+        self.name = name
+        self.build = build
+        self._oracle = oracle
+        self.tags = tags
+        self.description = description
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}

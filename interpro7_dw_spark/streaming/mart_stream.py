@@ -46,20 +46,24 @@ rebuild of the final snapshot (the ``z_stream_ivm_mart`` oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import engine_cache_scope
 from ..domain.mart_ivm import (
     BUCKETED_SUPPORTS,
     ENTRY_BUCKETED_SUPPORTS,
+    ENTRY_LEVEL2_ROLLUPS,
     ENTRY_SUPPORT_KEYS,
     ENTRY_SUPPORT_NAMES,
+    LEVEL2_ROLLUPS,
     SUPPORT_KEYS,
     SUPPORT_NAMES,
     apply_count_delta,
+    apply_count_delta_with_transitions,
     entry_mart_from_supports,
     entry_support_deltas,
+    level2_names,
     seed_entry_supports,
     seed_taxon_supports,
     taxon_mart_from_supports,
@@ -144,17 +148,51 @@ def _seed_supports(
 ) -> None:
     """v0 of the support state: aggregate-sized supports as plain
     parquet under the mart version root, facts-scale ones as bucketed
-    COW stores; the mart root ``_SUCCESS`` written LAST commits all."""
+    COW stores (each with a ``_schema.json`` artifact so an emptied or
+    seed-empty store can still be served with its REAL schema); the
+    mart root ``_SUCCESS`` written LAST commits all."""
     for name in names:
         if name in bucketed:
+            sup_dir = f"{state_dir}/sup_cow/{name}"
             sup[name].withColumn(
                 "__b", _bucket(F.col(bucketed[name]), n_buckets)
-            ).write.partitionBy("__b").parquet(
-                f"{state_dir}/sup_cow/{name}/v0"
-            )
+            ).write.partitionBy("__b").parquet(f"{sup_dir}/v0")
+            _write_schema_artifact(spark, sup_dir, sup[name].schema)
         else:
             sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
     _commit_marker(spark, f"{state_dir}/mart/v0")
+
+
+def _write_schema_artifact(spark: SparkSession, sup_dir: str, schema) -> None:
+    """Persist a COW store's logical schema (keys + count, WITHOUT the
+    ``__b`` partition column) beside its version directories: the
+    empty-store read fallback derives its served schema from this
+    artifact instead of guessing column types."""
+    fs, _root, jp = _fs(spark, sup_dir)
+    out = fs.create(jp(f"{sup_dir}/_schema.json"), True)
+    out.write(bytearray(schema.json().encode("utf-8")))
+    out.close()
+
+
+def _read_schema_artifact(spark: SparkSession, sup_dir: str):
+    """The stored schema of :func:`_write_schema_artifact`, or None
+    for stores seeded before the artifact existed."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    fs, _root, jp = _fs(spark, sup_dir)
+    p = jp(f"{sup_dir}/_schema.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return StructType.fromJson(_json.loads(text))
 
 
 def cow_apply_count_delta(
@@ -167,7 +205,8 @@ def cow_apply_count_delta(
     prev_version: int,
     next_version: int,
     epoch: int,
-) -> None:
+    roll_keys: list[str] | None = None,
+) -> DataFrame | None:
     """Merge a SIGNED count delta (``keys`` + ``s``) into a COW-
     bucketed count support: resolve ONLY the delta-touched buckets at
     ``prev_version``, run :func:`..domain.mart_ivm.apply_count_delta`
@@ -179,7 +218,16 @@ def cow_apply_count_delta(
     as the fact stores — so per-epoch support IO is
     Θ(|touched buckets|), not Θ(|support|) (the r12 verdict's one
     scale finding, measured in tests/test_mart_ivm.py +
-    PERF.md r13)."""
+    PERF.md r13).
+
+    With ``roll_keys`` the merge runs through
+    ``apply_count_delta_with_transitions`` and RETURNS the enter/exit
+    transitions (``roll_keys`` + ``s``) — the complete signed delta of
+    the level-2 rollup, complete because untouched buckets cannot
+    transition. The transitions branch off the same persisted merge
+    plan the write materializes, so emitting them costs no second
+    bucket read; the caller must consume them inside the same
+    ``engine_cache_scope``."""
     touched = sorted(
         r[0]
         for r in delta.select(
@@ -196,7 +244,13 @@ def cow_apply_count_delta(
             .limit(0)
             .withColumn("n", F.lit(0).cast("long"))
         )
-    merged = apply_count_delta(cur, delta, keys)
+    transitions = None
+    if roll_keys is None:
+        merged = apply_count_delta(cur, delta, keys)
+    else:
+        merged, transitions = apply_count_delta_with_transitions(
+            cur, delta, keys, roll_keys
+        )
     ver = f"{sup_dir}/v{next_version}_e{epoch}"
     merged.withColumn(
         "__b", _bucket(F.col(bucket_col), n_buckets)
@@ -204,6 +258,7 @@ def cow_apply_count_delta(
     fs, _r, jp = _fs(spark, sup_dir)
     for b in touched:
         fs.mkdirs(jp(f"{ver}/__b={b}"))
+    return transitions
 
 
 def _commit_marker(spark: SparkSession, version_dir: str) -> None:
@@ -248,13 +303,19 @@ def _read_supports(
                 # a LEGITIMATELY EMPTY support (e.g. a seed release
                 # with zero matches): the partitioned write produced
                 # no data files to infer a schema from, so serve the
-                # schema explicitly — every support key in this domain
-                # is a string, and the count column is always long
-                df = spark.createDataFrame(
-                    [],
-                    ", ".join(f"{k} string" for k in support_keys[name])
-                    + ", n long",
-                )
+                # schema from the artifact the seed wrote beside the
+                # store (_schema.json); only a store seeded before
+                # the artifact existed falls back to the historical
+                # all-string-keys derivation
+                schema = _read_schema_artifact(spark, sup_dir)
+                if schema is None:
+                    schema = (
+                        ", ".join(
+                            f"{k} string" for k in support_keys[name]
+                        )
+                        + ", n long"
+                    )
+                df = spark.createDataFrame([], schema)
             out[name] = df
         else:
             out[name] = spark.read.parquet(
@@ -274,26 +335,191 @@ def _advance_supports(
     support_keys: dict[str, list[str]],
     bucketed: dict[str, str],
     n_buckets: int,
+    rollups: dict[str, tuple[str, list[str]]] | None = None,
 ) -> None:
     """Fold one epoch's signed support deltas into version ``nxt``:
     aggregate-sized supports merge whole against the previous version
     and rewrite whole under the mart version root; facts-scale ones
-    COW-merge only their delta-touched buckets. The mart-root
-    ``_SUCCESS``, written LAST, commits every piece atomically."""
+    COW-merge only their delta-touched buckets, EMITTING enter/exit
+    transitions when they feed a level-2 rollup — those transitions
+    are then the entire delta of the (aggregate-sized) level-2
+    support, which rewrites whole under the version root like any
+    other aggregate-sized support. The mart-root ``_SUCCESS``,
+    written LAST, commits every piece atomically."""
+    rollups = rollups or {}
+    l2 = level2_names(rollups)
     vdir = f"{state_dir}/mart/v{nxt}_e{epoch}"
     for name in names:
         keys = support_keys[name]
+        if name in l2:
+            continue  # maintained from its level-1's transitions below
         if name in bucketed:
-            cow_apply_count_delta(
+            trans = cow_apply_count_delta(
                 spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
                 bucketed[name], n_buckets, prev[0], nxt, epoch,
+                roll_keys=rollups[name][1] if name in rollups else None,
             )
+            if name in rollups:
+                l2_name = rollups[name][0]
+                cur = spark.read.parquet(
+                    f"{state_dir}/mart/{prev[3]}/{l2_name}"
+                )
+                apply_count_delta(
+                    cur, trans, support_keys[l2_name]
+                ).write.mode("overwrite").parquet(f"{vdir}/{l2_name}")
         else:
             cur = spark.read.parquet(f"{state_dir}/mart/{prev[3]}/{name}")
             apply_count_delta(cur, deltas[name], keys).write.mode(
                 "overwrite"
             ).parquet(f"{vdir}/{name}")
     _commit_marker(spark, vdir)
+
+
+def _discover_touched_buckets(
+    batch: DataFrame, dim_src: str, n_buckets: int
+) -> tuple[list[int], list[int]]:
+    """EVERY bucket set one mart epoch needs, in ONE driver job (the
+    r13 verdict's per-epoch job-count finding): the unified changelog
+    carries the dimension rows (``src == dim_src``, protein-keyed
+    unprefixed) and the fact rows (both-images ``old_/new_protein_acc``);
+    each row contributes its exact change-type-filtered buckets tagged
+    'd' (dimension) or 'f' (facts), and one distinct-collect returns
+    both sets. The sets are EXACT — identical to what
+    ``cow_apply_images``'s own discovery would compute per store — so
+    they double as the stores' ``touched`` lists AND the bilinear
+    rescans' partition prunes."""
+    ct = F.col("change_type")
+
+    def entry(tag: str, b: Column) -> Column:
+        return F.struct(F.lit(tag).alias("t"), b.alias("b"))
+
+    tagged = F.when(
+        F.col("src") == dim_src,
+        F.array(entry("d", _bucket(F.col("protein_acc"), n_buckets))),
+    ).otherwise(
+        F.filter(
+            F.array(
+                F.when(
+                    ct.isin("delete", "update"),
+                    entry("f", _bucket(F.col("old_protein_acc"), n_buckets)),
+                ),
+                F.when(
+                    ct.isin("insert", "update"),
+                    entry("f", _bucket(F.col("new_protein_acc"), n_buckets)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    rows = (
+        batch.select(F.explode(tagged).alias("tb"))
+        .select(F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .distinct()
+        .collect()
+    )
+    dim = sorted(r.b for r in rows if r.t == "d")
+    fact = sorted(r.b for r in rows if r.t == "f")
+    return dim, fact
+
+
+def apply_taxon_mart_epoch(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,               # ONE epoch in unify_changelogs shape
+    epoch: int,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    taxon_ancestors: DataFrame,
+    n_buckets: int = 16,
+    keep_last: int | None = None,
+) -> None:
+    """Fold one changelog epoch into the COW-stored taxon-mart state —
+    the shared epoch body of the STREAMING habitat (each foreachBatch
+    micro-batch) and the one-shot BATCH habitat
+    (:func:`maintain_taxon_mart_batch`). Replay-guarded by ``epoch``
+    against the last committed version; all bucket discovery runs as
+    ONE driver job (:func:`_discover_touched_buckets`)."""
+    mart_dir = f"{state_dir}/mart"
+    p_dir = f"{state_dir}/proteins"
+    m_dir = f"{state_dir}/matches"
+    prev = _latest_committed(spark, mart_dir)
+    if prev is None:
+        raise RuntimeError(
+            "mart maintenance requires a seeded v0 (seed_mart_state)"
+        )
+    if prev[1] is not None and epoch <= prev[1]:
+        return  # replayed epoch already committed — no-op
+    nxt = prev[0] + 1
+    batch = batch.persist()
+    try:
+        dp = batch.filter(F.col("src") == "protein").select(*_PROTEIN_COLS)
+        dm = batch.filter(F.col("src") == "match").select(*_MATCH_COLS)
+        dp_buckets, dm_buckets = _discover_touched_buckets(
+            batch, "protein", n_buckets
+        )
+
+        # advance both COW stores (one partitioned write each; the
+        # exact touched sets were discovered above)
+        cow_apply_images(
+            spark, p_dir, dp, "protein_acc", ["protein_acc"],
+            n_buckets, prev[0], nxt, epoch, touched=dp_buckets,
+        )
+        cow_apply_images(
+            spark, m_dir, dm, "protein_acc", ["match_id"],
+            n_buckets, prev[0], nxt, epoch, touched=dm_buckets,
+        )
+
+        # pruned bilinear rescan sources: P_new under dm's proteins
+        # (from the just-written protein version), M_old under dp's
+        # proteins (from the PREVIOUS match version) — both
+        # partition-pruned bucket reads
+        p_new = _read_sources(
+            spark, p_dir, _bucket_sources(spark, p_dir, nxt, dm_buckets)
+        )
+        m_old = _read_sources(
+            spark, m_dir, _bucket_sources(spark, m_dir, prev[0], dp_buckets)
+        )
+        if p_new is None:
+            p_new = dp.select(
+                "protein_acc", F.col("new_tax_id").alias("tax_id")
+            ).limit(0)
+        if m_old is None:
+            m_old = dm.select(
+                F.col("new_protein_acc").alias("protein_acc"),
+                F.col("new_signature_acc").alias("signature_acc"),
+                F.col("new_database").alias("database"),
+            ).limit(0)
+
+        # the delta computation's owned persists (dp_lift, d_matched)
+        # are epoch-scoped: the scope releases them once every
+        # support consumed them
+        with engine_cache_scope():
+            deltas = taxon_support_deltas(
+                dp,
+                dm,
+                p_new,
+                m_old.drop("match_id"),
+                protein_proteomes,
+                protein_structures,
+                taxon_ancestors,
+            )
+            _advance_supports(
+                spark, state_dir, deltas, prev, nxt, epoch,
+                SUPPORT_NAMES, SUPPORT_KEYS, BUCKETED_SUPPORTS, n_buckets,
+                LEVEL2_ROLLUPS,
+            )
+    finally:
+        batch.unpersist()
+    _vacuum(spark, mart_dir, nxt, keep_last)
+    keep_floor = None
+    if keep_last is not None:
+        committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
+        if committed:
+            keep_floor = committed[0][0]
+    _vacuum_facts(spark, p_dir, keep_floor, nxt)
+    _vacuum_facts(spark, m_dir, keep_floor, nxt)
+    for name in BUCKETED_SUPPORTS:
+        _vacuum_facts(spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt)
 
 
 def maintain_taxon_mart_stream(
@@ -318,109 +544,17 @@ def maintain_taxon_mart_stream(
     and the facts-scale ``sup_prot_db`` support lives in its own COW
     bucket store, so the count merge reads and rewrites only the
     delta-touched buckets — per-epoch support IO tracks |touched
-    buckets|, never |support|. A replayed epoch (at-least-once
-    foreachBatch) no-ops exactly as in :mod:`.ivm_stream`."""
-    mart_dir = f"{state_dir}/mart"
-    p_dir = f"{state_dir}/proteins"
-    m_dir = f"{state_dir}/matches"
+    buckets|, never |support| — while its transitions maintain the
+    level-2 ``sup_db`` the render reads. A replayed epoch
+    (at-least-once foreachBatch) no-ops exactly as in
+    :mod:`.ivm_stream`."""
 
     def step(batch: DataFrame, epoch: int) -> None:
-        prev = _latest_committed(spark, mart_dir)
-        if prev is None:
-            raise RuntimeError(
-                "mart maintenance requires a seeded v0 (seed_mart_state)"
-            )
-        if prev[1] is not None and epoch <= prev[1]:
-            return  # replayed epoch already committed — no-op
-        nxt = prev[0] + 1
-        batch = batch.persist()
-        try:
-            dp = batch.filter(F.col("src") == "protein").select(*_PROTEIN_COLS)
-            dm = batch.filter(F.col("src") == "match").select(*_MATCH_COLS)
-
-            # advance both COW stores (one partitioned write each)
-            cow_apply_images(
-                spark, p_dir, dp, "protein_acc", ["protein_acc"],
-                n_buckets, prev[0], nxt, epoch,
-            )
-            cow_apply_images(
-                spark, m_dir, dm, "protein_acc", ["match_id"],
-                n_buckets, prev[0], nxt, epoch,
-            )
-
-            # pruned bilinear rescan sources: P_new under dm's
-            # proteins (from the just-written protein version),
-            # M_old under dp's proteins (from the PREVIOUS match
-            # version) — both partition-pruned bucket reads
-            dm_buckets = sorted(
-                r[0]
-                for r in dm.select(
-                    F.explode(
-                        F.array(
-                            _bucket(F.col("old_protein_acc"), n_buckets),
-                            _bucket(F.col("new_protein_acc"), n_buckets),
-                        )
-                    ).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            dp_buckets = sorted(
-                r[0]
-                for r in dp.select(
-                    _bucket(F.col("protein_acc"), n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            p_new = _read_sources(
-                spark, p_dir, _bucket_sources(spark, p_dir, nxt, dm_buckets)
-            )
-            m_old = _read_sources(
-                spark, m_dir, _bucket_sources(spark, m_dir, prev[0], dp_buckets)
-            )
-            if p_new is None:
-                p_new = dp.select(
-                    "protein_acc", F.col("new_tax_id").alias("tax_id")
-                ).limit(0)
-            if m_old is None:
-                m_old = dm.select(
-                    F.col("new_protein_acc").alias("protein_acc"),
-                    F.col("new_signature_acc").alias("signature_acc"),
-                    F.col("new_database").alias("database"),
-                ).limit(0)
-
-            # the delta computation's owned persists (dp_lift,
-            # d_matched) are epoch-scoped: the scope releases them
-            # once every support consumed them
-            with engine_cache_scope():
-                deltas = taxon_support_deltas(
-                    dp,
-                    dm,
-                    p_new,
-                    m_old.drop("match_id"),
-                    protein_proteomes,
-                    protein_structures,
-                    taxon_ancestors,
-                )
-                _advance_supports(
-                    spark, state_dir, deltas, prev, nxt, epoch,
-                    SUPPORT_NAMES, SUPPORT_KEYS, BUCKETED_SUPPORTS, n_buckets,
-                )
-        finally:
-            batch.unpersist()
-        _vacuum(spark, mart_dir, nxt, keep_last)
-        keep_floor = None
-        if keep_last is not None:
-            committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
-            if committed:
-                keep_floor = committed[0][0]
-        _vacuum_facts(spark, p_dir, keep_floor, nxt)
-        _vacuum_facts(spark, m_dir, keep_floor, nxt)
-        for name in BUCKETED_SUPPORTS:
-            _vacuum_facts(
-                spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt
-            )
+        apply_taxon_mart_epoch(
+            spark, state_dir, batch, epoch,
+            protein_proteomes, protein_structures, taxon_ancestors,
+            n_buckets, keep_last,
+        )
 
     q = (
         changes.writeStream.foreachBatch(step)
@@ -429,9 +563,48 @@ def maintain_taxon_mart_stream(
         .start()
     )
     q.awaitTermination()
-    latest = _latest_committed(spark, mart_dir)
+    latest = _latest_committed(spark, f"{state_dir}/mart")
     if latest is None:
         raise RuntimeError("mart never materialized")
+    return taxon_mart_from_supports(
+        read_mart_supports(spark, state_dir, latest[3])
+    )
+
+
+def maintain_taxon_mart_batch(
+    spark: SparkSession,
+    state_dir: str,
+    delta_p: DataFrame,
+    delta_m: DataFrame,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    taxon_ancestors: DataFrame,
+    n_buckets: int = 16,
+    keep_last: int | None = None,
+) -> DataFrame:
+    """One-shot BATCH release epoch against the SAME COW-stored state
+    the stream uses — the batch maintainer pointed at the COW store
+    (r13 verdict item 3): the facts-scale ``sup_prot_db`` merge is a
+    partition-pruned read of the delta-touched buckets ONLY, read
+    once, instead of the storeless pruned merge's two full
+    column-pruned support scans (broadcast semi + anti branches).
+    Seed with :func:`seed_mart_state`; returns the rendered mart at
+    the new committed version. The same changelog folded here or
+    through the stream (in any micro-batch partitioning) converges to
+    identical supports."""
+    mart_dir = f"{state_dir}/mart"
+    prev = _latest_committed(spark, mart_dir)
+    if prev is None:
+        raise RuntimeError(
+            "mart maintenance requires a seeded v0 (seed_mart_state)"
+        )
+    epoch = (prev[1] if prev[1] is not None else -1) + 1
+    apply_taxon_mart_epoch(
+        spark, state_dir, unify_changelogs(delta_p, delta_m), epoch,
+        protein_proteomes, protein_structures, taxon_ancestors,
+        n_buckets, keep_last,
+    )
+    latest = _latest_committed(spark, mart_dir)
     return taxon_mart_from_supports(
         read_mart_supports(spark, state_dir, latest[3])
     )
@@ -537,103 +710,12 @@ def maintain_entry_mart_stream(
     to the MAINTAINED counts) at the latest committed version. Same
     epoch-idempotent replay guard, ``_SUCCESS`` gating and
     ``keep_last`` vacuum as the taxon maintainer."""
-    mart_dir = f"{state_dir}/mart"
-    p_dir = f"{state_dir}/proteins"
-    a_dir = f"{state_dir}/assignments"
-
     def step(batch: DataFrame, epoch: int) -> None:
-        prev = _latest_committed(spark, mart_dir)
-        if prev is None:
-            raise RuntimeError(
-                "entry-mart maintenance requires a seeded v0 "
-                "(seed_entry_mart_state)"
-            )
-        if prev[1] is not None and epoch <= prev[1]:
-            return  # replayed epoch already committed — no-op
-        nxt = prev[0] + 1
-        batch = batch.persist()
-        try:
-            dp = batch.filter(F.col("src") == "protein").select(*_EPROT_COLS)
-            dpe = batch.filter(F.col("src") == "assign").select(*_ASSIGN_COLS)
-
-            cow_apply_images(
-                spark, p_dir, dp, "protein_acc", ["protein_acc"],
-                n_buckets, prev[0], nxt, epoch,
-            )
-            cow_apply_images(
-                spark, a_dir, dpe, "protein_acc", ["pe_id"],
-                n_buckets, prev[0], nxt, epoch,
-            )
-
-            dpe_buckets = sorted(
-                r[0]
-                for r in dpe.select(
-                    F.explode(
-                        F.array(
-                            _bucket(F.col("old_protein_acc"), n_buckets),
-                            _bucket(F.col("new_protein_acc"), n_buckets),
-                        )
-                    ).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            dp_buckets = sorted(
-                r[0]
-                for r in dp.select(
-                    _bucket(F.col("protein_acc"), n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            p_new = _read_sources(
-                spark, p_dir, _bucket_sources(spark, p_dir, nxt, dpe_buckets)
-            )
-            pe_old = _read_sources(
-                spark, a_dir, _bucket_sources(spark, a_dir, prev[0], dp_buckets)
-            )
-            if p_new is None:
-                p_new = dp.select(
-                    "protein_acc", F.col("new_tax_id").alias("tax_id")
-                ).limit(0)
-            if pe_old is None:
-                pe_old = dpe.select(
-                    F.col("new_protein_acc").alias("protein_acc"),
-                    F.col("new_entry_acc").alias("entry_acc"),
-                ).limit(0)
-            else:
-                pe_old = pe_old.drop("pe_id")
-
-            # epoch-scoped owned persists (dpe) released by the scope
-            with engine_cache_scope():
-                deltas = entry_support_deltas(
-                    dpe,
-                    dp,
-                    p_new,
-                    pe_old,
-                    protein_proteomes,
-                    protein_structures,
-                    protein_ecs,
-                )
-                _advance_supports(
-                    spark, state_dir, deltas, prev, nxt, epoch,
-                    ENTRY_SUPPORT_NAMES, ENTRY_SUPPORT_KEYS,
-                    ENTRY_BUCKETED_SUPPORTS, n_buckets,
-                )
-        finally:
-            batch.unpersist()
-        _vacuum(spark, mart_dir, nxt, keep_last)
-        keep_floor = None
-        if keep_last is not None:
-            committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
-            if committed:
-                keep_floor = committed[0][0]
-        _vacuum_facts(spark, p_dir, keep_floor, nxt)
-        _vacuum_facts(spark, a_dir, keep_floor, nxt)
-        for name in ENTRY_BUCKETED_SUPPORTS:
-            _vacuum_facts(
-                spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt
-            )
+        apply_entry_mart_epoch(
+            spark, state_dir, batch, epoch,
+            protein_proteomes, protein_structures, protein_ecs,
+            n_buckets, keep_last,
+        )
 
     q = (
         changes.writeStream.foreachBatch(step)
@@ -642,9 +724,141 @@ def maintain_entry_mart_stream(
         .start()
     )
     q.awaitTermination()
-    latest = _latest_committed(spark, mart_dir)
+    latest = _latest_committed(spark, f"{state_dir}/mart")
     if latest is None:
         raise RuntimeError("entry mart never materialized")
+    return entry_mart_from_supports(
+        read_entry_mart_supports(spark, state_dir, latest[3]),
+        entry_go=entry_go,
+    )
+
+
+def apply_entry_mart_epoch(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,               # ONE epoch in unify_entry_changelogs shape
+    epoch: int,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+    n_buckets: int = 16,
+    keep_last: int | None = None,
+) -> None:
+    """Fold one changelog epoch into the COW-stored entry-mart state —
+    the shared epoch body of the streaming habitat and the one-shot
+    batch habitat (:func:`maintain_entry_mart_batch`); same replay
+    guard, one-job bucket discovery, and atomic version commit as
+    :func:`apply_taxon_mart_epoch`."""
+    mart_dir = f"{state_dir}/mart"
+    p_dir = f"{state_dir}/proteins"
+    a_dir = f"{state_dir}/assignments"
+    prev = _latest_committed(spark, mart_dir)
+    if prev is None:
+        raise RuntimeError(
+            "entry-mart maintenance requires a seeded v0 "
+            "(seed_entry_mart_state)"
+        )
+    if prev[1] is not None and epoch <= prev[1]:
+        return  # replayed epoch already committed — no-op
+    nxt = prev[0] + 1
+    batch = batch.persist()
+    try:
+        dp = batch.filter(F.col("src") == "protein").select(*_EPROT_COLS)
+        dpe = batch.filter(F.col("src") == "assign").select(*_ASSIGN_COLS)
+        dp_buckets, dpe_buckets = _discover_touched_buckets(
+            batch, "protein", n_buckets
+        )
+
+        cow_apply_images(
+            spark, p_dir, dp, "protein_acc", ["protein_acc"],
+            n_buckets, prev[0], nxt, epoch, touched=dp_buckets,
+        )
+        cow_apply_images(
+            spark, a_dir, dpe, "protein_acc", ["pe_id"],
+            n_buckets, prev[0], nxt, epoch, touched=dpe_buckets,
+        )
+
+        p_new = _read_sources(
+            spark, p_dir, _bucket_sources(spark, p_dir, nxt, dpe_buckets)
+        )
+        pe_old = _read_sources(
+            spark, a_dir, _bucket_sources(spark, a_dir, prev[0], dp_buckets)
+        )
+        if p_new is None:
+            p_new = dp.select(
+                "protein_acc", F.col("new_tax_id").alias("tax_id")
+            ).limit(0)
+        if pe_old is None:
+            pe_old = dpe.select(
+                F.col("new_protein_acc").alias("protein_acc"),
+                F.col("new_entry_acc").alias("entry_acc"),
+            ).limit(0)
+        else:
+            pe_old = pe_old.drop("pe_id")
+
+        # epoch-scoped owned persists (dpe) released by the scope
+        with engine_cache_scope():
+            deltas = entry_support_deltas(
+                dpe,
+                dp,
+                p_new,
+                pe_old,
+                protein_proteomes,
+                protein_structures,
+                protein_ecs,
+            )
+            _advance_supports(
+                spark, state_dir, deltas, prev, nxt, epoch,
+                ENTRY_SUPPORT_NAMES, ENTRY_SUPPORT_KEYS,
+                ENTRY_BUCKETED_SUPPORTS, n_buckets,
+                ENTRY_LEVEL2_ROLLUPS,
+            )
+    finally:
+        batch.unpersist()
+    _vacuum(spark, mart_dir, nxt, keep_last)
+    keep_floor = None
+    if keep_last is not None:
+        committed = [t for t in _list_versions(spark, mart_dir) if t[2]]
+        if committed:
+            keep_floor = committed[0][0]
+    _vacuum_facts(spark, p_dir, keep_floor, nxt)
+    _vacuum_facts(spark, a_dir, keep_floor, nxt)
+    for name in ENTRY_BUCKETED_SUPPORTS:
+        _vacuum_facts(spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt)
+
+
+def maintain_entry_mart_batch(
+    spark: SparkSession,
+    state_dir: str,
+    delta_pe: DataFrame,
+    delta_p: DataFrame,
+    protein_proteomes: DataFrame,
+    protein_structures: DataFrame,
+    protein_ecs: DataFrame,
+    entry_go: DataFrame | None = None,
+    n_buckets: int = 16,
+    keep_last: int | None = None,
+) -> DataFrame:
+    """One-shot BATCH release epoch for the ENTRY mart against the
+    same COW-stored state the stream uses (r13 verdict item 3): the
+    three assignment-scale supports merge as partition-pruned
+    touched-bucket reads, read once each. Seed with
+    :func:`seed_entry_mart_state`; returns the rendered mart at the
+    new committed version."""
+    mart_dir = f"{state_dir}/mart"
+    prev = _latest_committed(spark, mart_dir)
+    if prev is None:
+        raise RuntimeError(
+            "entry-mart maintenance requires a seeded v0 "
+            "(seed_entry_mart_state)"
+        )
+    epoch = (prev[1] if prev[1] is not None else -1) + 1
+    apply_entry_mart_epoch(
+        spark, state_dir, unify_entry_changelogs(delta_pe, delta_p), epoch,
+        protein_proteomes, protein_structures, protein_ecs,
+        n_buckets, keep_last,
+    )
+    latest = _latest_committed(spark, mart_dir)
     return entry_mart_from_supports(
         read_entry_mart_supports(spark, state_dir, latest[3]),
         entry_go=entry_go,

@@ -188,6 +188,7 @@ def cow_apply_images(
     prev_version: int,
     next_version: int,
     epoch: int,
+    touched: list[int] | None = None,
 ) -> str:
     """Merge ONE both-images changelog micro-batch into a COW bucket
     store (bucket = hash(``bucket_col``) % n_buckets; rows identified
@@ -203,24 +204,34 @@ def cow_apply_images(
     (streaming/mart_stream.py). When ``bucket_col`` is itself a key
     column (a dimension store keyed and bucketed by the same id), the
     changelog carries it unprefixed and both images bucket on it
-    directly."""
+    directly. ``touched`` lets a caller that already discovered the
+    EXACT touched-bucket set (e.g. the mart maintainers' one-job
+    combined discovery over the unified changelog) skip the discovery
+    job; it must equal what the discovery would compute — a superset
+    would rewrite (and pin to this version) buckets the epoch never
+    changed."""
     if f"old_{bucket_col}" in batch.columns:
         old_b = _bucket(F.col(f"old_{bucket_col}"), n_buckets)
         new_b = _bucket(F.col(f"new_{bucket_col}"), n_buckets)
     else:
         old_b = new_b = _bucket(F.col(bucket_col), n_buckets)
-    touched = sorted(
-        r[0]
-        for r in batch.filter(F.col("change_type").isin("delete", "update"))
-        .select(old_b.alias("b"))
-        .unionByName(
-            batch.filter(
-                F.col("change_type").isin("insert", "update")
-            ).select(new_b.alias("b"))
+    if touched is None:
+        touched = sorted(
+            r[0]
+            for r in batch.filter(
+                F.col("change_type").isin("delete", "update")
+            )
+            .select(old_b.alias("b"))
+            .unionByName(
+                batch.filter(
+                    F.col("change_type").isin("insert", "update")
+                ).select(new_b.alias("b"))
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
+    else:
+        touched = sorted(touched)
     data_cols = [c[4:] for c in batch.columns if c.startswith("new_")]
     fact_cols = key_cols + [c for c in data_cols if c not in key_cols]
     served = _bucket_sources(spark, facts_dir, prev_version, touched)

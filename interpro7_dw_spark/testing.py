@@ -136,13 +136,24 @@ def stage_metrics_between(spark, j0: int, j1: int) -> dict:
     sl = store.stageList(
         empty, False, False, gw.new_array(gw.jvm.double, 0), empty
     )
-    out = {"input_records": 0, "input_bytes": 0, "shuffle_write_records": 0}
+    # one StageData row PER ATTEMPT: on a stage retry both attempts
+    # would otherwise contribute, inflating the per-epoch IO that the
+    # COW tests bound with hard thresholds — keep only the latest
+    # attempt of each stage
+    latest: dict[int, object] = {}
     for i in range(sl.size()):
         sd = sl.apply(i)
-        if int(sd.stageId()) in sids:
-            out["input_records"] += int(sd.inputRecords())
-            out["input_bytes"] += int(sd.inputBytes())
-            out["shuffle_write_records"] += int(sd.shuffleWriteRecords())
+        sid = int(sd.stageId())
+        if sid not in sids:
+            continue
+        prev = latest.get(sid)
+        if prev is None or int(sd.attemptId()) > int(prev.attemptId()):
+            latest[sid] = sd
+    out = {"input_records": 0, "input_bytes": 0, "shuffle_write_records": 0}
+    for sd in latest.values():
+        out["input_records"] += int(sd.inputRecords())
+        out["input_bytes"] += int(sd.inputBytes())
+        out["shuffle_write_records"] += int(sd.shuffleWriteRecords())
     return out
 
 

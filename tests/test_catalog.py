@@ -15,10 +15,15 @@ SPECS = all_specs()
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, duck_small):
+    from interpro7_dw_spark.caching import engine_cache_scope
     from interpro7_dw_spark.testing import compare_spec
 
     spec = SPECS[name]
-    problems = compare_spec(spec, spark, duck_small, SF_SMALL)
+    # scope the engine-owned persists per spec (as tools/differ.py
+    # does) so a full-catalog pytest run releases each query's caches
+    # instead of accumulating them for the whole session
+    with engine_cache_scope():
+        problems = compare_spec(spec, spark, duck_small, SF_SMALL)
     assert not problems, f"{name}: " + " | ".join(problems)
 
 

@@ -639,14 +639,22 @@ def test_entry_mart_stream_equals_batch_rebuild_and_replay(spark, tmp_path):
     assert got == want
 
     versions_before = sorted(os.listdir(state + "/mart"))
-    sup_versions_before = sorted(os.listdir(state + "/sup_cow/sup_etp"))
+    # the store dir also carries the _schema.json artifact (+ local-FS
+    # .crc sibling) beside the version directories
+    sup_versions_before = sorted(
+        v for v in os.listdir(state + "/sup_cow/sup_etp")
+        if v.startswith("v")
+    )
     # checkpoint loss: every epoch is REDELIVERED — the epoch guard
     # must no-op each one (same version set, same rendered mart)
     shutil.rmtree(state + "_chk")
     got_replay = rows(drain())
     assert got_replay == got
     assert sorted(os.listdir(state + "/mart")) == versions_before
-    assert sorted(os.listdir(state + "/sup_cow/sup_etp")) == sup_versions_before
+    assert sorted(
+        v for v in os.listdir(state + "/sup_cow/sup_etp")
+        if v.startswith("v")
+    ) == sup_versions_before
 
     # the COW support stores advanced by TOUCHED buckets only: every
     # post-seed version of sup_etp carries fewer partitions than the
@@ -743,3 +751,152 @@ def test_mart_stream_empty_facts_scale_support(spark, tmp_path):
         spark, stream, state, _pp(spark), _ps(spark), _anc(spark), n_buckets=4
     )
     assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_empty))
+
+
+def test_apply_count_delta_pruned_with_transitions_equals_unpruned(spark):
+    """The facts-scale merge discipline WITH the pyramid hook: the
+    pruned transitions-emitting merge must produce (a) the same new
+    support as the unpruned merge and (b) transitions that exactly
+    maintain the level-2 distinct count — with the untouched slice
+    passing through the anti-join branch, never the full-outer."""
+    from interpro7_dw_spark.domain.mart_ivm import (
+        apply_count_delta_pruned_with_transitions,
+        apply_count_delta_with_transitions,
+    )
+
+    keys = ["g", "member"]
+    l1 = spark.createDataFrame(
+        [("a", "p1", 2), ("a", "p2", 1), ("b", "p3", 1), ("b", "p4", 5)],
+        "g string, member string, n long",
+    )
+    # p2 exits (1-1=0), p9 enters, p1 changes count (no transition);
+    # p3/p4 untouched (must pass through AND not transition)
+    delta = spark.createDataFrame(
+        [("a", "p2", -1), ("a", "p9", 1), ("a", "p1", 3)],
+        "g string, member string, s long",
+    )
+    got_sup, got_tr = apply_count_delta_pruned_with_transitions(
+        l1, delta, keys, "member", ["g"]
+    )
+    want_sup, want_tr = apply_count_delta_with_transitions(
+        l1, delta, keys, ["g"]
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(got_sup) == key(want_sup)
+    assert key(got_tr) == key(want_tr) == [("a", -1), ("a", 1)]
+
+
+def test_taxon_mart_batch_epoch_on_cow_store(spark, tmp_path):
+    """The one-shot BATCH maintainer pointed at the COW store (r13
+    verdict item 3): maintain_taxon_mart_batch folds a release
+    changelog against seed_mart_state's layout, renders equal to the
+    full rebuild, and the facts-scale support's new version carries
+    ONLY touched bucket partitions (the batch epoch read touched
+    buckets once — no second full-support scan branch exists in a
+    store-backed merge)."""
+    import os
+
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_batch,
+        seed_mart_state,
+    )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(24)}
+    m_old = {
+        j: (f"P{j % 24}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(70)
+    }
+    p_new = dict(p_old)
+    p_new.pop("P3")
+    p_new["P4"] = "N1"
+    p_new["P24"] = "N0"
+    m_new = dict(m_old)
+    m_new.pop(10)
+    m_new[11] = ("P11", "SIG0", "DB0")
+    m_new[100] = ("P24", "SIG1", "DB1")
+
+    state = str(tmp_path / "batch_cow")
+    n_buckets = 16
+    seed_mart_state(
+        spark, _p_df(spark, p_old), _m_df(spark, m_old),
+        _pp(spark), _ps(spark), _anc(spark), state, n_buckets=n_buckets,
+    )
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    out = maintain_taxon_mart_batch(
+        spark, state, dp, dm, _pp(spark), _ps(spark), _anc(spark),
+        n_buckets=n_buckets,
+    )
+    assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_new))
+
+    # the COW support advanced by touched buckets only
+    v1 = [
+        d for d in os.listdir(f"{state}/sup_cow/sup_prot_db")
+        if d.startswith("v1")
+    ]
+    assert len(v1) == 1
+    parts = [
+        p
+        for p in os.listdir(f"{state}/sup_cow/sup_prot_db/{v1[0]}")
+        if p.startswith("__b=")
+    ]
+    assert 0 < len(parts) < n_buckets, parts
+
+    # a second batch epoch composes (epoch counter advances past the
+    # replay guard)
+    out2 = maintain_taxon_mart_batch(
+        spark, state,
+        snapshot_delta_images(
+            _p_df(spark, p_new), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+        ),
+        snapshot_delta_images(
+            _m_df(spark, m_new), _m_df(spark, m_new), ["match_id"],
+            ["protein_acc", "signature_acc", "database"],
+        ),
+        _pp(spark), _ps(spark), _anc(spark), n_buckets=n_buckets,
+    )
+    assert _mart_rows(out2) == _mart_rows(_rebuild(spark, p_new, m_new))
+
+
+def test_mart_render_reads_only_aggregate_sized_supports(spark, tmp_path):
+    """The r13 verdict's perf finding, closed and MEASURED at test
+    scale: rendering the maintained taxon mart must NOT scan the
+    facts-scale sup_prot_db — its per-(tax, db) distinct count comes
+    from the maintained level-2 sup_db. With a support 100x the
+    aggregate sizes, the render's total stage input records must stay
+    far below |sup_prot_db|."""
+    from interpro7_dw_spark.streaming.mart_stream import (
+        read_mart_supports,
+        seed_mart_state,
+    )
+    from interpro7_dw_spark.testing import max_job_id, stage_input_records_between
+
+    # 4000 proteins x 1 match, 3-level lineage -> sup_prot_db ~= 12k
+    # rows; sup_sig ~= |taxa x db x sig| and sup_db ~= |taxa x db|
+    p = spark.range(4000).select(
+        F.concat_ws("", F.lit("P"), F.col("id")).alias("protein_acc"),
+        F.concat_ws("", F.lit("N"), F.col("id") % 6).alias("tax_id"),
+    )
+    m = spark.range(4000).select(
+        F.col("id").alias("match_id"),
+        F.concat_ws("", F.lit("P"), F.col("id")).alias("protein_acc"),
+        F.concat_ws("", F.lit("SIG"), F.col("id") % 9).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), (F.col("id") % 9) % 3).alias("database"),
+    )
+    state = str(tmp_path / "render_io")
+    seed_mart_state(
+        spark, p, m, _pp(spark), _ps(spark), _anc(spark), state, n_buckets=8
+    )
+    sup = read_mart_supports(spark, state, "v0")
+    n_facts = sup["sup_prot_db"].count()
+    assert n_facts > 10_000  # the facts-scale support really is big
+
+    j0 = max_job_id(spark)
+    taxon_mart_from_supports(sup).collect()
+    rec = stage_input_records_between(spark, j0, max_job_id(spark))
+    assert rec > 0, "input metrics not reporting"
+    assert rec < n_facts // 4, (rec, n_facts)
