@@ -1261,3 +1261,253 @@ register(QuerySpec(
     build=_stream_ivm_mart_entry,
     oracle=REGISTRY["z_ivm_mart_entry2xrefs"].oracle,
 ))
+
+
+def _match_releases(spark, sf):
+    """The shared OLD/NEW match snapshots of every xrefs-mart IVM spec
+    (same derivation as ivm_mart_taxonomy's): the old release filters
+    %7 keys out and shifts %13 signatures; the new filters %11 — so
+    one release delta carries inserts, deletes AND signature changes."""
+    orders = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    sig_new = ok % 50
+    m_new = orders.filter(ok % 11 != 0).select(
+        ok.alias("match_id"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("SIG"), sig_new).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_new % 4).alias("database"),
+    )
+    sig_old = (ok + F.when(ok % 13 == 0, F.lit(3)).otherwise(F.lit(0))) % 50
+    m_old = orders.filter(ok % 7 != 0).select(
+        ok.alias("match_id"),
+        F.col("o_custkey").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("SIG"), sig_old).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_old % 4).alias("database"),
+    )
+    return m_old, m_new
+
+
+def _new_release_oracle(full_mart_name: str) -> str:
+    """A full-rebuild oracle of the NEW release: the base mart's
+    oracle with its matches CTE filtered to the surviving generation
+    (the same %11 filter the Spark-side m_new carries)."""
+    return _must_replace(
+        REGISTRY[full_mart_name].oracle,
+        "AS db\n    FROM orders\n  ),\n  protein_proteomes",
+        "AS db\n    FROM orders WHERE o_orderkey % 11 <> 0\n  ),"
+        "\n  protein_proteomes",
+    )
+
+
+def _ivm_mart_clan(spark, sf):
+    """Release-over-release INCREMENTAL rebuild of the clan-xrefs
+    mart (domain/mart_ivm2.py; reference export-clan2xrefs <=6h/32GB,
+    /root/reference/interpro7dw/cli.py:323): seed the clan count
+    pyramid from the OLD match snapshot, fold the match changelog,
+    render — must equal the full rebuild of the NEW release."""
+    from ..domain.mart_ivm2 import (
+        clan_mart_from_supports,
+        maintain_clan_supports,
+        seed_clan_supports,
+    )
+    from ..operators.cdc import snapshot_delta_images
+
+    m_old, m_new = _match_releases(spark, sf)
+    sc = _signature_clans(spark, sf)
+    prot = _proteins(spark, sf)
+    pp = _protein_proteomes(spark, sf)
+    dom = _domorg_members(spark, sf)
+    es = _pdb_matches(spark, sf).select("signature_acc", "pdb_id").distinct()
+    sup0 = seed_clan_supports(m_old.drop("match_id"), sc, prot, pp, dom, es)
+    dm = snapshot_delta_images(
+        m_old, m_new, ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    sup1 = maintain_clan_supports(sup0, dm, sc, prot, pp, dom, es)
+    return clan_mart_from_supports(sup1)
+
+
+register(QuerySpec(
+    name="z_ivm_mart_clan2xrefs",
+    tags=("X5", "A8", "J2", "J10", "CD3", "A13"),
+    description="INCREMENTALLY MAINTAINED clan2xrefs mart (domain/"
+    "mart_ivm2.py; reference export-clan2xrefs <=6h/32GB, cli.py:323): "
+    "the clan count pyramid — match-row counts, distinct matched "
+    "signatures, the facts-scale (clan, protein) support with its "
+    "level-2 distinct-protein rollup, proteome/taxon/domain-"
+    "organisation ref counts, and the set-union structure counts "
+    "maintained by a TRANSITION-DRIVEN JOIN DELTA (sup_c_sig's "
+    "enter/exit transitions joined to the static entry->structure "
+    "dim — the reference's pop-once semantics without rescanning "
+    "matches). One match changelog folds the release forward. "
+    "Oracle: the full DuckDB rebuild of the new release, identical "
+    "column set to mart_clan2xrefs.",
+    build=_ivm_mart_clan,
+    oracle=lambda: _new_release_oracle("mart_clan2xrefs"),
+))
+
+
+def _ivm_mart_proteome(spark, sf):
+    """Release-over-release INCREMENTAL rebuild of the proteome-xrefs
+    mart (domain/mart_ivm2.py; reference export-proteome2xrefs
+    <=6h/100GB, /root/reference/interpro7dw/cli.py:379): seed from
+    the OLD release (perturbed assignment snapshot + old matches),
+    fold BOTH changelogs via the bilinear rule, render — must equal
+    the full rebuild of the NEW release."""
+    from ..domain.mart_ivm2 import (
+        maintain_proteome_supports,
+        proteome_mart_from_supports,
+        seed_proteome_supports,
+    )
+    from ..operators.cdc import snapshot_delta_images
+
+    m_old, m_new = _match_releases(spark, sf)
+    pp_new = _protein_proteomes(spark, sf)
+    cust = t(spark, sf, "customer")
+    ck = F.col("c_custkey")
+    # the OLD assignment snapshot: %17 keys absent (inserted since),
+    # %13 keys on a different proteome (moved), plus a negative-
+    # balance cohort that was deleted since
+    pp_old = (
+        cust.filter((F.col("c_acctbal") >= 0) & (ck % 17 != 0))
+        .select(
+            ck.cast("string").alias("protein_acc"),
+            F.when(
+                ck % 13 == 0,
+                F.concat_ws("", F.col("c_mktsegment"), F.lit("_OLD")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("proteome_id"),
+        )
+        .unionByName(
+            cust.filter((F.col("c_acctbal") < 0) & (ck % 29 == 0)).select(
+                ck.cast("string").alias("protein_acc"),
+                F.lit("GONE").alias("proteome_id"),
+            )
+        )
+    )
+    ps = _protein_structures(spark, sf)
+    sup0 = seed_proteome_supports(pp_old, m_old.drop("match_id"), ps)
+    dpp = snapshot_delta_images(
+        pp_old, pp_new, ["protein_acc"], ["proteome_id"]
+    )
+    dm = snapshot_delta_images(
+        m_old, m_new, ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    sup1 = maintain_proteome_supports(
+        sup0, dpp, dm, pp_new, m_old.drop("match_id"), ps
+    )
+    return proteome_mart_from_supports(sup1)
+
+
+register(QuerySpec(
+    name="z_ivm_mart_proteome2xrefs",
+    tags=("X5", "A8", "CD3", "A13"),
+    description="INCREMENTALLY MAINTAINED proteome2xrefs mart (domain/"
+    "mart_ivm2.py; reference export-proteome2xrefs <=6h/100GB, "
+    "cli.py:379): assignment-row counts, per-proteome structure ref "
+    "counts, the per-db nested entry map from sup_p_sig, and the "
+    "facts-scale sup_p_prot_db whose transitions maintain the level-2 "
+    "sup_p_db the db_json render reads. A protein->proteome "
+    "assignment changelog AND a match changelog compose via the "
+    "bilinear rule (dM JOIN PP_new + M_old JOIN dPP, both "
+    "|delta|-pruned semi-joins). Oracle: the full DuckDB rebuild of "
+    "the new release, identical column set to z_mart_proteome2xrefs.",
+    build=_ivm_mart_proteome,
+    oracle=lambda: _new_release_oracle("z_mart_proteome2xrefs"),
+))
+
+
+def _ivm_mart_structure(spark, sf):
+    """Release-over-release INCREMENTAL rebuild of the structure-xrefs
+    mart (domain/mart_ivm2.py; reference export-structure2xrefs,
+    /root/reference/interpro7dw/cli.py:402): two independent
+    changelogs — the pdb-match rows (keyed pm_id) and the
+    protein->structure links (keyed by the composite pair) — fold the
+    release forward; render must equal the full rebuild of the NEW
+    release."""
+    from ..domain.mart_ivm2 import (
+        maintain_structure_supports,
+        seed_structure_supports,
+        structure_mart_from_supports,
+    )
+    from ..operators.cdc import snapshot_delta_images
+
+    orders = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    sig_new = ok % 50
+    pm_new = orders.filter(ok % 11 != 0).select(
+        ok.alias("pm_id"),
+        F.concat_ws("", F.lit("PDB"), ok % 30).alias("pdb_id"),
+        F.concat_ws("", F.lit("SIG"), sig_new).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_new % 4).alias("database"),
+    )
+    sig_old = (ok + F.when(ok % 13 == 0, F.lit(3)).otherwise(F.lit(0))) % 50
+    pm_old = orders.filter(ok % 7 != 0).select(
+        ok.alias("pm_id"),
+        F.concat_ws("", F.lit("PDB"), ok % 30).alias("pdb_id"),
+        F.concat_ws("", F.lit("SIG"), sig_old).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_old % 4).alias("database"),
+    )
+    ps_new = _protein_structures(spark, sf)
+    # the OLD link snapshot: %19 order rows absent (links added
+    # since), %23 rows pointed at a neighboring structure (re-linked)
+    ps_old = (
+        orders.filter(ok % 19 != 0)
+        .select(
+            F.col("o_custkey").cast("string").alias("protein_acc"),
+            F.concat_ws(
+                "",
+                F.lit("PDB"),
+                (ok % 30 + F.when(ok % 23 == 0, F.lit(2)).otherwise(F.lit(0)))
+                % 30,
+            ).alias("pdb_id"),
+        )
+        .distinct()
+    )
+    sc = _signature_clans(spark, sf)
+    prot = _proteins(spark, sf)
+    pp = _protein_proteomes(spark, sf)
+    pdm = _domorg_members(spark, sf).select("protein_acc", "dom_id").distinct()
+    sup0 = seed_structure_supports(
+        pm_old.drop("pm_id"), sc, ps_old, prot, pp, pdm
+    )
+    dpm = snapshot_delta_images(
+        pm_old, pm_new, ["pm_id"],
+        ["pdb_id", "signature_acc", "database"],
+    )
+    dps = snapshot_delta_images(
+        ps_old, ps_new, ["protein_acc", "pdb_id"], ["pdb_id"]
+    )
+    sup1 = maintain_structure_supports(
+        sup0, dpm, dps, sc, prot, pp, pdm
+    )
+    return structure_mart_from_supports(sup1)
+
+
+register(QuerySpec(
+    name="z_ivm_mart_structure2xrefs",
+    tags=("X5", "A8", "J2", "CD3", "A13"),
+    description="INCREMENTALLY MAINTAINED structure2xrefs mart "
+    "(domain/mart_ivm2.py; reference export-structure2xrefs, "
+    "cli.py:402): per-PDB entry sets per database (re-nested "
+    "entries_json), clan counts through the broadcast member->clan "
+    "dim, and the protein-side taxa/proteome/domain-organisation "
+    "rollups — the facts-scale (pdb, protein) link support merges "
+    "pruned and maintains the level-2 per-pdb distinct-protein count "
+    "from its transitions. TWO independent changelogs (pdb-match rows "
+    "+ protein->structure links, the latter keyed by its composite "
+    "pair so the changelog is pure insert/delete) fold the release "
+    "forward. Oracle: the full DuckDB rebuild of the new release, "
+    "identical column set to z_mart_structure2xrefs.",
+    build=_ivm_mart_structure,
+    # the NEW protein->structure links equal the shared CTE, so only
+    # the pdb_matches generation needs swapping
+    oracle=lambda: _must_replace(
+        REGISTRY["z_mart_structure2xrefs"].oracle,
+        "AS db\n    FROM orders\n  ),\n  signature_clans",
+        "AS db\n    FROM orders WHERE o_orderkey % 11 <> 0\n  ),"
+        "\n  signature_clans",
+    ),
+))

@@ -900,3 +900,125 @@ def test_mart_render_reads_only_aggregate_sized_supports(spark, tmp_path):
     rec = stage_input_records_between(spark, j0, max_job_id(spark))
     assert rec > 0, "input metrics not reporting"
     assert rec < n_facts // 4, (rec, n_facts)
+
+
+def test_clan_mart_ivm_multi_epoch_equals_full_rebuild(spark):
+    """domain/mart_ivm2.py clan pyramid: three successive match
+    changelogs (inserts, deletes, signature changes — including a
+    signature LEAVING the matched set, which must retract its
+    structures through the transition-driven join delta) fold
+    forward; every epoch's render equals the full clan_xrefs_mart
+    rebuild of that snapshot."""
+    from interpro7_dw_spark.domain.mart_ivm2 import (
+        clan_mart_from_supports,
+        maintain_clan_supports,
+        seed_clan_supports,
+    )
+    from interpro7_dw_spark.domain.marts import clan_xrefs_mart
+
+    sc = spark.createDataFrame(
+        [(f"SIG{i}", f"CL{i % 3}") for i in range(0, 9, 2)],
+        "signature_acc string, clan_acc string",
+    )
+    prot = _p_df(spark, {f"P{i}": f"N{i % 6}" for i in range(30)})
+    pp = _pp(spark)
+    dom = spark.createDataFrame(
+        [(f"P{i}", f"SIG{i % 9}", f"DOM{i % 4}") for i in range(0, 30, 2)],
+        "protein_acc string, signature_acc string, dom_id string",
+    )
+    es = spark.createDataFrame(
+        [(f"SIG{i}", f"PDB{(i * 7) % 5}") for i in range(9)]
+        + [(f"SIG{i}", f"PDB{(i * 7 + 1) % 5}") for i in range(0, 9, 3)],
+        "signature_acc string, pdb_id string",
+    )
+
+    def mart(m_d):
+        return {
+            r.clan_acc: tuple(r)[1:]
+            for r in clan_xrefs_mart(
+                _m_df(spark, m_d, with_id=False), sc, prot, pp, dom, es
+            ).collect()
+        }
+
+    m_cur = {j: (f"P{j % 30}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(60)}
+    sup = seed_clan_supports(
+        _m_df(spark, m_cur, with_id=False), sc, prot, pp, dom, es
+    )
+    for e in range(3):
+        m_nxt = dict(m_cur)
+        m_nxt[200 + e] = (f"P{(e * 3) % 30}", f"SIG{(e * 2) % 9}", f"DB{((e * 2) % 9) % 3}")
+        m_nxt.pop((e * 11) % 60, None)
+        # retire EVERY match of one signature so it exits the clan's
+        # matched set (structures must retract)
+        gone_sig = f"SIG{e * 2 % 9}"
+        for k in [k for k, v in m_nxt.items() if v[1] == gone_sig and k % 2 == 0]:
+            m_nxt.pop(k)
+        if (e * 7) % 60 in m_nxt:
+            p_of = m_nxt[(e * 7) % 60][0]
+            m_nxt[(e * 7) % 60] = (p_of, f"SIG{(e + 5) % 9}", f"DB{((e + 5) % 9) % 3}")
+        dm = snapshot_delta_images(
+            _m_df(spark, m_cur), _m_df(spark, m_nxt), ["match_id"],
+            ["protein_acc", "signature_acc", "database"],
+        )
+        sup = maintain_clan_supports(sup, dm, sc, prot, pp, dom, es)
+        got = {
+            r.clan_acc: tuple(r)[1:]
+            for r in clan_mart_from_supports(sup).collect()
+        }
+        assert got == mart(m_nxt), e
+        m_cur = m_nxt
+
+
+def test_proteome_mart_ivm_equals_full_rebuild(spark):
+    """domain/mart_ivm2.py proteome pyramid: one epoch changing BOTH
+    the protein->proteome assignment (insert/move/delete) and the
+    matches (bilinear rule) renders equal to the full
+    proteome_xrefs_mart rebuild of the new snapshot."""
+    from interpro7_dw_spark.domain.mart_ivm2 import (
+        maintain_proteome_supports,
+        proteome_mart_from_supports,
+        seed_proteome_supports,
+    )
+    from interpro7_dw_spark.domain.marts import proteome_xrefs_mart
+
+    def pp_df(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "protein_acc string, proteome_id string"
+        )
+
+    pp_old = {f"P{i}": f"UP{i % 4}" for i in range(0, 26, 2)}
+    pp_new = dict(pp_old)
+    pp_new["P1"] = "UP3"        # insert
+    pp_new["P2"] = "UP1"        # move (from UP2)
+    pp_new.pop("P4")            # delete
+    m_old = {j: (f"P{j % 28}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(70)}
+    m_new = dict(m_old)
+    m_new.pop(7)
+    m_new[100] = ("P2", "SIG8", "DB2")
+    m_new[11] = ("P11", "SIG0", "DB0")
+
+    sup = seed_proteome_supports(
+        pp_df(pp_old), _m_df(spark, m_old, with_id=False), _ps(spark)
+    )
+    dpp = snapshot_delta_images(
+        pp_df(pp_old), pp_df(pp_new), ["protein_acc"], ["proteome_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    sup = maintain_proteome_supports(
+        sup, dpp, dm, pp_df(pp_new), _m_df(spark, m_old, with_id=False),
+        _ps(spark),
+    )
+    got = {
+        r.proteome_id: tuple(r)[1:]
+        for r in proteome_mart_from_supports(sup).collect()
+    }
+    want = {
+        r.proteome_id: tuple(r)[1:]
+        for r in proteome_xrefs_mart(
+            pp_df(pp_new), _m_df(spark, m_new, with_id=False), _ps(spark)
+        ).collect()
+    }
+    assert got == want

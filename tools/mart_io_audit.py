@@ -122,6 +122,82 @@ def main() -> None:
     emit("pruned_merge_r13", 64, None, j0, t0,
          note="scan is |support| (no store), shuffle is delta-sized")
 
+    # r14: the WHOLE maintained-mart story measured end to end on the
+    # real habitat — seed a full taxon-mart COW state whose
+    # sup_prot_db is facts-scale, then (a) one BATCH epoch against
+    # the COW store (verdict item 3: touched buckets read ONCE, no
+    # 2x|support| scan), and (b) the RENDER (verdict item 1: input
+    # records track the aggregate-sized + level-2 supports, never
+    # sup_prot_db)
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_batch,
+        read_mart_supports,
+        seed_mart_state,
+    )
+
+    n_prot = max(n_support // 3, 3_000)  # ~3 ancestors per protein
+    proteins = spark.range(n_prot).select(
+        F.col("id").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("N"), F.col("id") % 50).alias("tax_id"),
+    )
+    matches = spark.range(n_prot).select(
+        F.col("id").alias("match_id"),
+        F.col("id").cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("SIG"), F.col("id") % 40).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), F.col("id") % 4).alias("database"),
+    )
+    pp = spark.range(n_prot // 2).select(
+        (F.col("id") * 2).cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("UP"), F.col("id") % 30).alias("proteome_id"),
+    )
+    ps = spark.range(n_prot // 3).select(
+        (F.col("id") * 3).cast("string").alias("protein_acc"),
+        F.concat_ws("", F.lit("PDB"), F.col("id") % 25).alias("pdb_id"),
+    )
+    anc = spark.range(50).select(
+        F.concat_ws("", F.lit("N"), F.col("id")).alias("tax_id"),
+        F.explode(
+            F.array(
+                F.concat_ws("", F.lit("N"), F.col("id")),
+                F.concat_ws("", F.lit("R"), F.col("id") % 5),
+                F.lit("ROOT"),
+            )
+        ).alias("ancestor"),
+    )
+    state = f"{tmp}/mart_state"
+    seed_mart_state(
+        spark, proteins, matches, pp, ps, anc, state, n_buckets=n_buckets
+    )
+    facts_rows = spark.read.parquet(f"{state}/sup_cow/sup_prot_db/v0").count()
+    spark.catalog.clearCache()
+
+    # (a) one batch epoch: an 8-protein changelog (taxon moves + one
+    # match signature change)
+    dp = spark.createDataFrame(
+        [(str(i), "update", f"N{i % 50}", f"N{(i + 1) % 50}") for i in range(8)],
+        "protein_acc string, change_type string, old_tax_id string, new_tax_id string",
+    )
+    dm = spark.createDataFrame(
+        [(3, "update", "3", "SIG3", "DB3", "3", "SIG7", "DB3")],
+        "match_id long, change_type string, old_protein_acc string,"
+        " old_signature_acc string, old_database string,"
+        " new_protein_acc string, new_signature_acc string,"
+        " new_database string",
+    )
+    j0, t0 = max_job_id(spark), time.time()
+    rendered = maintain_taxon_mart_batch(
+        spark, state, dp, dm, pp, ps, anc, n_buckets=n_buckets
+    )
+    emit("batch_epoch_on_cow_r14", 9, None, j0, t0,
+         note=f"whole epoch incl. dims; sup_prot_db store rows={facts_rows}")
+
+    # (b) the render alone, from the committed state
+    spark.catalog.clearCache()
+    j0, t0 = max_job_id(spark), time.time()
+    rendered.collect()
+    emit("mart_render_r14", 0, None, j0, t0,
+         note=f"render input must track level-2, not sup_prot_db={facts_rows}")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 
