@@ -108,7 +108,9 @@ HEADLINE = [
     # the chunk-composed EWMA — the two new time/change-family ops
     # promoted into the driver window in the r11 rotation (same queries;
     # ewma parked back to z_ in the r13 rotation — same query)
-    "ivm_group_agg",
+    # parked to z_ in the r14 rotation that promoted ivm_count_pyramid —
+    # same query, so carried21 stays comparable
+    "z_ivm_group_agg",
     "z_ewma",
     # r11 second-half additions: multi-table (join-view) IVM, SQ8
     # scalar-quantized ANN, and the mergeable histogram quantiles —
@@ -126,6 +128,12 @@ HEADLINE = [
     # promoted from z_ names in the r13 rotation — same queries
     "skew_join_hot_key",
     "ivm_mart_taxonomy",
+    # r14 additions: the promoted count-pyramid primitive and the
+    # entry-mart standing query (the reference's worst release cost,
+    # export-entry2xrefs <=24h/100GB) — the level-2 discipline now
+    # wired into every maintained mart render
+    "ivm_count_pyramid",
+    "stream_ivm_mart_entry",
 ]
 
 

@@ -3211,7 +3211,10 @@ def _ivm_build(spark: SparkSession, sf: str):
 register(QuerySpec(
     # promoted into the driver window in the r11 rotation (was
     # z_ivm_group_agg)
-    name="ivm_group_agg",
+    # z_-parked in the r14 rotation that promoted ivm_count_pyramid:
+    # the plain group-agg merge stays covered in-window by the
+    # bilinear ivm_join_agg and the maintained marts
+    name="z_ivm_group_agg",
     tags=("CD3", "A1", "J3"),
     description="Incremental view maintenance "
     "(operators/cdc.py::ivm_apply_group_agg + snapshot_delta_images): "

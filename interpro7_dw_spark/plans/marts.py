@@ -1213,7 +1213,10 @@ def _ivm_count_pyramid(spark, sf):
 
 
 register(QuerySpec(
-    name="z_ivm_count_pyramid",
+    # promoted into the driver window in the r14 rotation (was
+    # z_ivm_count_pyramid) — the pyramid discipline primitive, now
+    # wired into every maintained mart
+    name="ivm_count_pyramid",
     tags=("A5", "CD3", "A8"),
     description="Two-level MAINTAINED count pyramid "
     "(domain/mart_ivm.py::apply_count_delta_with_transitions): the "
@@ -1241,7 +1244,10 @@ register(QuerySpec(
 
 
 register(QuerySpec(
-    name="z_stream_ivm_mart_entry",
+    # promoted into the driver window in the r14 rotation (was
+    # z_stream_ivm_mart_entry) — the reference's worst release cost
+    # as a standing query
+    name="stream_ivm_mart_entry",
     tags=("X5", "A3", "A8", "A11", "CD3", "ST4"),
     description="The reference's WORST release cost (export-"
     "entry2xrefs <=24h/100GB, cli.py:355) maintained as a STANDING "

@@ -279,7 +279,10 @@ def _stream_ivm(spark, sf):
 register(QuerySpec(
     # promoted into the driver window in the r11 rotation (was
     # z_stream_ivm)
-    name="stream_ivm",
+    # z_-parked in the r14 rotation that promoted stream_ivm_mart_entry:
+    # the group-agg IVM stream stays covered in-window by the harder
+    # retraction stream (stream_ivm_minmax) and the mart habitats
+    name="z_stream_ivm",
     tags=("ST4", "CD3", "A1"),
     description="CONTINUOUS incremental view maintenance "
     "(streaming/ivm_stream.py::maintain_group_agg_stream): the orders "
