@@ -1530,6 +1530,29 @@ def rotate_embeddings(
     )
 
 
+def l2_normalize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Project every embedding onto the UNIT SPHERE (x / ||x||₂, the
+    in-order fold norm — bit-identical to a DuckDB
+    ``list_dot_product`` replay). On unit vectors squared L2 distance
+    is 2 − 2·cos, so an L2-objective quantizer (PQ/OPQ) trained and
+    served on the normalized corpus optimizes the COSINE serve metric
+    directly in its OBJECTIVE. Measured caveat (PERF.md r14 ladder):
+    on corpora whose clusters separate radially (the mixture fixture),
+    normalization destroys the norm signal raw-space L2-ADC exploits
+    and recall@5 drops 0.69 -> 0.31-0.37 — normalize-first is a
+    correctness-pinned option (z_ann_recall_opq_cos), not the serve
+    default. Rows with zero norm pass through unchanged (we avoid the
+    NaN)."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(_dot(v, v))
+    safe = F.when(nrm > 0.0, nrm).otherwise(F.lit(1.0))
+    return emb.select(
+        F.col(id_col), F.transform(v, lambda x: x / safe).alias(vec_col)
+    )
+
+
 def pq_reconstruct(
     codes: DataFrame, cdf: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -1559,6 +1582,7 @@ def opq_rotation(
     pq_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> list[list[float]]:
     """FULL non-parametric OPQ (Ge et al. 2013 §4.2): alternate
     (a) fix R — train the m-subspace PQ codebooks on the rotated
@@ -1578,11 +1602,22 @@ def opq_rotation(
     encode + reconstruct, and one :func:`_cross_moment` pass (d²-keyed
     partial sum, driver holds d² doubles and a d x d SVD). Nothing is
     ever n·d²; the corpus is scanned O(iters) times.
+
+    ``normalize=True`` trains on the L2-NORMALIZED corpus
+    (:func:`l2_normalize_embeddings`) — unit-sphere OPQ, where the L2
+    objective the alternation descends equals 2 − 2·cos; serve the
+    normalized corpus through the same rotation. Measured on the
+    mixture fixture this LOSES cosine recall (norm carries cluster
+    identity there — PERF.md r14 ladder); it is the right rung only
+    when the corpus is already angular (see
+    :func:`l2_normalize_embeddings`).
     """
     import numpy as np
 
-    R = pca_rotation(emb, dim=dim, vec_col=vec_col, m=m)
     base = emb.select(id_col, vec_col)
+    if normalize:
+        base = l2_normalize_embeddings(base, id_col=id_col, vec_col=vec_col)
+    R = pca_rotation(base, dim=dim, vec_col=vec_col, m=m)
     for _ in range(iters):
         rotated = rotate_embeddings(base, R, id_col=id_col, vec_col=vec_col)
         cdf = pq_codebooks_df(

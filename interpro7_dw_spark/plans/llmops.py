@@ -2145,18 +2145,33 @@ def _ann_recall_opq_build(spark: SparkSession, sf: str):
     return S.ann_recall_at_k(approx, exact, k=5)
 
 
-def _ann_recall_opq_oracle() -> str:
+def _ann_recall_opq_oracle(normalize: bool = False) -> str:
     from ..sources.genfixtures import (
         clustered_embeddings_path,
         opq_rotation_path,
     )
 
-    head = f"""
-    WITH raw AS (
+    if normalize:
+        # the cosine-aligned rung: BOTH engines serve the L2-normalized
+        # corpus (x / sqrt(sum x^2), the same in-order double fold), so
+        # ADC's L2 ranking is monotone in cosine
+        raw_cte = f"""raw0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS v
       FROM '{clustered_embeddings_path()}'
     ),
-    rot AS (SELECT i, row AS r FROM '{opq_rotation_path()}'),
+    raw AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM raw0
+    )"""
+    else:
+        raw_cte = f"""raw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM '{clustered_embeddings_path()}'
+    )"""
+    head = f"""
+    WITH {raw_cte},
+    rot AS (SELECT i, row AS r FROM '{opq_rotation_path(normalize=normalize)}'),
     rv AS (
       SELECT vec_id, list(d ORDER BY i) AS v FROM (
         SELECT raw.vec_id, rot.i, list_dot_product(raw.v, rot.r) AS d
@@ -2257,6 +2272,58 @@ register(QuerySpec(
     "recall ladder.",
     build=_ann_recall_opq_build,
     oracle=_ann_recall_opq_oracle,  # lazy: building it generates fixture parquet
+))
+
+
+def _ann_recall_opq_cos_build(spark: SparkSession, sf: str):
+    """recall@5 of UNIT-SPHERE OPQ + PQ/ADC vs exact cosine — the
+    cosine-ALIGNED serve path (r13 verdict item 4): the corpus is
+    L2-normalized first (squared L2 on the sphere = 2 - 2*cos, so the
+    OPQ objective and the serve metric agree), rotated by the
+    fixture-stored normalized-OPQ matrix
+    (genfixtures.opq_rotation_path(normalize=True)), and both the PQ
+    codebooks and the exact cosine baseline run on the normalized
+    vectors — the whole path replays bit-identically in DuckDB."""
+    from ..sources.genfixtures import (
+        clustered_embeddings_path,
+        opq_rotation_path,
+    )
+
+    rotation = [
+        list(r.row)
+        for r in spark.read.parquet(opq_rotation_path(normalize=True))
+        .orderBy("i")
+        .collect()
+    ]
+    emb = spark.read.parquet(clustered_embeddings_path()).select(
+        "vec_id", "embedding"
+    )
+    nemb = S.l2_normalize_embeddings(emb)
+    remb = S.rotate_embeddings(nemb, rotation)
+    approx = S.pq_topk(remb, F.col("vec_id") < 10, k=5, m=16, ksub=8, iters=2)
+    exact = S.cosine_topk(nemb, F.col("vec_id") < 10, k=5)
+    return S.ann_recall_at_k(approx, exact, k=5)
+
+
+register(QuerySpec(
+    name="z_ann_recall_opq_cos",
+    tags=("NN2", "F9", "A2"),
+    description="recall@5 of PQ/ADC under UNIT-SPHERE (cosine-aligned) "
+    "OPQ: the corpus is L2-normalized (in-order fold norm, bit-"
+    "identical in DuckDB), rotated by the fixture-stored rotation "
+    "trained on the NORMALIZED corpus (full Ge et al. 2013 "
+    "alternation), and scored by ADC against the exact cosine top-5 "
+    "of the same normalized vectors — on the unit sphere the L2 "
+    "objective OPQ descends equals 2-2cos, aligning objective and "
+    "serve metric. HONESTLY MEASURED NEGATIVE (PERF.md r14 ladder): "
+    "on the radially-separated mixture fixture normalization destroys "
+    "the norm signal raw-space L2-ADC exploits (recall@5 0.69 init / "
+    "0.66 raw alternation / 0.31-0.37 unit-sphere), so the cosine "
+    "serve default remains the eigenvalue-allocation init on the raw "
+    "corpus; this spec value-pins the normalized path end-to-end, it "
+    "is not a recommendation.",
+    build=_ann_recall_opq_cos_build,
+    oracle=lambda: _ann_recall_opq_oracle(normalize=True),
 ))
 
 

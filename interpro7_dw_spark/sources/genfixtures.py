@@ -79,7 +79,8 @@ def clustered_embeddings_path(
 
 
 def opq_rotation_path(
-    m: int = 16, ksub: int = 8, iters: int = 2, lloyd_iters: int = 2
+    m: int = 16, ksub: int = 8, iters: int = 2, lloyd_iters: int = 2,
+    normalize: bool = False,
 ) -> str:
     """Write-once OPQ rotation matrix for the clustered fixture,
     derived by the FULL alternating optimization (Ge et al. 2013
@@ -104,9 +105,10 @@ def opq_rotation_path(
     from ..plans.spec import fixture_dir
 
     emb_path = clustered_embeddings_path()
+    variant = "_cos" if normalize else ""
     path = (
         fixture_dir(
-            f"opq_rot_m{m}_k{ksub}_i{iters}", input_path=emb_path
+            f"opq_rot_m{m}_k{ksub}_i{iters}{variant}", input_path=emb_path
         )
         + ".parquet"
     )
@@ -114,6 +116,13 @@ def opq_rotation_path(
         return path
     tbl = pq.read_table(emb_path)
     X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    if normalize:
+        # unit-sphere OPQ: train on the L2-normalized corpus so the
+        # alternation's L2 objective equals 2 - 2*cos (the cosine-
+        # aligned rung; the serve path normalizes identically)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        X = X / nrm
     ids = np.asarray(tbl["vec_id"].to_pylist())
     n, dim = X.shape
     w = dim // m

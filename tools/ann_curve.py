@@ -153,6 +153,40 @@ def curve(spark, emb, tag: str) -> None:
             emb.persist(); exact.persist(); remb2.persist()
         shutil.rmtree(idx, ignore_errors=True)
         remb2.unpersist()
+        # UNIT-SPHERE OPQ (r14): normalize the corpus first, train the
+        # full alternation on the normalized vectors, serve PQ/ADC on
+        # them — on the sphere the L2 objective is 2-2cos, so the
+        # alternation finally optimizes the metric recall is scored on
+        # (the r13 ladder's documented misalignment).
+        nemb = S.l2_normalize_embeddings(emb).persist()
+        rot3 = S.opq_rotation(
+            nemb, m=16, ksub=16, iters=2, pq_iters=2
+        )
+        remb3 = S.rotate_embeddings(nemb, rot3).persist()
+        idx = fixture_dir(f"ann_curve_{tag}_opq_cos_m16")
+        shutil.rmtree(idx, ignore_errors=True)
+        S.write_ivfpq_index(remb3, idx, nlist=NLIST, m=16, ksub=16, iters=2)
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            approx = S.ivfpq_topk(
+                remb3.filter(F.col("vec_id") < N_QUERIES), idx,
+                k=K, nprobe=nprobe, m=16,
+            )
+            r = (
+                S.ann_recall_at_k(approx, exact, k=K)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+            print(json.dumps({
+                "corpus": tag, "path": "ivfpq_m16_opq_unit_sphere",
+                "nprobe": nprobe, "recall_at_5": round(float(r), 3),
+                "wall_s": round(time.time() - t0, 2),
+            }))
+            spark.catalog.clearCache()
+            emb.persist(); exact.persist(); nemb.persist(); remb3.persist()
+        shutil.rmtree(idx, ignore_errors=True)
+        remb3.unpersist()
+        nemb.unpersist()
     exact.unpersist()
     emb.unpersist()
 
