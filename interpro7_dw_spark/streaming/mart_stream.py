@@ -119,13 +119,19 @@ def seed_mart_state(
     n_buckets: int = 16,
 ) -> None:
     """Materialize version 0 of all three state pieces from the base
-    snapshot (the one full rebuild a mart ever needs)."""
+    snapshot (the one full rebuild a mart ever needs) — plus the
+    protein-keyed STATIC dims in the same bucket layout, so each
+    epoch's bilinear delta joins read only the delta-touched buckets
+    of them instead of the whole (protein-scale at 100 TB) relations
+    (the PERF.md r14 footnote, closed)."""
     proteins.withColumn(
         "__b", _bucket(F.col("protein_acc"), n_buckets)
     ).write.partitionBy("__b").parquet(f"{state_dir}/proteins/v0")
     matches.withColumn(
         "__b", _bucket(F.col("protein_acc"), n_buckets)
     ).write.partitionBy("__b").parquet(f"{state_dir}/matches/v0")
+    _seed_static_dim(state_dir, "pp", protein_proteomes, n_buckets)
+    _seed_static_dim(state_dir, "ps", protein_structures, n_buckets)
     sup = seed_taxon_supports(
         proteins,
         matches.drop("match_id"),
@@ -136,6 +142,40 @@ def seed_mart_state(
     _seed_supports(
         spark, state_dir, sup, SUPPORT_NAMES, BUCKETED_SUPPORTS, n_buckets
     )
+
+
+def _seed_static_dim(
+    state_dir: str, name: str, dim: DataFrame, n_buckets: int
+) -> None:
+    """Write a protein-keyed static dim once, bucketed like the fact
+    stores (``dims/<name>/v0``) — it never advances, so every epoch's
+    delta join against it is a partition-pruned read of the delta's
+    touched buckets."""
+    dim.withColumn(
+        "__b", _bucket(F.col("protein_acc"), n_buckets)
+    ).write.partitionBy("__b").parquet(f"{state_dir}/dims/{name}/v0")
+
+
+def _read_static_dim(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    buckets: list[int],
+    fallback: DataFrame,
+) -> DataFrame:
+    """The bucketed static dim pruned to ``buckets`` — correct for any
+    delta join keyed by protein, because the pruned set is a superset
+    of the delta's proteins (rows outside them are dropped by the join
+    anyway). States seeded before the dim stores existed fall back to
+    the caller-passed whole relation (the pre-r14 behavior)."""
+    dim_dir = f"{state_dir}/dims/{name}"
+    fs, _r, jp = _fs(spark, dim_dir)
+    if not fs.exists(jp(f"{dim_dir}/v0")):
+        return fallback
+    df = _read_sources(
+        spark, dim_dir, _bucket_sources(spark, dim_dir, 0, buckets)
+    )
+    return df if df is not None else fallback.limit(0)
 
 
 def _seed_supports(
@@ -490,6 +530,16 @@ def apply_taxon_mart_epoch(
                 F.col("new_database").alias("database"),
             ).limit(0)
 
+        # the protein-keyed static dims join the delta on protein, so
+        # only the delta-touched buckets of them can contribute —
+        # partition-pruned reads of the seed-time bucketed dim stores
+        pp_use = _read_static_dim(
+            spark, state_dir, "pp", dp_buckets, protein_proteomes
+        )
+        ps_use = _read_static_dim(
+            spark, state_dir, "ps", dp_buckets, protein_structures
+        )
+
         # the delta computation's owned persists (dp_lift, d_matched)
         # are epoch-scoped: the scope releases them once every
         # support consumed them
@@ -499,8 +549,8 @@ def apply_taxon_mart_epoch(
                 dm,
                 p_new,
                 m_old.drop("match_id"),
-                protein_proteomes,
-                protein_structures,
+                pp_use,
+                ps_use,
                 taxon_ancestors,
             )
             _advance_supports(
@@ -661,13 +711,18 @@ def seed_entry_mart_state(
     n_buckets: int = 16,
 ) -> None:
     """Version 0 of the entry-mart state: both fact stores bucketed by
-    protein, the five entry supports per their storage discipline."""
+    protein, the protein-keyed static dims in the same bucket layout
+    (epoch delta joins read only touched buckets of them), and the
+    entry supports per their storage discipline."""
     protein_taxa.withColumn(
         "__b", _bucket(F.col("protein_acc"), n_buckets)
     ).write.partitionBy("__b").parquet(f"{state_dir}/proteins/v0")
     protein_entries.withColumn(
         "__b", _bucket(F.col("protein_acc"), n_buckets)
     ).write.partitionBy("__b").parquet(f"{state_dir}/assignments/v0")
+    _seed_static_dim(state_dir, "pp", protein_proteomes, n_buckets)
+    _seed_static_dim(state_dir, "ps", protein_structures, n_buckets)
+    _seed_static_dim(state_dir, "pec", protein_ecs, n_buckets)
     sup = seed_entry_supports(
         protein_entries.drop("pe_id"),
         protein_taxa,
@@ -796,6 +851,18 @@ def apply_entry_mart_epoch(
         else:
             pe_old = pe_old.drop("pe_id")
 
+        # static dims pruned to the assignment delta's touched buckets
+        # (entry_support_deltas joins each against dpe on protein)
+        pp_use = _read_static_dim(
+            spark, state_dir, "pp", dpe_buckets, protein_proteomes
+        )
+        ps_use = _read_static_dim(
+            spark, state_dir, "ps", dpe_buckets, protein_structures
+        )
+        pec_use = _read_static_dim(
+            spark, state_dir, "pec", dpe_buckets, protein_ecs
+        )
+
         # epoch-scoped owned persists (dpe) released by the scope
         with engine_cache_scope():
             deltas = entry_support_deltas(
@@ -803,9 +870,9 @@ def apply_entry_mart_epoch(
                 dp,
                 p_new,
                 pe_old,
-                protein_proteomes,
-                protein_structures,
-                protein_ecs,
+                pp_use,
+                ps_use,
+                pec_use,
             )
             _advance_supports(
                 spark, state_dir, deltas, prev, nxt, epoch,

@@ -1022,3 +1022,42 @@ def test_proteome_mart_ivm_equals_full_rebuild(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_epoch_static_dim_fallback_without_dim_store(spark, tmp_path):
+    """A mart state seeded BEFORE the bucketed dim stores existed
+    (r14) must keep maintaining correctly: with dims/ deleted, the
+    epoch falls back to the caller-passed whole relations and the
+    rendered mart still equals the full rebuild."""
+    import shutil as _sh
+
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_batch,
+        seed_mart_state,
+    )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(20)}
+    m_old = {j: (f"P{j % 20}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(50)}
+    p_new = dict(p_old)
+    p_new["P21"] = "N3"
+    p_new.pop("P2")
+    m_new = dict(m_old)
+    m_new[90] = ("P21", "SIG4", "DB1")
+
+    state = str(tmp_path / "legacy")
+    seed_mart_state(
+        spark, _p_df(spark, p_old), _m_df(spark, m_old),
+        _pp(spark), _ps(spark), _anc(spark), state, n_buckets=8,
+    )
+    _sh.rmtree(f"{state}/dims")  # pre-r14 layout
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    out = maintain_taxon_mart_batch(
+        spark, state, dp, dm, _pp(spark), _ps(spark), _anc(spark), n_buckets=8
+    )
+    assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_new))
