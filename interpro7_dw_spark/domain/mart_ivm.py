@@ -70,12 +70,70 @@ DuckDB recompute of the NEW snapshot.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import owned_persist
 
 from .marts import _sorted_join
+
+
+@dataclass(frozen=True)
+class Rollup:
+    """One edge of the count pyramid: a level-1 support whose merge
+    emits enter/exit TRANSITIONS (``trans_keys`` + signed ``s``) that
+    are the ENTIRE delta of the aggregate-sized level-2 support
+    ``l2``. For the plain DISTINCT-count rollup, ``trans_keys`` ARE
+    the level-2 keys and the transitions fold in directly. When the
+    level-2 delta is a FUNCTION of the transitions — e.g. the clan
+    mart's structure counts, where a signature entering/exiting the
+    matched set adds/removes one ref per structure it carries —
+    ``transform(transitions, dims)`` maps the transitions (keyed by
+    ``trans_keys``) to the level-2 key space, typically a broadcast
+    join against a static dimension (a transition-driven JOIN delta:
+    the reference's pop-once set-union semantics without ever
+    rescanning facts)."""
+
+    l2: str
+    trans_keys: tuple[str, ...]
+    transform: (
+        Callable[[DataFrame, Mapping[str, DataFrame]], DataFrame] | None
+    ) = None
+
+
+@dataclass(frozen=True)
+class MartPyramid:
+    """The complete declarative shape of one maintained mart's count
+    pyramid — the ONE structure the shared seed / merge / COW-habitat
+    / render machinery consumes for every mart (taxon, entry, clan,
+    proteome, structure), replacing the per-mart parallel dicts that
+    grew through r14 (r14 verdict item 5).
+
+    ``support_keys`` maps every support (both levels) to its group
+    columns (the count column is always ``n``); ``bucketed`` names the
+    FACTS-SCALE supports and the key column their merges prune on /
+    their continuous COW stores bucket by; ``rollups`` the level-1 →
+    level-2 pyramid edges. Level-2 supports have no direct changelog
+    delta — their whole delta IS the level-1 merge's transitions — and
+    they are what the renders read, so no render ever re-aggregates a
+    facts-scale relation (the r13 verdict's perf finding, closed)."""
+
+    name: str
+    support_keys: Mapping[str, list[str]]
+    bucketed: Mapping[str, str] = field(default_factory=dict)
+    rollups: Mapping[str, Rollup] = field(default_factory=dict)
+
+    @property
+    def support_names(self) -> tuple[str, ...]:
+        return tuple(self.support_keys)
+
+    @property
+    def level2(self) -> set[str]:
+        return {r.l2 for r in self.rollups.values()}
+
 
 SUPPORT_NAMES = (
     "sup_tax", "sup_proteome", "sup_structure", "sup_sig", "sup_prot_db",
@@ -96,20 +154,16 @@ SUPPORT_KEYS: dict[str, list[str]] = {
 # their continuous COW stores bucket by — see the module docstring
 BUCKETED_SUPPORTS: dict[str, str] = {"sup_prot_db": "protein_acc"}
 
-# the count PYRAMID's second level: every facts-scale support
-# maintains the aggregate-sized DISTINCT count one level up from its
-# own enter/exit transitions (level-1 name -> (level-2 name, roll
-# keys)). Level-2 supports have no direct changelog delta — their
-# whole delta IS the level-1 merge's transitions — and they are what
-# the renders read, so no render ever re-aggregates a facts-scale
-# relation (the r13 verdict's one perf-weak finding).
-LEVEL2_ROLLUPS: dict[str, tuple[str, list[str]]] = {
-    "sup_prot_db": ("sup_db", ["tax_id", "database"]),
+LEVEL2_ROLLUPS: dict[str, Rollup] = {
+    "sup_prot_db": Rollup("sup_db", ("tax_id", "database")),
 }
 
-
-def level2_names(rollups: dict[str, tuple[str, list[str]]]) -> set[str]:
-    return {l2 for l2, _rk in rollups.values()}
+TAXON_PYRAMID = MartPyramid(
+    name="taxon",
+    support_keys=SUPPORT_KEYS,
+    bucketed=BUCKETED_SUPPORTS,
+    rollups=LEVEL2_ROLLUPS,
+)
 
 
 def _count(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -151,19 +205,46 @@ def seed_taxon_supports(
         "sup_sig": _count(matched, ["tax_id", "database", "signature_acc"]),
         "sup_prot_db": _count(matched, ["tax_id", "database", "protein_acc"]),
     }
-    return seed_level2(sup, LEVEL2_ROLLUPS)
+    return seed_level2(sup, TAXON_PYRAMID)
+
+
+def derive_level2(
+    l1_support: DataFrame,
+    rollup: Rollup,
+    l2_keys: list[str],
+    dims: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """The level-2 support AS IMPLIED BY a level-1 support's live rows
+    — every live level-1 key is one 'enter' transition, so folding
+    +1-transitions through the rollup (transform included) into an
+    empty level 2 IS the full derivation. Used at seed time and as the
+    upgrade-path fallback for states whose stored mart versions
+    predate the level-2 supports (r14 ADVICE)."""
+    trans = l1_support.select(
+        *rollup.trans_keys, F.lit(1).cast("long").alias("s")
+    )
+    if rollup.transform is not None:
+        trans = rollup.transform(trans, dims or {})
+    return (
+        trans.groupBy(*l2_keys)
+        .agg(F.sum("s").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
 
 
 def seed_level2(
     supports: dict[str, DataFrame],
-    rollups: dict[str, tuple[str, list[str]]],
+    pyramid: MartPyramid,
+    dims: Mapping[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
-    """Add the level-2 supports to a freshly seeded level-1 dict: each
-    is the row count of its level-1 support per roll key (one live
-    level-1 row == one distinct member). Seed-time only — after this,
-    level 2 maintains purely from level-1 transitions."""
-    for l1, (l2, roll_keys) in rollups.items():
-        supports[l2] = _count(supports[l1].select(*roll_keys), roll_keys)
+    """Add the level-2 supports to a freshly seeded level-1 dict (one
+    live level-1 row == one distinct member / one transform
+    contribution). Seed-time only — after this, level 2 maintains
+    purely from level-1 transitions."""
+    for l1, rollup in pyramid.rollups.items():
+        supports[rollup.l2] = derive_level2(
+            supports[l1], rollup, pyramid.support_keys[rollup.l2], dims
+        )
     return supports
 
 
@@ -369,39 +450,42 @@ def apply_count_delta_pruned_with_transitions(
 def _merge_supports(
     supports: dict[str, DataFrame],
     deltas: dict[str, DataFrame],
-    support_keys: dict[str, list[str]],
-    bucketed: dict[str, str],
-    rollups: dict[str, tuple[str, list[str]]] | None = None,
+    pyramid: MartPyramid,
+    dims: Mapping[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
-    """Fold each support's signed delta in: aggregate-sized supports
-    merge whole, facts-scale ones through the pruned merge; a level-1
-    support with a registered rollup merges through the transitions-
-    emitting variant, and its transitions are the ENTIRE delta of the
-    level-2 support (which has no changelog delta of its own)."""
-    rollups = rollups or {}
-    l2 = level2_names(rollups)
+    """Fold each support's signed delta in, per the pyramid's storage
+    and rollup declarations: aggregate-sized supports merge whole,
+    facts-scale ones through the pruned merge; a level-1 support with
+    a registered rollup merges through the transitions-emitting
+    variant, and its transitions — through the rollup's transform, if
+    any — are the ENTIRE delta of the level-2 support (which has no
+    changelog delta of its own)."""
+    l2 = pyramid.level2
     out = {}
-    for name, keys in support_keys.items():
+    for name, keys in pyramid.support_keys.items():
         if name in l2:
             continue  # maintained from its level-1's transitions below
-        if name in rollups:
-            l2_name, roll_keys = rollups[name]
-            if name in bucketed:
+        rollup = pyramid.rollups.get(name)
+        if rollup is not None:
+            roll_keys = list(rollup.trans_keys)
+            if name in pyramid.bucketed:
                 merged, trans = apply_count_delta_pruned_with_transitions(
-                    supports[name], deltas[name], keys, bucketed[name],
-                    roll_keys,
+                    supports[name], deltas[name], keys,
+                    pyramid.bucketed[name], roll_keys,
                 )
             else:
                 merged, trans = apply_count_delta_with_transitions(
                     supports[name], deltas[name], keys, roll_keys
                 )
             out[name] = merged
-            out[l2_name] = apply_count_delta(
-                supports[l2_name], trans, support_keys[l2_name]
+            if rollup.transform is not None:
+                trans = rollup.transform(trans, dims or {})
+            out[rollup.l2] = apply_count_delta(
+                supports[rollup.l2], trans, pyramid.support_keys[rollup.l2]
             )
-        elif name in bucketed:
+        elif name in pyramid.bucketed:
             out[name] = apply_count_delta_pruned(
-                supports[name], deltas[name], keys, bucketed[name]
+                supports[name], deltas[name], keys, pyramid.bucketed[name]
             )
         else:
             out[name] = apply_count_delta(supports[name], deltas[name], keys)
@@ -548,9 +632,7 @@ def maintain_taxon_supports(
         delta_p, delta_m, proteins_new, matches_old,
         protein_proteomes, protein_structures, taxon_ancestors,
     )
-    return _merge_supports(
-        supports, deltas, SUPPORT_KEYS, BUCKETED_SUPPORTS, LEVEL2_ROLLUPS
-    )
+    return _merge_supports(supports, deltas, TAXON_PYRAMID)
 
 
 def taxon_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:
@@ -668,11 +750,18 @@ ENTRY_BUCKETED_SUPPORTS: dict[str, str] = {
 # proteins (the coverage filter's input) — each maintained from its
 # level-1's enter/exit transitions, so the render never re-aggregates
 # the assignment-scale relations
-ENTRY_LEVEL2_ROLLUPS: dict[str, tuple[str, list[str]]] = {
-    "sup_ep": ("sup_e_np", ["entry_acc"]),
-    "sup_etp": ("sup_et", ["entry_acc", "tax_id"]),
-    "sup_eep": ("sup_eec", ["entry_acc", "ec"]),
+ENTRY_LEVEL2_ROLLUPS: dict[str, Rollup] = {
+    "sup_ep": Rollup("sup_e_np", ("entry_acc",)),
+    "sup_etp": Rollup("sup_et", ("entry_acc", "tax_id")),
+    "sup_eep": Rollup("sup_eec", ("entry_acc", "ec")),
 }
+
+ENTRY_PYRAMID = MartPyramid(
+    name="entry",
+    support_keys=ENTRY_SUPPORT_KEYS,
+    bucketed=ENTRY_BUCKETED_SUPPORTS,
+    rollups=ENTRY_LEVEL2_ROLLUPS,
+)
 
 
 def seed_entry_supports(
@@ -706,7 +795,7 @@ def seed_entry_supports(
             ENTRY_SUPPORT_KEYS["sup_eep"],
         ),
     }
-    return seed_level2(sup, ENTRY_LEVEL2_ROLLUPS)
+    return seed_level2(sup, ENTRY_PYRAMID)
 
 
 def _signed_pe_delta(delta_pe: DataFrame) -> DataFrame:
@@ -795,10 +884,7 @@ def maintain_entry_supports(
         delta_pe, delta_p, protein_taxa_new, protein_entries_old,
         protein_proteomes, protein_structures, protein_ecs,
     )
-    return _merge_supports(
-        supports, deltas, ENTRY_SUPPORT_KEYS, ENTRY_BUCKETED_SUPPORTS,
-        ENTRY_LEVEL2_ROLLUPS,
-    )
+    return _merge_supports(supports, deltas, ENTRY_PYRAMID)
 
 
 def entry_mart_from_supports(

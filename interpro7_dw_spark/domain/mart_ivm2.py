@@ -53,12 +53,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from collections.abc import Mapping
+
 from ..caching import owned_persist
 from .mart_ivm import (
+    MartPyramid,
+    Rollup,
     _count,
-    apply_count_delta,
-    apply_count_delta_pruned_with_transitions,
-    apply_count_delta_with_transitions,
     _merge_supports,
     _signed_match_delta,
     seed_level2,
@@ -86,9 +87,31 @@ CLAN_SUPPORT_KEYS: dict[str, list[str]] = {
 # the one facts-scale clan support (≈ |matched proteins| × clans-per-
 # protein) and its level-2 rollup
 CLAN_BUCKETED_SUPPORTS: dict[str, str] = {"sup_c_prot": "protein_acc"}
-CLAN_LEVEL2_ROLLUPS: dict[str, tuple[str, list[str]]] = {
-    "sup_c_prot": ("sup_c_np", ["clan_acc"]),
+
+
+def _clan_pdb_delta(trans: DataFrame, dims: Mapping[str, DataFrame]) -> DataFrame:
+    """The transition-driven JOIN delta of the clan structure counts:
+    a signature entering/exiting the clan's matched set adds/removes
+    exactly its structures' refs (the reference's pop-once set union,
+    interpro/xrefs/clans.py:74-79) — never a match rescan."""
+    return trans.join(
+        F.broadcast(dims["entry_structures"]), "signature_acc"
+    ).select("clan_acc", "pdb_id", "s")
+
+
+CLAN_LEVEL2_ROLLUPS: dict[str, Rollup] = {
+    "sup_c_prot": Rollup("sup_c_np", ("clan_acc",)),
+    "sup_c_sig": Rollup(
+        "sup_c_pdb", ("clan_acc", "signature_acc"), transform=_clan_pdb_delta
+    ),
 }
+
+CLAN_PYRAMID = MartPyramid(
+    name="clan",
+    support_keys=CLAN_SUPPORT_KEYS,
+    bucketed=CLAN_BUCKETED_SUPPORTS,
+    rollups=CLAN_LEVEL2_ROLLUPS,
+)
 
 
 def seed_clan_supports(
@@ -123,88 +146,67 @@ def seed_clan_supports(
             CLAN_SUPPORT_KEYS["sup_c_dom"],
         ),
     }
-    sup = seed_level2(sup, CLAN_LEVEL2_ROLLUPS)
-    # pdb refs per clan: one ref per LIVE matched member signature
-    # carrying the structure (the reference's pop-once set union)
-    sup["sup_c_pdb"] = _count(
-        sup["sup_c_sig"]
-        .select("clan_acc", "signature_acc")
-        .join(entry_structures, "signature_acc"),
-        CLAN_SUPPORT_KEYS["sup_c_pdb"],
+    return seed_level2(
+        sup, CLAN_PYRAMID, dims={"entry_structures": entry_structures}
     )
-    return sup
+
+
+def clan_support_deltas(
+    delta_m: DataFrame,            # snapshot_delta_images over matches (keyed match_id)
+    signature_clans: DataFrame,
+    proteins: DataFrame,
+    protein_proteomes: DataFrame,
+    domorg_members: DataFrame,
+) -> dict[str, DataFrame]:
+    """The signed support deltas of one clan-mart epoch: the signed
+    match delta routes through the broadcast clan dim once (``dcm``
+    persists — every support folds it; released by the consumer's
+    engine_cache_scope), then joins each protein-keyed static dim. The
+    two level-2 supports (sup_c_np, sup_c_pdb) have no delta here —
+    their whole delta is the level-1 transitions, the pdb one through
+    :func:`_clan_pdb_delta`'s join against the static
+    entry->structure dim."""
+    dm = _signed_match_delta(delta_m)
+    dcm = owned_persist(
+        dm.join(F.broadcast(signature_clans), "signature_acc")
+    )
+    return {
+        "sup_c_nm": dcm.select("clan_acc", "s"),
+        "sup_c_sig": dcm.select("clan_acc", "signature_acc", "s"),
+        "sup_c_prot": dcm.select("clan_acc", "protein_acc", "s"),
+        "sup_c_proteome": dcm.join(protein_proteomes, "protein_acc").select(
+            "clan_acc", "proteome_id", "s"
+        ),
+        "sup_c_tax": dcm.join(proteins, "protein_acc").select(
+            "clan_acc", "tax_id", "s"
+        ),
+        "sup_c_dom": dcm.join(
+            domorg_members, ["protein_acc", "signature_acc"]
+        ).select("clan_acc", "dom_id", "s"),
+    }
 
 
 def maintain_clan_supports(
     supports: dict[str, DataFrame],
-    delta_m: DataFrame,            # snapshot_delta_images over matches (keyed match_id)
+    delta_m: DataFrame,
     signature_clans: DataFrame,
     proteins: DataFrame,
     protein_proteomes: DataFrame,
     domorg_members: DataFrame,
     entry_structures: DataFrame,
 ) -> dict[str, DataFrame]:
-    """One clan-mart IVM epoch: the signed match delta routes through
-    the broadcast clan dim once (``dcm`` persists — every support
-    folds it), each support merges per its storage class, and the two
-    pyramid compositions fold their upstream transitions (sup_c_prot
-    -> sup_c_np rollup; sup_c_sig transitions × entry_structures ->
-    sup_c_pdb join delta)."""
-    dm = _signed_match_delta(delta_m)
-    dcm = owned_persist(
-        dm.join(F.broadcast(signature_clans), "signature_acc")
+    """One clan-mart IVM epoch: :func:`clan_support_deltas` composed
+    with the shared pyramid merge — the facts-scale sup_c_prot merges
+    pruned and rolls up to sup_c_np; sup_c_sig's transitions drive
+    the sup_c_pdb join delta (both declared in CLAN_PYRAMID)."""
+    deltas = clan_support_deltas(
+        delta_m, signature_clans, proteins, protein_proteomes,
+        domorg_members,
     )
-    out: dict[str, DataFrame] = {}
-    out["sup_c_nm"] = apply_count_delta(
-        supports["sup_c_nm"], dcm.select("clan_acc", "s"), ["clan_acc"]
+    return _merge_supports(
+        supports, deltas, CLAN_PYRAMID,
+        dims={"entry_structures": entry_structures},
     )
-    new_sig, sig_trans = apply_count_delta_with_transitions(
-        supports["sup_c_sig"],
-        dcm.select("clan_acc", "signature_acc", "s"),
-        CLAN_SUPPORT_KEYS["sup_c_sig"],
-        ["clan_acc", "signature_acc"],
-    )
-    out["sup_c_sig"] = new_sig
-    # a signature entering/exiting the clan's matched set adds/removes
-    # exactly its structures' refs — never a match rescan
-    out["sup_c_pdb"] = apply_count_delta(
-        supports["sup_c_pdb"],
-        sig_trans.join(entry_structures, "signature_acc").select(
-            "clan_acc", "pdb_id", "s"
-        ),
-        CLAN_SUPPORT_KEYS["sup_c_pdb"],
-    )
-    merged, prot_trans = apply_count_delta_pruned_with_transitions(
-        supports["sup_c_prot"],
-        dcm.select("clan_acc", "protein_acc", "s"),
-        CLAN_SUPPORT_KEYS["sup_c_prot"],
-        "protein_acc",
-        ["clan_acc"],
-    )
-    out["sup_c_prot"] = merged
-    out["sup_c_np"] = apply_count_delta(
-        supports["sup_c_np"], prot_trans, ["clan_acc"]
-    )
-    out["sup_c_proteome"] = apply_count_delta(
-        supports["sup_c_proteome"],
-        dcm.join(protein_proteomes, "protein_acc").select(
-            "clan_acc", "proteome_id", "s"
-        ),
-        CLAN_SUPPORT_KEYS["sup_c_proteome"],
-    )
-    out["sup_c_tax"] = apply_count_delta(
-        supports["sup_c_tax"],
-        dcm.join(proteins, "protein_acc").select("clan_acc", "tax_id", "s"),
-        CLAN_SUPPORT_KEYS["sup_c_tax"],
-    )
-    out["sup_c_dom"] = apply_count_delta(
-        supports["sup_c_dom"],
-        dcm.join(domorg_members, ["protein_acc", "signature_acc"]).select(
-            "clan_acc", "dom_id", "s"
-        ),
-        CLAN_SUPPORT_KEYS["sup_c_dom"],
-    )
-    return out
 
 
 def clan_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:
@@ -266,9 +268,16 @@ PROTEOME_SUPPORT_KEYS: dict[str, list[str]] = {
 }
 
 PROTEOME_BUCKETED_SUPPORTS: dict[str, str] = {"sup_p_prot_db": "protein_acc"}
-PROTEOME_LEVEL2_ROLLUPS: dict[str, tuple[str, list[str]]] = {
-    "sup_p_prot_db": ("sup_p_db", ["proteome_id", "database"]),
+PROTEOME_LEVEL2_ROLLUPS: dict[str, Rollup] = {
+    "sup_p_prot_db": Rollup("sup_p_db", ("proteome_id", "database")),
 }
+
+PROTEOME_PYRAMID = MartPyramid(
+    name="proteome",
+    support_keys=PROTEOME_SUPPORT_KEYS,
+    bucketed=PROTEOME_BUCKETED_SUPPORTS,
+    rollups=PROTEOME_LEVEL2_ROLLUPS,
+)
 
 
 def seed_proteome_supports(
@@ -291,7 +300,7 @@ def seed_proteome_supports(
             matched, PROTEOME_SUPPORT_KEYS["sup_p_prot_db"]
         ),
     }
-    return seed_level2(sup, PROTEOME_LEVEL2_ROLLUPS)
+    return seed_level2(sup, PROTEOME_PYRAMID)
 
 
 def _signed_pp_delta(delta_pp: DataFrame) -> DataFrame:
@@ -369,10 +378,7 @@ def maintain_proteome_supports(
     deltas = proteome_support_deltas(
         delta_pp, delta_m, pp_new, matches_old, protein_structures
     )
-    return _merge_supports(
-        supports, deltas, PROTEOME_SUPPORT_KEYS,
-        PROTEOME_BUCKETED_SUPPORTS, PROTEOME_LEVEL2_ROLLUPS,
-    )
+    return _merge_supports(supports, deltas, PROTEOME_PYRAMID)
 
 
 def proteome_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:
@@ -447,9 +453,16 @@ STRUCT_SUPPORT_KEYS: dict[str, list[str]] = {
 }
 
 STRUCT_BUCKETED_SUPPORTS: dict[str, str] = {"sup_s_prot": "protein_acc"}
-STRUCT_LEVEL2_ROLLUPS: dict[str, tuple[str, list[str]]] = {
-    "sup_s_prot": ("sup_s_np", ["pdb_id"]),
+STRUCT_LEVEL2_ROLLUPS: dict[str, Rollup] = {
+    "sup_s_prot": Rollup("sup_s_np", ("pdb_id",)),
 }
+
+STRUCT_PYRAMID = MartPyramid(
+    name="structure",
+    support_keys=STRUCT_SUPPORT_KEYS,
+    bucketed=STRUCT_BUCKETED_SUPPORTS,
+    rollups=STRUCT_LEVEL2_ROLLUPS,
+)
 
 
 def seed_structure_supports(
@@ -486,7 +499,7 @@ def seed_structure_supports(
             STRUCT_SUPPORT_KEYS["sup_s_dom"],
         ),
     }
-    return seed_level2(sup, STRUCT_LEVEL2_ROLLUPS)
+    return seed_level2(sup, STRUCT_PYRAMID)
 
 
 def _signed_pm_delta(delta_pm: DataFrame) -> DataFrame:
@@ -522,8 +535,7 @@ def _signed_ps_delta(delta_ps: DataFrame) -> DataFrame:
     return retract.unionByName(add)
 
 
-def maintain_structure_supports(
-    supports: dict[str, DataFrame],
+def structure_support_deltas(
     delta_pm: DataFrame,
     delta_ps: DataFrame,
     signature_clans: DataFrame,
@@ -531,14 +543,14 @@ def maintain_structure_supports(
     protein_proteomes: DataFrame,
     protein_domorgs: DataFrame,
 ) -> dict[str, DataFrame]:
-    """One structure-mart IVM epoch: the pdb-match delta feeds the
-    entry/clan supports, the protein-link delta (joined once against
-    each static protein dim) feeds the protein-side supports; the
-    facts-scale sup_s_prot merges pruned and maintains the level-2
-    per-pdb distinct-protein count from its transitions."""
+    """The signed support deltas of one structure-mart epoch: the
+    pdb-match delta feeds the entry/clan supports, the protein-link
+    delta (joined once against each static protein dim) feeds the
+    protein-side supports. ``dpm``/``dps`` persist (multiple
+    consumers); released by the consumer's engine_cache_scope."""
     dpm = owned_persist(_signed_pm_delta(delta_pm))
     dps = owned_persist(_signed_ps_delta(delta_ps))
-    deltas = {
+    return {
         "sup_s_dbsig": dpm,
         "sup_s_clan": dpm.join(
             F.broadcast(signature_clans), "signature_acc"
@@ -554,10 +566,26 @@ def maintain_structure_supports(
             "pdb_id", "dom_id", "s"
         ),
     }
-    return _merge_supports(
-        supports, deltas, STRUCT_SUPPORT_KEYS, STRUCT_BUCKETED_SUPPORTS,
-        STRUCT_LEVEL2_ROLLUPS,
+
+
+def maintain_structure_supports(
+    supports: dict[str, DataFrame],
+    delta_pm: DataFrame,
+    delta_ps: DataFrame,
+    signature_clans: DataFrame,
+    proteins: DataFrame,
+    protein_proteomes: DataFrame,
+    protein_domorgs: DataFrame,
+) -> dict[str, DataFrame]:
+    """One structure-mart IVM epoch: :func:`structure_support_deltas`
+    composed with the shared pyramid merge — the facts-scale
+    sup_s_prot merges pruned and maintains the level-2 per-pdb
+    distinct-protein count from its transitions."""
+    deltas = structure_support_deltas(
+        delta_pm, delta_ps, signature_clans, proteins,
+        protein_proteomes, protein_domorgs,
     )
+    return _merge_supports(supports, deltas, STRUCT_PYRAMID)
 
 
 def structure_mart_from_supports(supports: dict[str, DataFrame]) -> DataFrame:

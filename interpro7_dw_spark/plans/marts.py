@@ -1517,3 +1517,282 @@ register(QuerySpec(
         "\n  signature_clans",
     ),
 ))
+
+
+def _stream_ivm_mart_clan(spark, sf):
+    """The SAME release changelog as ivm_mart_clan2xrefs, drained as a
+    STREAM through the clan COW habitat (streaming/mart_stream.py,
+    r15): the match changelog over 3 micro-batch files, each epoch
+    COW-merging the facts-scale sup_c_prot's touched buckets only
+    (the clan mart is LINEAR in its changelog, so NO fact store and
+    no rescan exist at all) and folding the sup_c_sig transitions
+    through the static entry->structure dim. Final rendered mart must
+    equal the full rebuild of the new release."""
+    import shutil
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.mart_stream import (
+        maintain_clan_mart_stream,
+        seed_clan_mart_state,
+        unify_clan_changelogs,
+    )
+    from .spec import fixture_dir
+
+    m_old, m_new = _match_releases(spark, sf)
+    sc = _signature_clans(spark, sf)
+    prot = _proteins(spark, sf)
+    pp = _protein_proteomes(spark, sf)
+    dom = _domorg_members(spark, sf)
+    es = _pdb_matches(spark, sf).select("signature_acc", "pdb_id").distinct()
+    dm = snapshot_delta_images(
+        m_old, m_new, ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    unified = unify_clan_changelogs(dm)
+    root = fixture_dir("ivm_mart_clan_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state", ignore_errors=True)
+    shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    for part in range(3):
+        unified.filter(F.col("match_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{root}/changes")
+    state = root + "_state"
+    seed_clan_mart_state(
+        spark, m_old.drop("match_id"), sc, prot, pp, dom, es,
+        state, n_buckets=16,
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    return maintain_clan_mart_stream(
+        spark, stream, state, sc, prot, pp, dom, es, n_buckets=16
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm_mart_clan",
+    tags=("X5", "A8", "J2", "CD3", "ST4"),
+    description="The clan2xrefs mart (export-clan2xrefs <=6h/32GB, "
+    "cli.py:323) maintained as a STANDING QUERY through the shared "
+    "COW habitat (streaming/mart_habitat.py, r15): match changelog "
+    "micro-batches COW-merge the facts-scale (clan, protein) support "
+    "by touched buckets only — the clan mart is linear in its one "
+    "changelog, so the habitat declares ZERO fact stores and no "
+    "bilinear rescan — while sup_c_sig's enter/exit transitions "
+    "drive the structure-count join delta and sup_c_prot's maintain "
+    "the level-2 distinct-protein count; protein-keyed static dims "
+    "are bucket-pruned partition reads. Atomic per-version commits, "
+    "epoch-idempotent replay. Oracle: the full DuckDB rebuild of the "
+    "new release — identical to ivm_mart_clan2xrefs, because any "
+    "micro-batch partitioning of the changelog converges to the same "
+    "supports.",
+    build=_stream_ivm_mart_clan,
+    oracle=lambda: _new_release_oracle("mart_clan2xrefs"),
+))
+
+
+def _stream_ivm_mart_proteome(spark, sf):
+    """The SAME release changelogs as ivm_mart_proteome2xrefs
+    (assignment + matches, the bilinear pair), drained as ONE
+    discriminated stream through the proteome COW habitat: both fact
+    snapshots live in protein-bucketed COW stores, so each epoch's
+    bilinear rescans (PP_new under dM's proteins, M_old under dPP's)
+    are partition-pruned bucket reads, and the facts-scale
+    sup_p_prot_db COW-merges touched buckets only. Final rendered
+    mart must equal the full rebuild of the new release."""
+    import shutil
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.mart_stream import (
+        maintain_proteome_mart_stream,
+        seed_proteome_mart_state,
+        unify_proteome_changelogs,
+    )
+    from .spec import fixture_dir
+
+    m_old, m_new = _match_releases(spark, sf)
+    pp_new = _protein_proteomes(spark, sf)
+    cust = t(spark, sf, "customer")
+    ck = F.col("c_custkey")
+    pp_old = (
+        cust.filter((F.col("c_acctbal") >= 0) & (ck % 17 != 0))
+        .select(
+            ck.cast("string").alias("protein_acc"),
+            F.when(
+                ck % 13 == 0,
+                F.concat_ws("", F.col("c_mktsegment"), F.lit("_OLD")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("proteome_id"),
+        )
+        .unionByName(
+            cust.filter((F.col("c_acctbal") < 0) & (ck % 29 == 0)).select(
+                ck.cast("string").alias("protein_acc"),
+                F.lit("GONE").alias("proteome_id"),
+            )
+        )
+    )
+    ps = _protein_structures(spark, sf)
+    dpp = snapshot_delta_images(
+        pp_old, pp_new, ["protein_acc"], ["proteome_id"]
+    )
+    dm = snapshot_delta_images(
+        m_old, m_new, ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    unified = unify_proteome_changelogs(dpp, dm)
+    root = fixture_dir("ivm_mart_proteome_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state", ignore_errors=True)
+    shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    split = F.coalesce(
+        F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3
+    )
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    state = root + "_state"
+    seed_proteome_mart_state(
+        spark, pp_old, m_old, ps, state, n_buckets=16
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    return maintain_proteome_mart_stream(
+        spark, stream, state, ps, n_buckets=16
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm_mart_proteome",
+    tags=("X5", "A8", "CD3", "ST4"),
+    description="The proteome2xrefs mart (export-proteome2xrefs "
+    "<=6h/100GB, cli.py:379) maintained as a STANDING QUERY through "
+    "the shared COW habitat: protein->proteome assignment and match "
+    "changelogs interleave in one discriminated stream; each "
+    "micro-batch advances BOTH protein-bucketed fact COW stores (the "
+    "bilinear rescans are partition-pruned bucket reads) and the "
+    "facts-scale sup_p_prot_db support by touched buckets only, its "
+    "transitions maintaining the level-2 sup_p_db the db_json render "
+    "reads. Atomic per-version commits, epoch-idempotent replay. "
+    "Oracle: the full DuckDB rebuild of the new release — identical "
+    "to ivm_mart_proteome2xrefs.",
+    build=_stream_ivm_mart_proteome,
+    oracle=lambda: _new_release_oracle("z_mart_proteome2xrefs"),
+))
+
+
+def _stream_ivm_mart_structure(spark, sf):
+    """The SAME release changelogs as z_ivm_mart_structure2xrefs (two
+    INDEPENDENT arms: pdb-match rows keyed pm_id and not
+    protein-keyed; protein->structure links keyed by their composite
+    pair), drained as one discriminated stream through the structure
+    COW habitat — no bilinear coupling, so the habitat declares no
+    fact store; the facts-scale sup_s_prot COW-merges the link arm's
+    touched buckets only. Final rendered mart must equal the full
+    rebuild of the new release."""
+    import shutil
+
+    from ..operators.cdc import snapshot_delta_images
+    from ..streaming.mart_stream import (
+        maintain_structure_mart_stream,
+        seed_structure_mart_state,
+        unify_structure_changelogs,
+    )
+    from .spec import fixture_dir
+
+    orders = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    sig_new = ok % 50
+    pm_new = orders.filter(ok % 11 != 0).select(
+        ok.alias("pm_id"),
+        F.concat_ws("", F.lit("PDB"), ok % 30).alias("pdb_id"),
+        F.concat_ws("", F.lit("SIG"), sig_new).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_new % 4).alias("database"),
+    )
+    sig_old = (ok + F.when(ok % 13 == 0, F.lit(3)).otherwise(F.lit(0))) % 50
+    pm_old = orders.filter(ok % 7 != 0).select(
+        ok.alias("pm_id"),
+        F.concat_ws("", F.lit("PDB"), ok % 30).alias("pdb_id"),
+        F.concat_ws("", F.lit("SIG"), sig_old).alias("signature_acc"),
+        F.concat_ws("", F.lit("DB"), sig_old % 4).alias("database"),
+    )
+    ps_new = _protein_structures(spark, sf)
+    ps_old = (
+        orders.filter(ok % 19 != 0)
+        .select(
+            F.col("o_custkey").cast("string").alias("protein_acc"),
+            F.concat_ws(
+                "",
+                F.lit("PDB"),
+                (ok % 30 + F.when(ok % 23 == 0, F.lit(2)).otherwise(F.lit(0)))
+                % 30,
+            ).alias("pdb_id"),
+        )
+        .distinct()
+    )
+    sc = _signature_clans(spark, sf)
+    prot = _proteins(spark, sf)
+    pp = _protein_proteomes(spark, sf)
+    pdm = _domorg_members(spark, sf).select("protein_acc", "dom_id").distinct()
+    dpm = snapshot_delta_images(
+        pm_old, pm_new, ["pm_id"],
+        ["pdb_id", "signature_acc", "database"],
+    )
+    dps = snapshot_delta_images(
+        ps_old, ps_new, ["protein_acc", "pdb_id"], ["pdb_id"]
+    )
+    unified = unify_structure_changelogs(dpm, dps)
+    root = fixture_dir("ivm_mart_structure_stream", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_state", ignore_errors=True)
+    shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    split = F.coalesce(
+        F.col("pm_id") % 3, F.ascii(F.col("protein_acc")) % 3
+    )
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
+            f"{root}/changes"
+        )
+    state = root + "_state"
+    seed_structure_mart_state(
+        spark, pm_old, sc, ps_old, prot, pp, pdm, state, n_buckets=16
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/changes")
+    )
+    return maintain_structure_mart_stream(
+        spark, stream, state, sc, prot, pp, pdm, n_buckets=16
+    )
+
+
+register(QuerySpec(
+    name="z_stream_ivm_mart_structure",
+    tags=("X5", "A8", "J2", "CD3", "ST4"),
+    description="The structure2xrefs mart (export-structure2xrefs, "
+    "cli.py:402) maintained as a STANDING QUERY through the shared "
+    "COW habitat: two INDEPENDENT changelog arms (pdb-match rows, "
+    "not protein-keyed; composite-pair protein links) interleave in "
+    "one discriminated stream — no bilinear coupling, so no fact "
+    "store exists; the facts-scale (pdb, protein) support COW-merges "
+    "the link arm's touched buckets only, its transitions "
+    "maintaining the level-2 per-pdb distinct-protein count, and the "
+    "protein-keyed static dims are bucket-pruned partition reads. "
+    "Oracle: the full DuckDB rebuild of the new release — identical "
+    "to z_ivm_mart_structure2xrefs.",
+    build=_stream_ivm_mart_structure,
+    oracle=lambda: _must_replace(
+        REGISTRY["z_mart_structure2xrefs"].oracle,
+        "AS db\n    FROM orders\n  ),\n  signature_clans",
+        "AS db\n    FROM orders WHERE o_orderkey % 11 <> 0\n  ),"
+        "\n  signature_clans",
+    ),
+))

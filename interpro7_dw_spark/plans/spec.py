@@ -42,12 +42,21 @@ double, and boolean columns:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+
+# Serializes lazy oracle resolution: several oracles have side effects
+# (write-once fixture parquet the SQL embeds by path), and concurrent
+# spec evaluation (parallel differ / pytest workers in one process)
+# must not double-invoke a callable racing the same fixture path. One
+# global lock is enough — resolution happens once per spec per process
+# and the callables are fast.
+_ORACLE_LOCK = threading.Lock()
 
 
 class QuerySpec:
@@ -77,7 +86,9 @@ class QuerySpec:
     @property
     def oracle(self) -> str | None:
         if callable(self._oracle):
-            self._oracle = self._oracle()
+            with _ORACLE_LOCK:
+                if callable(self._oracle):
+                    self._oracle = self._oracle()
         return self._oracle
 
 

@@ -46,6 +46,17 @@ def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
+# When True, cow_apply_images cross-checks a caller-supplied
+# ``touched`` list against its own change-type-filtered discovery and
+# raises on any mismatch — a caller passing a subset would silently
+# serve stale rows for the missing buckets (their changelog rows merge
+# into a version whose bucket partitions resolution never reads for
+# them), a superset would pin untouched buckets to the new version.
+# Off by default (the check costs one extra job per epoch); tests and
+# debugging sessions flip it on.
+VALIDATE_TOUCHED = False
+
+
 def _version_buckets(spark, facts_dir: str, name: str) -> set[int]:
     """Bucket ids present as ``__b=<i>`` partitions of one committed
     facts version directory (filesystem metadata only)."""
@@ -215,8 +226,8 @@ def cow_apply_images(
         new_b = _bucket(F.col(f"new_{bucket_col}"), n_buckets)
     else:
         old_b = new_b = _bucket(F.col(bucket_col), n_buckets)
-    if touched is None:
-        touched = sorted(
+    def _discover() -> list[int]:
+        return sorted(
             r[0]
             for r in batch.filter(
                 F.col("change_type").isin("delete", "update")
@@ -230,8 +241,18 @@ def cow_apply_images(
             .distinct()
             .collect()
         )
+
+    if touched is None:
+        touched = _discover()
     else:
         touched = sorted(touched)
+        if VALIDATE_TOUCHED:
+            expect = _discover()
+            if touched != expect:
+                raise ValueError(
+                    f"cow_apply_images: caller-supplied touched buckets "
+                    f"{touched} != discovered {expect} for {facts_dir}"
+                )
     data_cols = [c[4:] for c in batch.columns if c.startswith("new_")]
     fact_cols = key_cols + [c for c in data_cols if c not in key_cols]
     served = _bucket_sources(spark, facts_dir, prev_version, touched)

@@ -1061,3 +1061,408 @@ def test_epoch_static_dim_fallback_without_dim_store(spark, tmp_path):
         spark, state, dp, dm, _pp(spark), _ps(spark), _anc(spark), n_buckets=8
     )
     assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_new))
+
+
+def test_level2_upgrade_fallback_pre_r14_state(spark, tmp_path):
+    """A mart state whose stored versions PREDATE the level-2 supports
+    (pre-r14 layout: no mart/v0/sup_db) must keep working in both
+    directions (r14 ADVICE): the reader re-derives the level-2 from
+    the level-1 COW store at that version, and the next epoch's
+    advance seeds it the same way before folding transitions — render
+    equals the full rebuild either way."""
+    import shutil as _sh
+
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_taxon_mart_batch,
+        read_mart_supports,
+        seed_mart_state,
+    )
+
+    p_old = {f"P{i}": f"N{i % 6}" for i in range(20)}
+    m_old = {j: (f"P{j % 20}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(50)}
+    p_new = dict(p_old)
+    p_new["P21"] = "N3"
+    p_new.pop("P2")
+    m_new = dict(m_old)
+    m_new[90] = ("P21", "SIG4", "DB1")
+    m_new.pop(7)
+
+    state = str(tmp_path / "pre_l2")
+    seed_mart_state(
+        spark, _p_df(spark, p_old), _m_df(spark, m_old),
+        _pp(spark), _ps(spark), _anc(spark), state, n_buckets=8,
+    )
+    _sh.rmtree(f"{state}/mart/v0/sup_db")  # pre-level-2 layout
+
+    # reader fallback: the seed version still renders the OLD release
+    sup0 = read_mart_supports(spark, state, "v0")
+    got0 = _mart_rows(
+        __import__(
+            "interpro7_dw_spark.domain.mart_ivm", fromlist=["x"]
+        ).taxon_mart_from_supports(sup0)
+    )
+    assert got0 == _mart_rows(_rebuild(spark, p_old, m_old))
+
+    # epoch fallback: the advance derives the previous level 2 from
+    # the level-1 COW store, folds transitions, and the new version
+    # renders the NEW release
+    dp = snapshot_delta_images(
+        _p_df(spark, p_old), _p_df(spark, p_new), ["protein_acc"], ["tax_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    out = maintain_taxon_mart_batch(
+        spark, state, dp, dm, _pp(spark), _ps(spark), _anc(spark), n_buckets=8
+    )
+    assert _mart_rows(out) == _mart_rows(_rebuild(spark, p_new, m_new))
+
+
+def test_cow_apply_images_touched_validation(spark, tmp_path):
+    """minmax_stream.VALIDATE_TOUCHED (r14 ADVICE): a caller-supplied
+    touched list that is NOT exactly the change-type-filtered
+    discovery raises instead of silently serving stale buckets."""
+    import pytest as _pytest
+
+    from interpro7_dw_spark.streaming import minmax_stream as mm
+
+    facts_dir = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(i, str(i), i * 10) for i in range(32)],
+        "k long, g string, v long",
+    )
+    base.withColumn(
+        "__b", mm._bucket(F.col("g"), 8)
+    ).write.partitionBy("__b").parquet(f"{facts_dir}/v0")
+    batch = spark.createDataFrame(
+        [(1, "update", "1", 10, "1", 99), (2, "delete", "2", 20, None, None)],
+        "k long, change_type string, old_g string, old_v long,"
+        " new_g string, new_v long",
+    )
+    right = sorted(
+        r[0]
+        for r in batch.select(mm._bucket(F.col("old_g"), 8).alias("b"))
+        .distinct()
+        .collect()
+    )
+    mm.VALIDATE_TOUCHED = True
+    try:
+        # exact set passes
+        mm.cow_apply_images(
+            spark, facts_dir, batch, "g", ["k"], 8, 0, 1, 0, touched=right
+        )
+        # a subset (stale-serving hazard) raises loudly
+        with _pytest.raises(ValueError, match="touched buckets"):
+            mm.cow_apply_images(
+                spark, facts_dir, batch, "g", ["k"], 8, 1, 2, 1,
+                touched=right[:1] if len(right) > 1 else [],
+            )
+    finally:
+        mm.VALIDATE_TOUCHED = False
+
+
+def _clan_fixtures(spark):
+    sc = spark.createDataFrame(
+        [(f"SIG{i}", f"CL{i % 3}") for i in range(0, 9, 2)],
+        "signature_acc string, clan_acc string",
+    )
+    prot = _p_df(spark, {f"P{i}": f"N{i % 6}" for i in range(30)})
+    dom = spark.createDataFrame(
+        [(f"P{i}", f"SIG{i % 9}", f"DOM{i % 4}") for i in range(0, 30, 2)],
+        "protein_acc string, signature_acc string, dom_id string",
+    )
+    es = spark.createDataFrame(
+        [(f"SIG{i}", f"PDB{(i * 7) % 5}") for i in range(9)]
+        + [(f"SIG{i}", f"PDB{(i * 7 + 1) % 5}") for i in range(0, 9, 3)],
+        "signature_acc string, pdb_id string",
+    )
+    return sc, prot, _pp(spark), dom, es
+
+
+def test_clan_mart_habitat_stream_equals_batch_equals_rebuild(spark, tmp_path):
+    """The clan mart's COW habitat (r14 verdict item 1): the SAME
+    match changelog folded (a) storeless, (b) as one batch-on-COW
+    epoch, and (c) as a 3-micro-batch stream all render equal to the
+    full clan_xrefs_mart rebuild; the facts-scale sup_c_prot store
+    advances by touched buckets only; a full replay no-ops."""
+    import os
+    import shutil as _sh
+
+    from interpro7_dw_spark.domain.marts import clan_xrefs_mart
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_clan_mart_batch,
+        maintain_clan_mart_stream,
+        seed_clan_mart_state,
+        unify_clan_changelogs,
+    )
+
+    sc, prot, pp, dom, es = _clan_fixtures(spark)
+    m_old = {j: (f"P{j % 30}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(60)}
+    m_new = dict(m_old)
+    m_new[200] = ("P3", "SIG2", "DB2")      # insert
+    m_new.pop(11, None)                      # delete
+    # retire every even match of SIG4 (structure retraction path)
+    for k in [k for k, v in m_new.items() if v[1] == "SIG4" and k % 2 == 0]:
+        m_new.pop(k)
+    m_new[14] = (m_new[14][0], "SIG7", "DB1")  # signature change
+
+    def rebuild(m_d):
+        return {
+            r.clan_acc: tuple(r)[1:]
+            for r in clan_xrefs_mart(
+                _m_df(spark, m_d, with_id=False), sc, prot, pp, dom, es
+            ).collect()
+        }
+
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    n_buckets = 8
+
+    # (b) batch-on-COW
+    state_b = str(tmp_path / "clan_batch")
+    seed_clan_mart_state(
+        spark, _m_df(spark, m_old), sc, prot, pp, dom, es,
+        state_b, n_buckets=n_buckets,
+    )
+    out_b = maintain_clan_mart_batch(
+        spark, state_b, dm, sc, prot, pp, dom, es, n_buckets=n_buckets
+    )
+    got_b = {r.clan_acc: tuple(r)[1:] for r in out_b.collect()}
+    assert got_b == rebuild(m_new)
+    # COW support advanced by touched buckets only
+    v1 = [d for d in os.listdir(f"{state_b}/sup_cow/sup_c_prot") if d.startswith("v1")]
+    assert len(v1) == 1
+    parts = [
+        p for p in os.listdir(f"{state_b}/sup_cow/sup_c_prot/{v1[0]}")
+        if p.startswith("__b=")
+    ]
+    assert 0 < len(parts) < n_buckets, parts
+    # no fact store exists (the clan mart is linear — nothing rescans)
+    assert not os.path.exists(f"{state_b}/matches")
+
+    # (c) stream over 3 micro-batches + full replay
+    state_s = str(tmp_path / "clan_stream")
+    root = str(tmp_path / "clan_changes")
+    unified = unify_clan_changelogs(dm)
+    for part in range(3):
+        unified.filter(F.col("match_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+    seed_clan_mart_state(
+        spark, _m_df(spark, m_old), sc, prot, pp, dom, es,
+        state_s, n_buckets=n_buckets,
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(unified.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        return maintain_clan_mart_stream(
+            spark, stream, state_s, sc, prot, pp, dom, es,
+            n_buckets=n_buckets,
+        )
+
+    out_s = drain()
+    got_s = {r.clan_acc: tuple(r)[1:] for r in out_s.collect()}
+    assert got_s == rebuild(m_new)
+
+    # checkpoint loss -> full redelivery of every epoch is a no-op
+    versions_before = sorted(os.listdir(f"{state_s}/mart"))
+    _sh.rmtree(state_s + "_chk")
+    out_r = drain()
+    got_r = {r.clan_acc: tuple(r)[1:] for r in out_r.collect()}
+    assert got_r == rebuild(m_new)
+    assert sorted(os.listdir(f"{state_s}/mart")) == versions_before
+
+
+def test_proteome_mart_habitat_stream_and_batch(spark, tmp_path):
+    """The proteome mart's COW habitat: BOTH changelogs (assignment +
+    matches, the bilinear pair) interleaved in one discriminated
+    stream over 3 micro-batches == one batch-on-COW epoch == the full
+    proteome_xrefs_mart rebuild; both fact stores and the facts-scale
+    sup_p_prot_db store advance by touched buckets only."""
+    import os
+
+    from interpro7_dw_spark.domain.marts import proteome_xrefs_mart
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_proteome_mart_batch,
+        maintain_proteome_mart_stream,
+        seed_proteome_mart_state,
+        unify_proteome_changelogs,
+    )
+
+    def pp_df(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "protein_acc string, proteome_id string"
+        )
+
+    pp_old = {f"P{i}": f"UP{i % 4}" for i in range(0, 26, 2)}
+    pp_new = dict(pp_old)
+    pp_new["P1"] = "UP3"
+    pp_new["P2"] = "UP1"
+    pp_new.pop("P4")
+    m_old = {j: (f"P{j % 28}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(70)}
+    m_new = dict(m_old)
+    m_new.pop(7)
+    m_new[100] = ("P2", "SIG8", "DB2")
+    m_new[11] = ("P11", "SIG0", "DB0")
+
+    def rebuild():
+        return {
+            r.proteome_id: tuple(r)[1:]
+            for r in proteome_xrefs_mart(
+                pp_df(pp_new), _m_df(spark, m_new, with_id=False), _ps(spark)
+            ).collect()
+        }
+
+    dpp = snapshot_delta_images(
+        pp_df(pp_old), pp_df(pp_new), ["protein_acc"], ["proteome_id"]
+    )
+    dm = snapshot_delta_images(
+        _m_df(spark, m_old), _m_df(spark, m_new), ["match_id"],
+        ["protein_acc", "signature_acc", "database"],
+    )
+    n_buckets = 8
+
+    state_b = str(tmp_path / "prtm_batch")
+    seed_proteome_mart_state(
+        spark, pp_df(pp_old), _m_df(spark, m_old), _ps(spark),
+        state_b, n_buckets=n_buckets,
+    )
+    out_b = maintain_proteome_mart_batch(
+        spark, state_b, dpp, dm, _ps(spark), n_buckets=n_buckets
+    )
+    got_b = {r.proteome_id: tuple(r)[1:] for r in out_b.collect()}
+    assert got_b == rebuild()
+    for store in ("assignments", "matches", "sup_cow/sup_p_prot_db"):
+        v1 = [d for d in os.listdir(f"{state_b}/{store}") if d.startswith("v1")]
+        assert len(v1) == 1, store
+        parts = [
+            p for p in os.listdir(f"{state_b}/{store}/{v1[0]}")
+            if p.startswith("__b=")
+        ]
+        assert 0 < len(parts) < n_buckets, (store, parts)
+
+    state_s = str(tmp_path / "prtm_stream")
+    root = str(tmp_path / "prtm_changes")
+    unified = unify_proteome_changelogs(dpp, dm)
+    split = F.coalesce(F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3)
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(root)
+    seed_proteome_mart_state(
+        spark, pp_df(pp_old), _m_df(spark, m_old), _ps(spark),
+        state_s, n_buckets=n_buckets,
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    out_s = maintain_proteome_mart_stream(
+        spark, stream, state_s, _ps(spark), n_buckets=n_buckets
+    )
+    got_s = {r.proteome_id: tuple(r)[1:] for r in out_s.collect()}
+    assert got_s == rebuild()
+
+
+def test_structure_mart_habitat_stream_and_batch(spark, tmp_path):
+    """The structure mart's COW habitat: the two INDEPENDENT
+    changelog arms (pdb-match rows, not protein-keyed; composite-pair
+    protein links) interleave in one stream == one batch-on-COW epoch
+    == the full structure_xrefs_mart rebuild; the facts-scale
+    sup_s_prot store advances by the LINK arm's touched buckets."""
+    import os
+
+    from interpro7_dw_spark.domain.marts import structure_xrefs_mart
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_structure_mart_batch,
+        maintain_structure_mart_stream,
+        seed_structure_mart_state,
+        unify_structure_changelogs,
+    )
+
+    sc, prot, pp, dom, _es = _clan_fixtures(spark)
+    pdm = dom.select("protein_acc", "dom_id").distinct()
+
+    def pm_df(d, with_id=True):
+        rows = sorted((k, *v) for k, v in d.items())
+        df = spark.createDataFrame(
+            rows, "pm_id long, pdb_id string, signature_acc string, database string"
+        )
+        return df if with_id else df.drop("pm_id")
+
+    def ps_df(pairs):
+        return spark.createDataFrame(
+            sorted(pairs), "protein_acc string, pdb_id string"
+        )
+
+    pm_old = {j: (f"PDB{j % 5}", f"SIG{j % 9}", f"DB{(j % 9) % 3}") for j in range(40)}
+    pm_new = dict(pm_old)
+    pm_new[100] = ("PDB1", "SIG8", "DB2")
+    pm_new.pop(3)
+    pm_new[5] = ("PDB0", "SIG6", "DB0")
+    ps_old = {(f"P{i}", f"PDB{i % 5}") for i in range(0, 30, 3)}
+    ps_new = set(ps_old)
+    ps_new.add(("P4", "PDB2"))
+    ps_new.discard(("P9", "PDB4"))
+
+    def rebuild():
+        return {
+            r.pdb_id: tuple(r)[1:]
+            for r in structure_xrefs_mart(
+                pm_df(pm_new, with_id=False), sc, ps_df(ps_new), prot, pp, pdm
+            ).collect()
+        }
+
+    dpm = snapshot_delta_images(
+        pm_df(pm_old), pm_df(pm_new), ["pm_id"],
+        ["pdb_id", "signature_acc", "database"],
+    )
+    dps = snapshot_delta_images(
+        ps_df(ps_old), ps_df(ps_new), ["protein_acc", "pdb_id"], ["pdb_id"]
+    )
+    n_buckets = 8
+
+    state_b = str(tmp_path / "str_batch")
+    seed_structure_mart_state(
+        spark, pm_df(pm_old), sc, ps_df(ps_old), prot, pp, pdm,
+        state_b, n_buckets=n_buckets,
+    )
+    out_b = maintain_structure_mart_batch(
+        spark, state_b, dpm, dps, sc, prot, pp, pdm, n_buckets=n_buckets
+    )
+    got_b = {r.pdb_id: tuple(r)[1:] for r in out_b.collect()}
+    assert got_b == rebuild()
+    v1 = [d for d in os.listdir(f"{state_b}/sup_cow/sup_s_prot") if d.startswith("v1")]
+    assert len(v1) == 1
+    parts = [
+        p for p in os.listdir(f"{state_b}/sup_cow/sup_s_prot/{v1[0]}")
+        if p.startswith("__b=")
+    ]
+    assert 0 < len(parts) < n_buckets, parts
+
+    state_s = str(tmp_path / "str_stream")
+    root = str(tmp_path / "str_changes")
+    unified = unify_structure_changelogs(dpm, dps)
+    split = F.coalesce(F.col("pm_id") % 3, F.ascii(F.col("protein_acc")) % 3)
+    for part in range(3):
+        unified.filter(split == part).coalesce(1).write.mode("append").parquet(root)
+    seed_structure_mart_state(
+        spark, pm_df(pm_old), sc, ps_df(ps_old), prot, pp, pdm,
+        state_s, n_buckets=n_buckets,
+    )
+    stream = (
+        spark.readStream.schema(unified.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    out_s = maintain_structure_mart_stream(
+        spark, stream, state_s, sc, prot, pp, pdm, n_buckets=n_buckets
+    )
+    got_s = {r.pdb_id: tuple(r)[1:] for r in out_s.collect()}
+    assert got_s == rebuild()
