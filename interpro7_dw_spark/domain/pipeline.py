@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
 from .fragments import condense_locations_col, parse_fragments
 from .repr_domains import select_repr_domains
 
@@ -157,15 +158,27 @@ def merge_protein_matches(
         F.col("signature_acc").alias("model_acc"),
         F.col("name").alias("subfamily_name"),
     )
-    with_subfam = flagged.join(F.broadcast(subfam_names), "model_acc", "left").withColumn(
-        "subfamily",
-        F.when(
-            F.col("model_acc").rlike(f"^{PANTHER_SUBFAMILY}$"),
-            F.struct(
-                F.col("model_acc").alias("accession"),
-                F.col("subfamily_name").alias("name"),
+    # persisted: BOTH output branches (per-signature rows and per-entry
+    # condensed rows) consume this relation — without the persist each
+    # branch re-ran the classify chain (scan + broadcast dim joins +
+    # fragment parse + the per-protein domain_id window) from the
+    # source (guide §2.4; the r15 before-plan shows the subtree
+    # twice). The entry branch used to prune the Arrow representative
+    # kernel away, but one cached pass that includes it is cheaper
+    # than two uncached classify passes (measured, PERF/OPTIMIZATION
+    # r15). O(|matches|) cache, released by the consumer's
+    # engine_cache_scope (caching.py).
+    with_subfam = owned_persist(
+        flagged.join(F.broadcast(subfam_names), "model_acc", "left").withColumn(
+            "subfamily",
+            F.when(
+                F.col("model_acc").rlike(f"^{PANTHER_SUBFAMILY}$"),
+                F.struct(
+                    F.col("model_acc").alias("accession"),
+                    F.col("subfamily_name").alias("name"),
+                ),
             ),
-        ),
+        )
     )
 
     sig_rows = (

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import owned_persist
+
 
 class _Materializer:
     """Lineage-truncation seam for iterative fixpoint loops.
@@ -373,13 +375,20 @@ def triangle_counts(
     fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("n")) < F.struct(
         F.col("db").alias("d"), F.col("b").alias("n")
     )
-    oriented = keyed.select(
+    # persisted: three differently-keyed consumers (the wedge
+    # self-join on u and the closing join on (v1, v2)) — without the
+    # persist the canonicalize-distinct + two degree joins re-run per
+    # consumer (the r15 before-plan had 155 Exchanges, the scan
+    # subtree duplicated ~20x, zero reuse). O(m) cache, the standard
+    # trade for one-pass orientation. Released by the consumer's
+    # engine_cache_scope (caching.py).
+    oriented = owned_persist(keyed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
         .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
         .alias("kv"),
-    )
+    ))
     o1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("k1"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
     wedges = o1.join(o2, "u").filter(F.col("k1") < F.col("k2"))

@@ -937,10 +937,16 @@ def _stream_ivm_mart(spark, sf):
     split = F.coalesce(
         F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
+    # persisted: the three filtered fixture writes otherwise each
+    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
+    # don't recompute what a pass already computed); released right
+    # after the last write, before the stream starts.
+    unified = unified.persist()
     for part in range(3):
         unified.filter(split == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    unified.unpersist()
     state = root + "_state"
     seed_mart_state(spark, p_old, m_old, pp, ps, anc, state, n_buckets=16)
     stream = (
@@ -1148,10 +1154,16 @@ def _stream_ivm_mart_entry(spark, sf):
     split = F.coalesce(
         F.col("pe_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
+    # persisted: the three filtered fixture writes otherwise each
+    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
+    # don't recompute what a pass already computed); released right
+    # after the last write, before the stream starts.
+    unified = unified.persist()
     for part in range(3):
         unified.filter(split == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    unified.unpersist()
     state = root + "_state"
     seed_entry_mart_state(
         spark, r["p_old"], r["pe_old"], r["pp"], r["ps"], r["pec"],
@@ -1553,10 +1565,14 @@ def _stream_ivm_mart_clan(spark, sf):
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root + "_state", ignore_errors=True)
     shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    # persisted across the three filtered fixture writes (see the
+    # taxon stream spec's comment)
+    unified = unified.persist()
     for part in range(3):
         unified.filter(F.col("match_id") % 3 == part).coalesce(1).write.mode(
             "append"
         ).parquet(f"{root}/changes")
+    unified.unpersist()
     state = root + "_state"
     seed_clan_mart_state(
         spark, m_old.drop("match_id"), sc, prot, pp, dom, es,
@@ -1651,10 +1667,16 @@ def _stream_ivm_mart_proteome(spark, sf):
     split = F.coalesce(
         F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
+    # persisted: the three filtered fixture writes otherwise each
+    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
+    # don't recompute what a pass already computed); released right
+    # after the last write, before the stream starts.
+    unified = unified.persist()
     for part in range(3):
         unified.filter(split == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    unified.unpersist()
     state = root + "_state"
     seed_proteome_mart_state(
         spark, pp_old, m_old, ps, state, n_buckets=16
@@ -1756,10 +1778,16 @@ def _stream_ivm_mart_structure(spark, sf):
     split = F.coalesce(
         F.col("pm_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
+    # persisted: the three filtered fixture writes otherwise each
+    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
+    # don't recompute what a pass already computed); released right
+    # after the last write, before the stream starts.
+    unified = unified.persist()
     for part in range(3):
         unified.filter(split == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    unified.unpersist()
     state = root + "_state"
     seed_structure_mart_state(
         spark, pm_old, sc, ps_old, prot, pp, pdm, state, n_buckets=16

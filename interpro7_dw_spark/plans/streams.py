@@ -253,10 +253,14 @@ def _stream_ivm(spark, sf):
     for sub in ("changes", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
     # 4 key-ranged files -> 4 micro-batches under maxFilesPerTrigger=1
+    # persisted: each filtered fixture write otherwise re-runs the
+    # full-outer snapshot_delta_images join (guide §2.4)
+    delta = delta.persist()
     for part in range(4):
         delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    delta.unpersist()
     base.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(
@@ -550,10 +554,14 @@ def _stream_ivm_minmax(spark, sf):
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root + "_state", ignore_errors=True)
     shutil.rmtree(root + "_state_chk", ignore_errors=True)
+    # persisted: each filtered fixture write otherwise re-runs the
+    # full-outer snapshot_delta_images join (guide §2.4)
+    delta = delta.persist()
     for part in range(3):
         delta.filter(k % 3 == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    delta.unpersist()
     state = f"{root}_state"
     seed_minmax_state(spark, base, state, "o_custkey", "o_totalprice",
                       n_buckets=16)
@@ -841,10 +849,14 @@ def _stream_ivm_join(spark, sf):
     for sub in ("facts", "changes", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
     fact_old.write.parquet(f"{root}/facts")
+    # persisted: each filtered fixture write otherwise re-runs the
+    # full-outer snapshot_delta_images join (guide §2.4)
+    delta = delta.persist()
     for part in range(4):
         delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
             f"{root}/changes"
         )
+    delta.unpersist()
     stream = (
         spark.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", 1)

@@ -53,7 +53,8 @@ fallbacks, instead of failing on a missing path.
 from __future__ import annotations
 
 from collections.abc import Callable, Mapping
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,12 +162,42 @@ class MartHabitat:
     stores: tuple[FactStore, ...] = ()
     rescans: tuple[Rescan, ...] = ()
     dims: tuple[DimUse, ...] = ()
+    # r15 (guide §1.2/§2.4 — remove whole passes): for each BUCKETED
+    # support, the changelog arms whose rows can contribute to its
+    # delta. The union of those arms' one-job discovery sets is a
+    # SUPERSET of the delta's touched buckets (each delta builder
+    # derives its rows' protein keys from exactly these arms' images),
+    # so the COW merge can skip its own touched-bucket collect — which
+    # otherwise EXECUTES the full delta plan once per bucketed support
+    # per epoch, on top of the merge's own execution. A superset is
+    # value-identical: extra buckets' rows pass through the pruned
+    # merge unchanged and are rewritten identically at the new version
+    # (tests/test_mart_ivm.py::
+    # test_cow_apply_count_delta_superset_touched_equals_discovered).
+    sup_touch: Mapping[str, tuple[str, ...]] = field(default_factory=dict)
 
     def source(self, tag: str) -> ChangeSrc:
         for s in self.sources:
             if s.tag == tag:
                 return s
         raise KeyError(tag)
+
+
+def _run_parallel(thunks, max_workers: int = 4) -> None:
+    """Run independent Spark ACTIONS (writes of different state
+    pieces) concurrently from a small driver thread pool — guide §2.6:
+    the scheduler back-fills executor cores freed by one job's tail
+    with the next job's tasks, so N tiny jobs cost ~max instead of
+    ~sum. Each thunk owns its own engine_cache_scope when it persists
+    (the registry is thread-local); exceptions propagate to the
+    caller, failing the epoch before its commit marker is written."""
+    if len(thunks) <= 1:
+        for t in thunks:
+            t()
+        return
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
 
 
 # ------------------------------------------------------------ unify
@@ -330,28 +361,36 @@ def _read_schema_artifact(spark: SparkSession, sup_dir: str):
     return StructType.fromJson(_json.loads(text))
 
 
-def _seed_supports(
+def _seed_support_thunks(
     spark: SparkSession,
     state_dir: str,
     sup: dict[str, DataFrame],
     pyramid: MartPyramid,
     n_buckets: int,
-) -> None:
-    """v0 of the support state: aggregate-sized supports as plain
-    parquet under the mart version root, facts-scale ones as bucketed
-    COW stores (each with a ``_schema.json`` artifact so an emptied or
-    seed-empty store can still be served with its REAL schema); the
-    mart root ``_SUCCESS`` written LAST commits all."""
-    for name in pyramid.support_names:
-        if name in pyramid.bucketed:
-            sup_dir = f"{state_dir}/sup_cow/{name}"
-            sup[name].withColumn(
-                "__b", _bucket(F.col(pyramid.bucketed[name]), n_buckets)
-            ).write.partitionBy("__b").parquet(f"{sup_dir}/v0")
-            _write_schema_artifact(spark, sup_dir, sup[name].schema)
-        else:
-            sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
-    _commit_marker(spark, f"{state_dir}/mart/v0")
+) -> list:
+    """One write thunk per support of the v0 state: aggregate-sized
+    supports as plain parquet under the mart version root, facts-scale
+    ones as bucketed COW stores (each with a ``_schema.json`` artifact
+    so an emptied or seed-empty store can still be served with its
+    REAL schema). The caller runs them (concurrently — they write
+    disjoint paths) and writes the mart root ``_SUCCESS`` LAST to
+    commit all."""
+    def bucketed(name: str) -> None:
+        sup_dir = f"{state_dir}/sup_cow/{name}"
+        sup[name].withColumn(
+            "__b", _bucket(F.col(pyramid.bucketed[name]), n_buckets)
+        ).write.partitionBy("__b").parquet(f"{sup_dir}/v0")
+        _write_schema_artifact(spark, sup_dir, sup[name].schema)
+
+    def plain(name: str) -> None:
+        sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
+
+    return [
+        (lambda name=name: bucketed(name))
+        if name in pyramid.bucketed
+        else (lambda name=name: plain(name))
+        for name in pyramid.support_names
+    ]
 
 
 def seed_state(
@@ -366,15 +405,28 @@ def seed_state(
     """Materialize version 0 of every state piece from the base
     snapshot (the one full rebuild a mart ever needs): the fact COW
     stores, the protein-keyed static dims in the same bucket layout,
-    and the supports per their storage discipline."""
-    for st in habitat.stores:
-        store_snapshots[st.name].withColumn(
+    and the supports per their storage discipline. Every piece writes
+    a DISJOINT path from independent plans (the supports share their
+    seed's owned persists, whose blocks the block manager computes
+    once under concurrent first readers), so all writes run from one
+    driver pool (guide §2.6); the mart root ``_SUCCESS`` still commits
+    the supports LAST, after every write returned."""
+    def store_thunk(st: FactStore):
+        return lambda: store_snapshots[st.name].withColumn(
             "__b", _bucket(F.col(st.bucket_col), n_buckets)
         ).write.partitionBy("__b").parquet(f"{state_dir}/{st.name}/v0")
-    for d in habitat.dims:
-        if d.prune_src is not None:
-            _seed_static_dim(state_dir, d.name, dims[d.name], n_buckets)
-    _seed_supports(spark, state_dir, supports, habitat.pyramid, n_buckets)
+
+    thunks = [store_thunk(st) for st in habitat.stores]
+    thunks += [
+        (lambda d=d: _seed_static_dim(state_dir, d.name, dims[d.name], n_buckets))
+        for d in habitat.dims
+        if d.prune_src is not None
+    ]
+    thunks += _seed_support_thunks(
+        spark, state_dir, supports, habitat.pyramid, n_buckets
+    )
+    _run_parallel(thunks)
+    _commit_marker(spark, f"{state_dir}/mart/v0")
 
 
 # ---------------------------------------------------- support merges
@@ -399,6 +451,7 @@ def cow_apply_count_delta(
     next_version: int,
     epoch: int,
     roll_keys: list[str] | None = None,
+    touched: list[int] | None = None,
 ) -> DataFrame | None:
     """Merge a SIGNED count delta (``keys`` + ``s``) into a COW-
     bucketed count support: resolve ONLY the delta-touched buckets at
@@ -420,15 +473,39 @@ def cow_apply_count_delta(
     transition. The transitions branch off the same persisted merge
     plan the write materializes, so emitting them costs no second
     bucket read; the caller must consume them inside the same
-    ``engine_cache_scope``."""
-    touched = sorted(
-        r[0]
-        for r in delta.select(
-            _bucket(F.col(bucket_col), n_buckets).alias("b")
+    ``engine_cache_scope``.
+
+    ``touched`` (r15) lets a caller that already knows a SUPERSET of
+    the delta's buckets (the habitat's per-arm one-job discovery,
+    unioned per ``MartHabitat.sup_touch``) skip the discovery collect —
+    which would otherwise EXECUTE the full delta plan a second time,
+    once per bucketed support per epoch. Unlike ``cow_apply_images``,
+    a superset here is value-identical: extra buckets' rows pass
+    through the pruned merge unchanged and are rewritten identically
+    at the new version (only a SUBSET would be wrong);
+    ``minmax_stream.VALIDATE_TOUCHED`` cross-checks the superset
+    property in debug sessions."""
+    from .minmax_stream import VALIDATE_TOUCHED
+
+    def _discover() -> list[int]:
+        return sorted(
+            r[0]
+            for r in delta.select(
+                _bucket(F.col(bucket_col), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
+
+    if touched is None:
+        touched = _discover()
+    else:
+        touched = sorted(touched)
+        if VALIDATE_TOUCHED and not set(touched) >= set(_discover()):
+            raise ValueError(
+                "cow_apply_count_delta: caller-supplied touched buckets "
+                f"{touched} are not a superset of the delta's for {sup_dir}"
+            )
     served = _bucket_sources(spark, sup_dir, prev_version, touched)
     cur = _read_sources(spark, sup_dir, served)
     if cur is None:
@@ -526,9 +603,10 @@ def _advance_supports(
     prev: tuple,
     nxt: int,
     epoch: int,
-    pyramid: MartPyramid,
+    habitat: MartHabitat,
     dims: Mapping[str, DataFrame],
     n_buckets: int,
+    touched: Mapping[str, list[int]] | None = None,
 ) -> None:
     """Fold one epoch's signed support deltas into version ``nxt``:
     aggregate-sized supports merge whole against the previous version
@@ -539,37 +617,67 @@ def _advance_supports(
     any) are the ENTIRE delta of the aggregate-sized level-2 support,
     which rewrites whole under the version root like any other
     aggregate-sized support. The mart-root ``_SUCCESS``, written
-    LAST, commits every piece atomically."""
+    LAST, commits every piece atomically.
+
+    r15: the per-support units (level-1 merge+write, plus its level-2
+    write) are mutually independent — they read disjoint previous
+    state and write disjoint paths — so they run CONCURRENTLY from a
+    small driver pool (guide §2.6) instead of serializing one tiny
+    job's tail after another; each unit scopes its own transitions
+    persist. A bucketed support declared in ``habitat.sup_touch``
+    derives its touched buckets from the one-job discovery (union of
+    its arms' sets) instead of collecting them from the delta plan."""
+    pyramid = habitat.pyramid
     l2 = pyramid.level2
     vdir = f"{state_dir}/mart/v{nxt}_e{epoch}"
-    for name in pyramid.support_names:
+
+    def unit(name: str) -> None:
         keys = pyramid.support_keys[name]
-        if name in l2:
-            continue  # maintained from its level-1's transitions below
         rollup = pyramid.rollups.get(name)
-        trans = None
-        if name in pyramid.bucketed:
-            trans = cow_apply_count_delta(
-                spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
-                pyramid.bucketed[name], n_buckets, prev[0], nxt, epoch,
-                roll_keys=list(rollup.trans_keys) if rollup else None,
-            )
-        else:
-            cur = spark.read.parquet(f"{state_dir}/mart/{prev[3]}/{name}")
-            if rollup is not None:
-                merged, trans = apply_count_delta_with_transitions(
-                    cur, deltas[name], keys, list(rollup.trans_keys)
+        with engine_cache_scope():
+            trans = None
+            if name in pyramid.bucketed:
+                sup_touched = None
+                if touched is not None and name in habitat.sup_touch:
+                    sup_touched = sorted(
+                        {
+                            b
+                            for tag in habitat.sup_touch[name]
+                            for b in touched[tag]
+                        }
+                    )
+                trans = cow_apply_count_delta(
+                    spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
+                    pyramid.bucketed[name], n_buckets, prev[0], nxt, epoch,
+                    roll_keys=list(rollup.trans_keys) if rollup else None,
+                    touched=sup_touched,
                 )
             else:
-                merged = apply_count_delta(cur, deltas[name], keys)
-            merged.write.mode("overwrite").parquet(f"{vdir}/{name}")
-        if rollup is not None:
-            cur2 = _prev_level2(spark, state_dir, pyramid, prev, name, dims)
-            if rollup.transform is not None:
-                trans = rollup.transform(trans, dims)
-            apply_count_delta(
-                cur2, trans, pyramid.support_keys[rollup.l2]
-            ).write.mode("overwrite").parquet(f"{vdir}/{rollup.l2}")
+                cur = spark.read.parquet(f"{state_dir}/mart/{prev[3]}/{name}")
+                if rollup is not None:
+                    merged, trans = apply_count_delta_with_transitions(
+                        cur, deltas[name], keys, list(rollup.trans_keys)
+                    )
+                else:
+                    merged = apply_count_delta(cur, deltas[name], keys)
+                merged.write.mode("overwrite").parquet(f"{vdir}/{name}")
+            if rollup is not None:
+                cur2 = _prev_level2(
+                    spark, state_dir, pyramid, prev, name, dims
+                )
+                if rollup.transform is not None:
+                    trans = rollup.transform(trans, dims)
+                apply_count_delta(
+                    cur2, trans, pyramid.support_keys[rollup.l2]
+                ).write.mode("overwrite").parquet(f"{vdir}/{rollup.l2}")
+
+    _run_parallel(
+        [
+            (lambda name=name: unit(name))
+            for name in pyramid.support_names
+            if name not in l2
+        ]
+    )
     _commit_marker(spark, vdir)
 
 
@@ -655,14 +763,23 @@ def apply_epoch(
         touched = discover_touched(batch, habitat, n_buckets)
 
         # advance the fact COW stores (one partitioned write each; the
-        # exact touched sets were discovered above)
+        # exact touched sets were discovered above). The stores write
+        # disjoint paths from disjoint changelog arms — concurrent
+        # driver jobs (guide §2.6), joined before any rescan reads the
+        # just-written versions.
         by_store = {st.name: st for st in habitat.stores}
-        for st in habitat.stores:
-            cow_apply_images(
-                spark, f"{state_dir}/{st.name}", parts[st.src],
-                st.bucket_col, list(st.key_cols), n_buckets,
-                prev[0], nxt, epoch, touched=touched[st.src],
-            )
+        _run_parallel(
+            [
+                (
+                    lambda st=st: cow_apply_images(
+                        spark, f"{state_dir}/{st.name}", parts[st.src],
+                        st.bucket_col, list(st.key_cols), n_buckets,
+                        prev[0], nxt, epoch, touched=touched[st.src],
+                    )
+                )
+                for st in habitat.stores
+            ]
+        )
 
         # pruned bilinear rescan sources — partition-pruned bucket
         # reads of the stores at the declared version
@@ -697,7 +814,7 @@ def apply_epoch(
             deltas = habitat.deltas(parts, rescans, dim_use)
             _advance_supports(
                 spark, state_dir, deltas, prev, nxt, epoch,
-                habitat.pyramid, dim_use, n_buckets,
+                habitat, dim_use, n_buckets, touched=touched,
             )
     finally:
         batch.unpersist()

@@ -110,6 +110,10 @@ TAXON_HABITAT = MartHabitat(
         dims["pp"], dims["ps"], dims["anc"],
     ),
     render=taxon_mart_from_supports,
+    # sup_prot_db's delta rows carry proteins from BOTH arms (dM's
+    # images via part1, dP's via the m_old rescan in part2) — the
+    # union of their discovery sets bounds its touched buckets
+    sup_touch={"sup_prot_db": ("protein", "match")},
 )
 
 
@@ -267,6 +271,13 @@ ENTRY_HABITAT = MartHabitat(
         rescans["pe_old"], dims["pp"], dims["ps"], dims["pec"],
     ),
     render=entry_mart_from_supports,
+    # sup_ep/sup_eep deltas derive every protein from dPE's images;
+    # sup_etp additionally from dP (the pe_old rescan side)
+    sup_touch={
+        "sup_ep": ("assign",),
+        "sup_etp": ("assign", "protein"),
+        "sup_eep": ("assign",),
+    },
 )
 
 
@@ -393,6 +404,9 @@ CLAN_HABITAT = MartHabitat(
         parts["match"], dims["sc"], dims["prot"], dims["pp"], dims["dom"],
     ),
     render=clan_mart_from_supports,
+    # sup_c_prot's delta is the signed match delta routed through the
+    # broadcast clan dim — proteins come from dM's images alone
+    sup_touch={"sup_c_prot": ("match",)},
 )
 
 
@@ -518,6 +532,8 @@ PROTEOME_HABITAT = MartHabitat(
         rescans["m_old"], dims["ps"],
     ),
     render=proteome_mart_from_supports,
+    # sup_p_prot_db's bilinear delta carries proteins from both arms
+    sup_touch={"sup_p_prot_db": ("assign", "match")},
 )
 
 
@@ -614,6 +630,8 @@ STRUCT_HABITAT = MartHabitat(
         dims["pp"], dims["pdm"],
     ),
     render=structure_mart_from_supports,
+    # sup_s_prot's delta is the signed link delta — plink rows only
+    sup_touch={"sup_s_prot": ("plink",)},
 )
 
 

@@ -1466,3 +1466,75 @@ def test_structure_mart_habitat_stream_and_batch(spark, tmp_path):
     )
     got_s = {r.pdb_id: tuple(r)[1:] for r in out_s.collect()}
     assert got_s == rebuild()
+
+
+def test_cow_apply_count_delta_superset_touched_equals_discovered(
+    spark, tmp_path
+):
+    """r15 optimization: the habitat derives each bucketed support's
+    touched-bucket list from the one-job changelog discovery instead of
+    collecting it from the (expensive) support-delta plan. The derived
+    list is a SUPERSET of the delta's actual buckets — this pins the
+    extra buckets' identical rows to the new version, which must be
+    value-identical to the collect-discovered merge, including the
+    extra buckets' pass-through rows and an extra bucket with no
+    support rows at all."""
+    import os
+
+    from interpro7_dw_spark.streaming.mart_habitat import (
+        cow_apply_count_delta,
+    )
+    from interpro7_dw_spark.streaming.minmax_stream import (
+        _bucket,
+        _bucket_sources,
+        _read_sources,
+    )
+
+    n_buckets = 8
+    keys = ["tax_id", "protein_acc"]
+    support = spark.createDataFrame(
+        [(f"N{i % 3}", f"P{i}", 1) for i in range(40)],
+        "tax_id string, protein_acc string, n long",
+    )
+    delta = spark.createDataFrame(
+        [("N0", "P0", 1), ("N1", "P1", -1)],
+        "tax_id string, protein_acc string, s long",
+    )
+    exact = sorted(
+        r[0]
+        for r in delta.select(
+            _bucket(F.col("protein_acc"), n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    superset = sorted(set(exact) | {b for b in range(n_buckets)})
+    assert set(superset) > set(exact)
+
+    want_dir = str(tmp_path / "sup_discovered")
+    got_dir = str(tmp_path / "sup_superset")
+    for d in (want_dir, got_dir):
+        support.withColumn(
+            "__b", _bucket(F.col("protein_acc"), n_buckets)
+        ).write.partitionBy("__b").parquet(f"{d}/v0")
+
+    # collect-discovery path (touched=None) vs caller-derived superset
+    cow_apply_count_delta(
+        spark, want_dir, delta, keys, "protein_acc", n_buckets, 0, 1, 0
+    )
+    cow_apply_count_delta(
+        spark, got_dir, delta, keys, "protein_acc", n_buckets, 0, 1, 0,
+        touched=superset,
+    )
+
+    def resolved(d):
+        df = _read_sources(spark, d, _bucket_sources(spark, d, 1))
+        return sorted(map(tuple, df.collect()))
+
+    assert resolved(got_dir) == resolved(want_dir)
+    # the superset version carries exactly the superset's partitions
+    # (extra buckets rewritten with identical rows / explicit-empty)
+    written = {
+        int(p[4:])
+        for p in os.listdir(f"{got_dir}/v1_e0")
+        if p.startswith("__b=")
+    }
+    assert written == set(superset), (written, superset)
