@@ -412,8 +412,18 @@ def _prune_split(
     support: DataFrame, delta: DataFrame, prune_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Broadcast semi/anti split of a facts-scale support on the
-    delta's touched ``prune_col`` values — (touched_rows, untouched)."""
-    sup = support.alias("__ps")
+    delta's touched ``prune_col`` values — (touched_rows, untouched).
+
+    The support is persisted here because BOTH branches scan it: in
+    the storeless batch maintainers the support is itself a
+    facts-scale aggregation (the seed's groupBy over the match join),
+    which the semi and anti branches would otherwise each recompute
+    from the base scans (guide §2.4 — the r15 plan sweep showed the
+    seed subtree twice per pruned merge). One compute + cache read
+    replaces two computes; released by the consumer's
+    engine_cache_scope (caching.py). The streaming habitat never
+    reaches this function — its supports are COW bucket READS."""
+    sup = owned_persist(support).alias("__ps")
     touched = F.broadcast(
         delta.select(F.col(prune_col).alias("__pv")).distinct().alias("__pt")
     )

@@ -899,18 +899,20 @@ def write_ivfpq_index(
     Layout: ``codes/`` (vid, sub, code; partitioned by cid),
     ``pq_codebooks/`` (sub, cid, cvec), ``centroids/`` (cid, cvec).
     """
-    cdf_ivf = ivf_centroids_df(
-        emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    # res is consumed by BOTH the codebook trainer and the encoder:
-    # persist (released in the finally — this function fully
-    # materializes before returning, so no cache outlives the builder;
-    # the shallow assign+zip_with lineage needs no checkpoint)
-    res = None
+    from ..parallel import run_parallel
+
     if by_residual:
+        # the residual path is sequential by data dependence: the PQ
+        # trainer consumes residuals, which need the coarse centroids
+        cdf_ivf = ivf_centroids_df(
+            emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        # res is consumed by BOTH the codebook trainer and the
+        # encoder: persist (released in the finally — this function
+        # fully materializes before returning, so no cache outlives
+        # the builder)
         res = _with_residual(emb, cdf_ivf, id_col, vec_col).persist()
-    try:
-        if by_residual:
+        try:
             train = res.select(id_col, "rvec")
             cdf_pq = pq_codebooks_df(
                 train, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
@@ -920,29 +922,51 @@ def write_ivfpq_index(
                 train, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col="rvec"
             ).select(F.col(id_col).alias("vid"), "sub", "code")
             cells = res.select(F.col(id_col).alias("vid"), "cid")
-        else:
-            cdf_pq = pq_codebooks_df(
-                emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
-                vec_col=vec_col,
-            )
-            codes = pq_encode(
-                emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
-            ).select(F.col(id_col).alias("vid"), "sub", "code")
-            cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
-                F.col(id_col).alias("vid"),
-                _nearest_cid(F.col("__v")).alias("cid"),
-            )
-        (
+            _write_ivfpq_layout(path, codes, cells, cdf_pq, cdf_ivf)
+        finally:
+            res.unpersist()
+        return
+
+    # raw-vector mode: the coarse quantizer and the PQ codebooks train
+    # on the SAME corpus but not on each other — two independent Lloyd
+    # loops (each a chain of localCheckpoint actions) that the driver
+    # previously serialized. Run them concurrently (guide §2.6); the
+    # training result frames are localCheckpointed, so the encode /
+    # write phase below reads materialized state from either thread.
+    cdf_ivf, cdf_pq = run_parallel([
+        lambda: ivf_centroids_df(
+            emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        ),
+        lambda: pq_codebooks_df(
+            emb, m=m, ksub=ksub, iters=iters, dim=dim, id_col=id_col,
+            vec_col=vec_col,
+        ),
+    ])
+    codes = pq_encode(
+        emb, cdf_pq, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "sub", "code")
+    cells = _attach_centroids(with_norm(emb, vec_col), cdf_ivf).select(
+        F.col(id_col).alias("vid"),
+        _nearest_cid(F.col("__v")).alias("cid"),
+    )
+    _write_ivfpq_layout(path, codes, cells, cdf_pq, cdf_ivf)
+
+
+def _write_ivfpq_layout(path, codes, cells, cdf_pq, cdf_ivf) -> None:
+    """The three index writes — disjoint paths, independent plans —
+    as concurrent driver jobs (guide §2.6)."""
+    from ..parallel import run_parallel
+
+    run_parallel([
+        lambda: (
             codes.join(cells, "vid")
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(path + "/codes")
-        )
-        cdf_pq.write.mode("overwrite").parquet(path + "/pq_codebooks")
-        cdf_ivf.write.mode("overwrite").parquet(path + "/centroids")
-    finally:
-        if res is not None:
-            res.unpersist()
+        ),
+        lambda: cdf_pq.write.mode("overwrite").parquet(path + "/pq_codebooks"),
+        lambda: cdf_ivf.write.mode("overwrite").parquet(path + "/centroids"),
+    ])
 
 
 def ivfpq_topk(

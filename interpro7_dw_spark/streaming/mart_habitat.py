@@ -53,13 +53,13 @@ fallbacks, instead of failing on a missing path.
 from __future__ import annotations
 
 from collections.abc import Callable, Mapping
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import engine_cache_scope
+from ..parallel import run_parallel
 from ..domain.mart_ivm import (
     MartPyramid,
     apply_count_delta,
@@ -183,7 +183,19 @@ class MartHabitat:
         raise KeyError(tag)
 
 
-def _run_parallel(thunks, max_workers: int = 4) -> None:
+def _prof(label: str, t0: float) -> None:
+    """Opt-in phase timing (SPARK_GRAFT_PROF=1): one stderr line per
+    labeled epoch phase — measurement hook only, no behavior."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("SPARK_GRAFT_PROF"):
+        print(f"[prof] {label:32s} {time.time() - t0:6.2f}s",
+              file=sys.stderr, flush=True)
+
+
+def _run_parallel(thunks, max_workers: int = 8) -> None:
     """Run independent Spark ACTIONS (writes of different state
     pieces) concurrently from a small driver thread pool — guide §2.6:
     the scheduler back-fills executor cores freed by one job's tail
@@ -191,13 +203,7 @@ def _run_parallel(thunks, max_workers: int = 4) -> None:
     ~sum. Each thunk owns its own engine_cache_scope when it persists
     (the registry is thread-local); exceptions propagate to the
     caller, failing the epoch before its commit marker is written."""
-    if len(thunks) <= 1:
-        for t in thunks:
-            t()
-        return
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
-        for f in [pool.submit(t) for t in thunks]:
-            f.result()
+    run_parallel(thunks, max_workers)
 
 
 # ------------------------------------------------------------ unify
@@ -522,9 +528,15 @@ def cow_apply_count_delta(
             cur, delta, keys, roll_keys
         )
     ver = f"{sup_dir}/v{next_version}_e{epoch}"
+    # one file per non-empty bucket (same rationale as
+    # cow_apply_images): without the repartition every merge map task
+    # writes into every bucket dir it touches — 512+ tiny files per
+    # version that every later epoch re-lists (guide §6)
     merged.withColumn(
         "__b", _bucket(F.col(bucket_col), n_buckets)
-    ).write.partitionBy("__b").mode("overwrite").parquet(ver)
+    ).repartition(n_buckets, F.col("__b")).write.partitionBy("__b").mode(
+        "overwrite"
+    ).parquet(ver)
     fs, _r, jp = _fs(spark, sup_dir)
     for b in touched:
         fs.mkdirs(jp(f"{ver}/__b={b}"))
@@ -632,6 +644,9 @@ def _advance_supports(
     vdir = f"{state_dir}/mart/v{nxt}_e{epoch}"
 
     def unit(name: str) -> None:
+        import time as _time
+
+        _t0 = _time.time()
         keys = pyramid.support_keys[name]
         rollup = pyramid.rollups.get(name)
         with engine_cache_scope():
@@ -670,6 +685,7 @@ def _advance_supports(
                 apply_count_delta(
                     cur2, trans, pyramid.support_keys[rollup.l2]
                 ).write.mode("overwrite").parquet(f"{vdir}/{rollup.l2}")
+        _prof(f"unit {name}", _t0)
 
     _run_parallel(
         [
@@ -753,6 +769,8 @@ def apply_epoch(
         )
     if prev[1] is not None and epoch <= prev[1]:
         return  # replayed epoch already committed — no-op
+    import time as _time
+
     nxt = prev[0] + 1
     batch = batch.persist()
     try:
@@ -760,7 +778,9 @@ def apply_epoch(
             src.tag: batch.filter(F.col("src") == src.tag).select(*src.cols)
             for src in habitat.sources
         }
+        _t0 = _time.time()
         touched = discover_touched(batch, habitat, n_buckets)
+        _prof("discover", _t0)
 
         # advance the fact COW stores (one partitioned write each; the
         # exact touched sets were discovered above). The stores write
@@ -768,6 +788,7 @@ def apply_epoch(
         # driver jobs (guide §2.6), joined before any rescan reads the
         # just-written versions.
         by_store = {st.name: st for st in habitat.stores}
+        _t0 = _time.time()
         _run_parallel(
             [
                 (
@@ -780,6 +801,7 @@ def apply_epoch(
                 for st in habitat.stores
             ]
         )
+        _prof("store advances", _t0)
 
         # pruned bilinear rescan sources — partition-pruned bucket
         # reads of the stores at the declared version
@@ -812,12 +834,15 @@ def apply_epoch(
         # scope releases them once every support consumed them
         with engine_cache_scope():
             deltas = habitat.deltas(parts, rescans, dim_use)
+            _t0 = _time.time()
             _advance_supports(
                 spark, state_dir, deltas, prev, nxt, epoch,
                 habitat, dim_use, n_buckets, touched=touched,
             )
+            _prof("advance supports", _t0)
     finally:
         batch.unpersist()
+    _t0 = _time.time()
     _vacuum(spark, mart_dir, nxt, keep_last)
     keep_floor = None
     if keep_last is not None:
@@ -828,6 +853,7 @@ def apply_epoch(
         _vacuum_facts(spark, f"{state_dir}/{st.name}", keep_floor, nxt)
     for name in habitat.pyramid.bucketed:
         _vacuum_facts(spark, f"{state_dir}/sup_cow/{name}", keep_floor, nxt)
+    _prof("vacuum", _t0)
 
 
 def maintain_stream(

@@ -275,9 +275,19 @@ def cow_apply_images(
         survivors = cur.join(changed_keys, on, "left_anti")
         merged = survivors.select(*fact_cols).unionByName(incoming)
     facts_ver = f"{facts_dir}/v{next_version}_e{epoch}"
+    # repartition by bucket before the partitioned write: without it
+    # every map task of the merge writes its own file into every
+    # bucket dir it holds rows for — measured 512-947 files per
+    # version dir vs 16 at seed (guide §6 small files; each later
+    # epoch then lists/opens them all). One deterministic shuffle of
+    # delta-bounded rows buys exactly one file per non-empty bucket —
+    # the layout every pruned read wants. n_buckets is the scale knob:
+    # the shuffle moves only touched-bucket rows, never |facts|.
     merged.withColumn(
         "__b", _bucket(F.col(bucket_col), n_buckets)
-    ).write.partitionBy("__b").mode("overwrite").parquet(facts_ver)
+    ).repartition(n_buckets, F.col("__b")).write.partitionBy("__b").mode(
+        "overwrite"
+    ).parquet(facts_ver)
     fs, _r, jp = _fs(spark, facts_dir)
     for b in touched:
         fs.mkdirs(jp(f"{facts_ver}/__b={b}"))

@@ -39,6 +39,28 @@ def main() -> None:
         marks.append((label, time.time() - t0))
         print(f"{label:28s} {time.time() - t0:7.2f}s", flush=True)
 
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    for it in range(n_iters):
+        print(f"--- iteration {it} ---", flush=True)
+        run_once(spark, sc, sf, mark)
+
+    print("|".join(f"{k}={v:.2f}" for k, v in marks))
+    spark.stop()
+
+
+def run_once(spark, sc, sf, mark) -> None:
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.caching import engine_cache_scope
+    from interpro7_dw_spark.operators.cdc import snapshot_delta_images
+    from interpro7_dw_spark.plans.marts import _entry_release_tables
+    from interpro7_dw_spark.plans.spec import fixture_dir
+    from interpro7_dw_spark.streaming.mart_stream import (
+        maintain_entry_mart_stream,
+        seed_entry_mart_state,
+        unify_entry_changelogs,
+    )
+
     with engine_cache_scope():
         t_all = time.time()
         t0 = time.time()
@@ -95,9 +117,6 @@ def main() -> None:
         mark("render+noop", t0)
         mark("TOTAL", t_all)
         sc.setJobDescription(None)
-
-    print("|".join(f"{k}={v:.2f}" for k, v in marks))
-    spark.stop()
 
 
 if __name__ == "__main__":
