@@ -574,6 +574,8 @@ def taxon_support_deltas(
     # full-outer snapshot join. Lifetime outlives this call:
     # owned_persist registers it for release by the consumer's
     # engine_cache_scope (same contract as ewma's chunk aggregate).
+    # (r15 measured: ALSO persisting dp/dm, or broadcasting the
+    # touched-protein prunes, is NEGATIVE here — see OPTIMIZATION_r15)
     dp_lift = owned_persist(
         dp.join(anc, "tax_id").select(
             "protein_acc", F.col("ancestor").alias("tax_id"), "s"
@@ -844,6 +846,10 @@ def entry_support_deltas(
     persists (five consumers) — released by the consumer's
     engine_cache_scope."""
     dpe = owned_persist(_signed_pe_delta(delta_pe))
+    # (r15 measured: also persisting dp, or broadcasting the
+    # touched-protein prunes, is floor-neutral to slightly negative —
+    # same family of results as the taxon/proteome builders; see
+    # OPTIMIZATION_r15. Kept at the faster original shape.)
     dp = _signed_protein_delta(delta_p)
 
     p_new_touched = protein_taxa_new.join(

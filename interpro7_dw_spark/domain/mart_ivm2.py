@@ -334,6 +334,10 @@ def proteome_support_deltas(
     pruned to dPP's proteins. ``dpp``/``d_matched`` persist (multiple
     consumers); released by the consumer's engine_cache_scope."""
     dpp = owned_persist(_signed_pp_delta(delta_pp))
+    # (r15 measured: persisting dm / broadcasting the touched-protein
+    # prunes is NEGATIVE here, exactly as in the taxon builder — the
+    # recomputed match-delta branches overlap better than a persist
+    # barrier + broadcast build serializes; see OPTIMIZATION_r15)
     dm = _signed_match_delta(delta_m)
 
     pp_touched = pp_new.join(

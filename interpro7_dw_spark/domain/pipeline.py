@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..caching import owned_persist
 from .fragments import condense_locations_col, parse_fragments
-from .repr_domains import select_repr_domains
+from .repr_domains import repr_id_sets
 
 # database priority orders for representative selection
 # (reference interpro/oracle/entries.py:14-19)
@@ -117,26 +117,46 @@ def _flag_representatives(classified: DataFrame) -> DataFrame:
     ONE grouped pass over (protein, class) — the reference runs its
     selection twice per protein (matches.py:326-331), but the classes
     are independent, so a composite group key folds both runs into a
-    single shuffle + Arrow batch. Regions are never representative."""
-    ranked = classified.filter(F.col("klass") != "region")
-    reps = select_repr_domains(
-        ranked.select(
-            "protein_acc",
-            "klass",
-            "domain_id",
-            "rank",
-            F.expr(
-                "transform(frags, f -> struct(f.start AS start, f.end AS end))"
-            ).alias("fragments"),
-        ),
-        group_cols=("protein_acc", "klass"),
-    ).select("protein_acc", "domain_id", "representative")
-    flagged = ranked.join(reps, ["protein_acc", "domain_id"], "left")
-    regions = classified.filter(F.col("klass") == "region").withColumn(
-        "representative", F.lit(False)
+    single shuffle + Arrow batch. Regions are never representative.
+
+    The kernel's per-(protein, class) rep_id ARRAYS fold to ONE array
+    per protein (domain_id is unique within a protein, so the flatten
+    loses nothing) and attach back with a protein_acc-keyed join +
+    array_contains, instead of exploding to per-match rows and joining
+    on (protein, domain_id): the grouped aggregates and the join all
+    reuse the domain_id window's protein_acc partitioning (guide §2.4
+    — hash partitioning on protein_acc satisfies every
+    (protein_acc, ...) clustering requirement, and a single-key join
+    on protein_acc is co-partitioned without further exchanges), the
+    join's build side is PROTEIN-sized instead of match-sized, and the
+    region rows need no separate union branch — their domain_ids are
+    never in rep_ids (proteins with only regions match no row at
+    all), so array_contains/the coalesce lands their literal False."""
+    rep_sets = (
+        repr_id_sets(
+            classified.filter(F.col("klass") != "region").select(
+                "protein_acc",
+                "klass",
+                "domain_id",
+                "rank",
+                F.expr(
+                    "transform(frags, f -> struct(f.start AS start, f.end AS end))"
+                ).alias("fragments"),
+            ),
+            group_cols=("protein_acc", "klass"),
+        )
+        .groupBy("protein_acc")
+        .agg(F.flatten(F.collect_list("rep_ids")).alias("rep_ids"))
     )
-    return flagged.unionByName(regions).withColumn(
-        "representative", F.coalesce("representative", F.lit(False))
+    return (
+        classified.join(rep_sets, ["protein_acc"], "left")
+        .withColumn(
+            "representative",
+            F.coalesce(
+                F.array_contains("rep_ids", F.col("domain_id")), F.lit(False)
+            ),
+        )
+        .drop("rep_ids")
     )
 
 

@@ -162,6 +162,23 @@ def _make_repr_udf():
     return repr_ids
 
 
+def repr_id_sets(
+    domains: DataFrame, group_cols: tuple[str, ...] = ("protein_acc",)
+) -> DataFrame:
+    """The kernel's raw output: ONE row per group carrying the
+    representative domain_ids as an array — the group-sized relation a
+    caller can attach back to its match-sized input with a
+    ``group_cols``-keyed join + ``array_contains`` (what the merge
+    pipeline does), instead of exploding to per-domain rows first.
+    Output: (*group_cols, rep_ids array<long>)."""
+    repr_udf = _make_repr_udf()
+    return (
+        domains.groupBy(*group_cols)
+        .agg(F.collect_list(F.struct("domain_id", "rank", "fragments")).alias("doms"))
+        .select(*group_cols, "doms", repr_udf(F.col("doms")).alias("rep_ids"))
+    )
+
+
 def select_repr_domains(
     domains: DataFrame, group_cols: tuple[str, ...] = ("protein_acc",)
 ) -> DataFrame:
@@ -174,12 +191,7 @@ def select_repr_domains(
     array<struct<start,end>>.
     Output: (*group_cols, domain_id, rank, fragments, representative).
     """
-    repr_udf = _make_repr_udf()
-    grouped = (
-        domains.groupBy(*group_cols)
-        .agg(F.collect_list(F.struct("domain_id", "rank", "fragments")).alias("doms"))
-        .select(*group_cols, "doms", repr_udf(F.col("doms")).alias("rep_ids"))
-    )
+    grouped = repr_id_sets(domains, group_cols)
     return grouped.select(
         *group_cols,
         F.explode("doms").alias("d"),

@@ -266,6 +266,10 @@ def cow_apply_images(
     if cur is None:
         merged = incoming
     else:
+        # (r15 measured: an F.broadcast hint here is NEGATIVE — the
+        # per-epoch broadcast build + driver roundtrip costs more than
+        # the tiny co-keyed shuffle it removes; AQE already converts
+        # when profitable. See OPTIMIZATION_r15.)
         changed_keys = batch.select(
             *[F.col(k).alias(k) for k in key_cols]
         ).distinct()

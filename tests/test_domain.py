@@ -239,6 +239,52 @@ def test_repr_exact_tie_is_deterministic(spark):
         assert got == {1: True, 2: False}
 
 
+def test_flag_representatives_matches_explode_path(spark):
+    # r15: _flag_representatives attaches the kernel's per-(protein,
+    # class) rep_id arrays by a protein-keyed join + array_contains
+    # (one flattened array per protein) instead of exploding to
+    # per-domain rows and joining on (protein, domain_id). The two
+    # attachments must flag identically — including region rows
+    # (always False) and proteins with both a domain and a family
+    # group (the flatten must not mix up their domain_ids).
+    from pyspark.sql import functions as F
+
+    from interpro7_dw_spark.domain.pipeline import _flag_representatives
+    from interpro7_dw_spark.domain.repr_domains import select_repr_domains
+
+    matches, signatures, _ = _fixture(spark)
+    classified = classify_matches(matches, signatures)
+    got = {
+        (r["protein_acc"], r["domain_id"]): r["representative"]
+        for r in _flag_representatives(classified).collect()
+    }
+    ranked = classified.filter(F.col("klass") != "region")
+    reference = {
+        (r["protein_acc"], r["domain_id"]): r["representative"]
+        for r in select_repr_domains(
+            ranked.select(
+                "protein_acc",
+                "klass",
+                "domain_id",
+                "rank",
+                F.expr(
+                    "transform(frags, f -> struct(f.start AS start, f.end AS end))"
+                ).alias("fragments"),
+            ),
+            group_cols=("protein_acc", "klass"),
+        ).collect()
+    }
+    n_regions = 0
+    for key, rep in got.items():
+        if key in reference:
+            assert rep == reference[key], key
+        else:  # a region row — never representative
+            n_regions += 1
+            assert rep is False, key
+    assert set(reference) <= set(got)
+    assert n_regions >= 1  # the fixture carries a region row
+
+
 def test_toad_reassembly(spark):
     from interpro7_dw_spark.domain.fragments import reassemble_toad_fragments
 
