@@ -175,18 +175,49 @@ def main() -> None:
     # wrapped in engine_cache_scope, which drops operator-owned
     # persists so each query is measured independently.
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # phase split of the winning (min) stream_ivm_mart_entry pass —
+    # the r15 verdict's requested seed_s/steady_s observability
+    # (additive field; the timed value is unchanged)
+    entry_phases: dict[str, float] | None = None
     for _pass in range(3):
         for name in HEADLINE:
-            times[name] = min(times[name], run(name, sf_dir))
+            elapsed = run(name, sf_dir)
+            if elapsed < times[name]:
+                times[name] = elapsed
+                if name == "stream_ivm_mart_entry":
+                    from interpro7_dw_spark.plans.marts import (
+                        ENTRY_STREAM_PHASES,
+                    )
+
+                    entry_phases = {
+                        k: round(v, 3)
+                        for k, v in ENTRY_STREAM_PHASES.items()
+                    }
+                    entry_phases["render_s"] = round(
+                        elapsed - sum(ENTRY_STREAM_PHASES.values()), 3
+                    )
     times = {k: round(v, 3) for k, v in times.items()}
 
     carried = [n for n in HEADLINE[:CARRIED21_COUNT]]
+    # carried20: the r15 verdict's clean drift anchor — carried21
+    # minus z_domain_merge_matches, which was optimized in r15 and so
+    # no longer qualifies as an untouched-code control
+    carried20 = [n for n in carried if n != "z_domain_merge_matches"]
+    sc = spark.sparkContext
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "carried21": round(sum(times[n] for n in carried), 3),
+        "carried20": round(sum(times[n] for n in carried20), 3),
+        # scaling-contract observability (r15 verdict item 2): the
+        # EFFECTIVE master and task parallelism this bench ran with,
+        # plus the raw env var, so an 8c-vs-32c probe is decidable
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "stream_ivm_mart_entry_phases": entry_phases,
         "sf": sf,
     }))
 

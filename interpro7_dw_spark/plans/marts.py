@@ -29,7 +29,7 @@ from ..domain.marts import (
     structure_xrefs_mart,
     taxon_xrefs_mart,
 )
-from .spec import REGISTRY, QuerySpec, register, t
+from .spec import REGISTRY, QuerySpec, register, t, write_split_fixture
 
 
 def _proteins(spark, sf):
@@ -937,16 +937,11 @@ def _stream_ivm_mart(spark, sf):
     split = F.coalesce(
         F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
-    # persisted: the three filtered fixture writes otherwise each
-    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
-    # don't recompute what a pass already computed); released right
-    # after the last write, before the stream starts.
-    unified = unified.persist()
-    for part in range(3):
-        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    unified.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4): the full-outer snapshot_delta_images joins run once
+    # with no persist, where the r15 shape ran them once into a cache
+    # plus three filtered single-task write jobs.
+    write_split_fixture(unified, split, 3, f"{root}/changes")
     state = root + "_state"
     seed_mart_state(spark, p_old, m_old, pp, ps, anc, state, n_buckets=16)
     stream = (
@@ -1120,6 +1115,14 @@ register(QuerySpec(
 ))
 
 
+# Phase wall-times of the LAST _stream_ivm_mart_entry build — bench.py
+# reports them additively as the r15-verdict-requested seed_s/steady_s
+# split (fixture build vs one-time state seed vs the 3-epoch stream
+# drain). Measurement hook only: timers around existing calls, no
+# behavior change.
+ENTRY_STREAM_PHASES: dict[str, float] = {}
+
+
 def _stream_ivm_mart_entry(spark, sf):
     """The SAME release changelog as z_ivm_mart_entry2xrefs, drained
     as a STREAM (streaming/mart_stream.py, entry habitat): assignment
@@ -1130,6 +1133,9 @@ def _stream_ivm_mart_entry(spark, sf):
     ones rewrite whole, all committed atomically per version. Final
     rendered mart must equal the full rebuild of the new release."""
     import shutil
+    import time as _time
+
+    _t0 = _time.time()
 
     from ..operators.cdc import snapshot_delta_images
     from ..streaming.mart_stream import (
@@ -1154,30 +1160,35 @@ def _stream_ivm_mart_entry(spark, sf):
     split = F.coalesce(
         F.col("pe_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
-    # persisted: the three filtered fixture writes otherwise each
-    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
-    # don't recompute what a pass already computed); released right
-    # after the last write, before the stream starts.
-    unified = unified.persist()
-    for part in range(3):
-        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    unified.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4): the full-outer snapshot_delta_images joins run once
+    # with no persist, where the r15 shape ran them once into a cache
+    # plus three filtered single-task write jobs.
+    write_split_fixture(unified, split, 3, f"{root}/changes")
+    _t1 = _time.time()
     state = root + "_state"
     seed_entry_mart_state(
         spark, r["p_old"], r["pe_old"], r["pp"], r["ps"], r["pec"],
         state, n_buckets=16,
     )
+    _t2 = _time.time()
     stream = (
         spark.readStream.schema(unified.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{root}/changes")
     )
-    return maintain_entry_mart_stream(
+    out = maintain_entry_mart_stream(
         spark, stream, state, r["pp"], r["ps"], r["pec"],
         entry_go=r["ego"], n_buckets=16,
     )
+    _t3 = _time.time()
+    ENTRY_STREAM_PHASES.clear()
+    ENTRY_STREAM_PHASES.update({
+        "fixtures_s": _t1 - _t0,
+        "seed_s": _t2 - _t1,
+        "steady_s": _t3 - _t2,
+    })
+    return out
 
 
 def _ivm_count_pyramid(spark, sf):
@@ -1565,14 +1576,11 @@ def _stream_ivm_mart_clan(spark, sf):
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root + "_state", ignore_errors=True)
     shutil.rmtree(root + "_state_chk", ignore_errors=True)
-    # persisted across the three filtered fixture writes (see the
-    # taxon stream spec's comment)
-    unified = unified.persist()
-    for part in range(3):
-        unified.filter(F.col("match_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{root}/changes")
-    unified.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4 — see the taxon stream spec's comment)
+    write_split_fixture(
+        unified, F.col("match_id") % 3, 3, f"{root}/changes"
+    )
     state = root + "_state"
     seed_clan_mart_state(
         spark, m_old.drop("match_id"), sc, prot, pp, dom, es,
@@ -1667,16 +1675,9 @@ def _stream_ivm_mart_proteome(spark, sf):
     split = F.coalesce(
         F.col("match_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
-    # persisted: the three filtered fixture writes otherwise each
-    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
-    # don't recompute what a pass already computed); released right
-    # after the last write, before the stream starts.
-    unified = unified.persist()
-    for part in range(3):
-        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    unified.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4 — see the taxon stream spec's comment)
+    write_split_fixture(unified, split, 3, f"{root}/changes")
     state = root + "_state"
     seed_proteome_mart_state(
         spark, pp_old, m_old, ps, state, n_buckets=16
@@ -1778,16 +1779,9 @@ def _stream_ivm_mart_structure(spark, sf):
     split = F.coalesce(
         F.col("pm_id") % 3, F.ascii(F.col("protein_acc")) % 3
     )
-    # persisted: the three filtered fixture writes otherwise each
-    # re-run the full-outer snapshot_delta_images joins (guide §2.4 —
-    # don't recompute what a pass already computed); released right
-    # after the last write, before the stream starts.
-    unified = unified.persist()
-    for part in range(3):
-        unified.filter(split == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    unified.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4 — see the taxon stream spec's comment)
+    write_split_fixture(unified, split, 3, f"{root}/changes")
     state = root + "_state"
     seed_structure_mart_state(
         spark, pm_old, sc, ps_old, prot, pp, pdm, state, n_buckets=16

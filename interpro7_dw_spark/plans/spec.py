@@ -175,6 +175,53 @@ def fixture_dir(name: str, sf_dir: str = "", input_path: str | None = None) -> s
     return os.path.join(root, key)
 
 
+def write_split_fixture(
+    df: DataFrame, split: Column, parts, out_dir: str
+) -> None:
+    """Write ``df`` as one single-file parquet micro-batch fixture per
+    value of ``split`` under ``out_dir``, in ONE write job instead of
+    one filtered pass over the (persisted) relation per part (guide
+    §2.4: one pass computes what n passes recomputed; §6: same file
+    count, one commit). ``parts`` is either an int (split values are
+    ``range(parts)``) or an explicit list of split values in the
+    desired drain order. The rows route through a single
+    ``partitionBy`` write into a staging dir; the per-part files are
+    then renamed into ``out_dir`` with names AND mtimes increasing in
+    part order, so a ``maxFilesPerTrigger=1`` stream drains them in
+    the same order as the sequential per-part writes this replaces.
+    Rows with a NULL split value are dropped, exactly like the
+    ``filter(split == part)`` writes were dropping them; an empty part
+    produces no file, also as before. Fixture dirs are repo-local
+    (``fixture_dir``), so plain ``os`` renames apply."""
+    import os
+    import shutil
+    import time
+
+    values = list(range(parts)) if isinstance(parts, int) else list(parts)
+    stage = out_dir.rstrip("/") + "__stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        df.withColumn("__part", split.cast("long"))
+        .repartition(1)  # one writer task, as coalesce(1)-per-part was
+        .write.partitionBy("__part")
+        .parquet(stage)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    now = time.time()
+    for i, v in enumerate(values):
+        pdir = os.path.join(stage, f"__part={v}")
+        if not os.path.isdir(pdir):
+            continue
+        files = sorted(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        for j, name in enumerate(files):
+            dst = os.path.join(out_dir, f"{i:05d}-{j:03d}.parquet")
+            os.replace(os.path.join(pdir, name), dst)
+            os.utime(dst, (now + i, now + i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def dec(c: Column | str) -> Column:
     """Exact-sum money representation (see module docstring)."""
     col = F.col(c) if isinstance(c, str) else c

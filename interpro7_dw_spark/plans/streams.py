@@ -8,7 +8,7 @@ trigger(availableNow) — see streaming/events_stream.py.
 from __future__ import annotations
 
 from ..streaming.events_stream import sliding_event_counts, windowed_event_counts
-from .spec import QuerySpec, fixture_dir, register
+from .spec import QuerySpec, fixture_dir, register, write_split_fixture
 
 
 def _stream_dedup_union(spark, sf):
@@ -252,15 +252,10 @@ def _stream_ivm(spark, sf):
     root = fixture_dir("ivm_stream", sf)
     for sub in ("changes", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
-    # 4 key-ranged files -> 4 micro-batches under maxFilesPerTrigger=1
-    # persisted: each filtered fixture write otherwise re-runs the
-    # full-outer snapshot_delta_images join (guide §2.4)
-    delta = delta.persist()
-    for part in range(4):
-        delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    delta.unpersist()
+    # 4 key-ranged files -> 4 micro-batches under maxFilesPerTrigger=1;
+    # ONE partitionBy write builds all four (r16, guide §2.4): the
+    # full-outer snapshot_delta_images join runs once, no persist
+    write_split_fixture(delta, k % 4, 4, f"{root}/changes")
     base.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(
@@ -452,7 +447,6 @@ def _stream_ewma(spark, sf):
     per key. Micro-batch boundaries == chunk boundaries, so the
     streamed doubles equal the chunk-composed batch plan bit-for-bit
     and the SAME DuckDB oracle replays them."""
-    import os
     import shutil
 
     from pyspark.sql import functions as F
@@ -470,17 +464,11 @@ def _stream_ewma(spark, sf):
     chunks = sorted(
         r[0] for r in ev.select(F.expr(f"ts DIV {chunk_ns}")).distinct().collect()
     )
-    stamped = set()
-    for i, c in enumerate(chunks):
-        ev.filter(F.expr(f"ts DIV {chunk_ns}") == c).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        for r, _d, files in os.walk(src):
-            for f in files:
-                pth = os.path.join(r, f)
-                if pth not in stamped:
-                    os.utime(pth, (1_700_000_000 + 100 * i,) * 2)
-                    stamped.add(pth)
+    # ONE partitionBy write builds every chunk file (r16, guide §2.4):
+    # one scan of events instead of one filtered scan per chunk; the
+    # helper stamps mtimes increasing in chunk order, which is all the
+    # per-file utime loop existed for
+    write_split_fixture(ev, F.expr(f"ts DIV {chunk_ns}"), chunks, src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -554,14 +542,10 @@ def _stream_ivm_minmax(spark, sf):
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root + "_state", ignore_errors=True)
     shutil.rmtree(root + "_state_chk", ignore_errors=True)
-    # persisted: each filtered fixture write otherwise re-runs the
-    # full-outer snapshot_delta_images join (guide §2.4)
-    delta = delta.persist()
-    for part in range(3):
-        delta.filter(k % 3 == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    delta.unpersist()
+    # ONE partitionBy write builds all three micro-batch files (r16,
+    # guide §2.4): the full-outer snapshot_delta_images join runs
+    # once, no persist
+    write_split_fixture(delta, k % 3, 3, f"{root}/changes")
     state = f"{root}_state"
     seed_minmax_state(spark, base, state, "o_custkey", "o_totalprice",
                       n_buckets=16)
@@ -704,10 +688,9 @@ def _stream_topk(spark, sf):
     root = fixture_dir("topk_stream", sf)
     for sub in ("rows", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
-    for part in range(4):
-        base.filter(F.col("event_id") % 4 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{root}/rows")
+    # ONE partitionBy write builds all four micro-batch files (r16,
+    # guide §2.4): one scan of the events base instead of four
+    write_split_fixture(base, F.col("event_id") % 4, 4, f"{root}/rows")
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)
@@ -849,14 +832,10 @@ def _stream_ivm_join(spark, sf):
     for sub in ("facts", "changes", "mart", "mart_chk"):
         shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
     fact_old.write.parquet(f"{root}/facts")
-    # persisted: each filtered fixture write otherwise re-runs the
-    # full-outer snapshot_delta_images join (guide §2.4)
-    delta = delta.persist()
-    for part in range(4):
-        delta.filter(k % 4 == part).coalesce(1).write.mode("append").parquet(
-            f"{root}/changes"
-        )
-    delta.unpersist()
+    # ONE partitionBy write builds all four micro-batch files (r16,
+    # guide §2.4): the full-outer snapshot_delta_images join runs
+    # once, no persist
+    write_split_fixture(delta, k % 4, 4, f"{root}/changes")
     stream = (
         spark.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", 1)
