@@ -374,13 +374,17 @@ def _seed_support_thunks(
     pyramid: MartPyramid,
     n_buckets: int,
 ) -> list:
-    """One write thunk per support of the v0 state: aggregate-sized
-    supports as plain parquet under the mart version root, facts-scale
-    ones as bucketed COW stores (each with a ``_schema.json`` artifact
-    so an emptied or seed-empty store can still be served with its
-    REAL schema). The caller runs them (concurrently — they write
-    disjoint paths) and writes the mart root ``_SUCCESS`` LAST to
-    commit all."""
+    """One write thunk per FACTS-SCALE support of the v0 state (each a
+    bucketed COW store with a ``_schema.json`` artifact so an emptied
+    or seed-empty store can still be served with its REAL schema) and
+    per LEVEL-2 support (plain parquet under the mart version root),
+    plus ONE thunk writing every plain level-1 support through the
+    discriminated ``mart/v0/agg`` union (r16 — one action instead of
+    one per support; level 2 stays per-name so a version can still
+    distinguish "absent, derive from level 1" from "legitimately
+    empty"). The caller runs them (concurrently — they write disjoint
+    paths) and writes the mart root ``_SUCCESS`` LAST to commit
+    all."""
     def bucketed(name: str) -> None:
         sup_dir = f"{state_dir}/sup_cow/{name}"
         sup[name].withColumn(
@@ -388,15 +392,35 @@ def _seed_support_thunks(
         ).write.partitionBy("__b").parquet(f"{sup_dir}/v0")
         _write_schema_artifact(spark, sup_dir, sup[name].schema)
 
-    def plain(name: str) -> None:
-        sup[name].write.parquet(f"{state_dir}/mart/v0/{name}")
-
-    return [
-        (lambda name=name: bucketed(name))
-        if name in pyramid.bucketed
-        else (lambda name=name: plain(name))
-        for name in pyramid.support_names
+    l2 = pyramid.level2
+    plain_names = [
+        n
+        for n in pyramid.support_names
+        if n not in pyramid.bucketed and n not in l2
     ]
+    thunks = [
+        (lambda name=name: bucketed(name))
+        for name in pyramid.support_names
+        if name in pyramid.bucketed
+    ]
+    thunks += [
+        (
+            lambda name=name: sup[name].write.parquet(
+                f"{state_dir}/mart/v0/{name}"
+            )
+        )
+        for name in pyramid.support_names
+        if name in l2 and name not in pyramid.bucketed
+    ]
+    if plain_names:
+        thunks.append(
+            lambda: _write_agg_supports(
+                spark,
+                f"{state_dir}/mart/v0",
+                {n: sup[n] for n in plain_names},
+            )
+        )
+    return thunks
 
 
 def seed_state(
@@ -458,6 +482,7 @@ def cow_apply_count_delta(
     epoch: int,
     roll_keys: list[str] | None = None,
     touched: list[int] | None = None,
+    persist_into: list | None = None,
 ) -> DataFrame | None:
     """Merge a SIGNED count delta (``keys`` + ``s``) into a COW-
     bucketed count support: resolve ONLY the delta-touched buckets at
@@ -490,7 +515,45 @@ def cow_apply_count_delta(
     through the pruned merge unchanged and are rewritten identically
     at the new version (only a SUBSET would be wrong);
     ``minmax_stream.VALIDATE_TOUCHED`` cross-checks the superset
-    property in debug sessions."""
+    property in debug sessions.
+
+    ``persist_into`` (r16) forwards to
+    ``apply_count_delta_with_transitions``: a caller that consumes the
+    returned transitions on a different thread (the pooled epoch
+    writes) owns the shared merge persist's release through this list
+    instead of a thread-local cache scope."""
+    merged, transitions, touched = cow_count_merge_plan(
+        spark, sup_dir, delta, keys, bucket_col, n_buckets, prev_version,
+        roll_keys=roll_keys, touched=touched, persist_into=persist_into,
+    )
+    cow_write_merged(
+        spark, sup_dir, merged, bucket_col, n_buckets, next_version,
+        epoch, touched,
+    )
+    return transitions
+
+
+def cow_count_merge_plan(
+    spark: SparkSession,
+    sup_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    n_buckets: int,
+    prev_version: int,
+    roll_keys: list[str] | None = None,
+    touched: list[int] | None = None,
+    persist_into: list | None = None,
+) -> tuple[DataFrame, DataFrame | None, list[int]]:
+    """The LAZY half of :func:`cow_apply_count_delta` — build the
+    pruned merge relation (and transitions, with ``roll_keys``)
+    against ``prev_version`` without running any write, so a caller
+    can overlap the COW write with OTHER jobs that consume the
+    transitions (r16: the habitat pools the bucketed writes and the
+    one agg-union write from the same plan set). Runs no Spark action
+    when ``touched`` is supplied (bucket resolution is driver-side
+    file listing); with ``touched=None`` the discovery collect runs
+    here. Returns ``(merged, transitions, touched)``."""
     from .minmax_stream import VALIDATE_TOUCHED
 
     def _discover() -> list[int]:
@@ -525,8 +588,25 @@ def cow_apply_count_delta(
         merged = apply_count_delta(cur, delta, keys)
     else:
         merged, transitions = apply_count_delta_with_transitions(
-            cur, delta, keys, roll_keys
+            cur, delta, keys, roll_keys, persist_into=persist_into
         )
+    return merged, transitions, touched
+
+
+def cow_write_merged(
+    spark: SparkSession,
+    sup_dir: str,
+    merged: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    next_version: int,
+    epoch: int,
+    touched: list[int],
+) -> None:
+    """The write half of :func:`cow_apply_count_delta`: the merged
+    touched-bucket rows as the new version in ONE ``partitionBy``
+    action, plus explicit empty dirs for fully-emptied touched
+    buckets."""
     ver = f"{sup_dir}/v{next_version}_e{epoch}"
     # one file per non-empty bucket (same rationale as
     # cow_apply_images): without the repartition every merge map task
@@ -540,7 +620,6 @@ def cow_apply_count_delta(
     fs, _r, jp = _fs(spark, sup_dir)
     for b in touched:
         fs.mkdirs(jp(f"{ver}/__b={b}"))
-    return transitions
 
 
 def _read_cow_support(
@@ -567,6 +646,141 @@ def _read_cow_support(
     return df
 
 
+# ------------------------------------------- aggregate-sized supports
+# r16 (guide §1.2/§2.6 — fewer driver jobs per epoch): the PLAIN
+# level-1 supports of a version are written as ONE discriminated
+# relation under ``mart/v*/agg/__sup=<name>/`` in a single
+# ``partitionBy`` action, instead of one plan+write+commit cycle per
+# support. The per-epoch driver-job count is what dominates the
+# standing queries' warm epochs at bench scale (r15 phase profile:
+# ~5.4 s/epoch of planning + per-state-piece commit against
+# millisecond data), and at cluster scale fewer commits is strictly
+# less driver work. Level-2 supports stay per-name: inside the agg
+# union an absent ``__sup`` partition is indistinguishable from a
+# legitimately emptied support, and the level-2 upgrade fallback
+# (absent ⇒ derive from level 1) needs that distinction — for plain
+# level-1 supports absent ⇒ empty IS the correct reading, because
+# every version writes all of them through the one union action.
+# Readers resolve the new layout first and fall back to the per-name
+# directories of states written by earlier rounds (the same upgrade
+# discipline as the dims/ and level-2 fallbacks); the union pads each
+# support to the superset schema with typed NULLs and a reader
+# re-projects exactly the support's own ``keys + n``, so the
+# round-trip is column-identical to the per-name files.
+
+
+def _agg_union(dfs: "dict[str, DataFrame]") -> DataFrame:
+    """The discriminated union of the aggregate-sized supports: every
+    support padded to the superset column set with typed NULLs, tagged
+    by ``__sup``."""
+    cols: list[tuple[str, object]] = []
+    seen: set[str] = set()
+    for df in dfs.values():
+        for f in df.schema.fields:
+            if f.name not in seen:
+                seen.add(f.name)
+                cols.append((f.name, f.dataType))
+    parts = []
+    for name, df in dfs.items():
+        own = set(df.columns)
+        parts.append(
+            df.select(
+                F.lit(name).alias("__sup"),
+                *[
+                    (F.col(c) if c in own else F.lit(None).cast(t)).alias(c)
+                    for c, t in cols
+                ],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _write_agg_supports(
+    spark: SparkSession, vdir: str, dfs: "dict[str, DataFrame]"
+) -> None:
+    """ONE write action for every aggregate-sized support of a version
+    (``{vdir}/agg/__sup=<name>/``), plus the schema artifact that lets
+    an all-empty version still serve typed empty supports."""
+    if not dfs:
+        return
+    u = _agg_union(dfs)
+    u.write.partitionBy("__sup").mode("overwrite").parquet(f"{vdir}/agg")
+    _write_schema_artifact(spark, f"{vdir}/agg", u.drop("__sup").schema)
+
+
+def _read_agg_support(
+    spark: SparkSession,
+    state_dir: str,
+    version_name: str,
+    name: str,
+    keys: list[str],
+) -> DataFrame | None:
+    """The aggregate-sized support ``name`` at a version from the
+    unioned agg store (partition-pruned on ``__sup``, re-projected to
+    the support's own columns) — or None when that version predates
+    the agg layout (the caller falls back to the per-name path)."""
+    agg = f"{state_dir}/mart/{version_name}/agg"
+    fs, _r, jp = _fs(spark, agg)
+    if not fs.exists(jp(agg)):
+        return None
+    try:
+        df = spark.read.parquet(agg)
+    except Exception:
+        # a version whose every support emptied: partitionBy wrote no
+        # files — serve the typed empty relation from the artifact
+        schema = _read_schema_artifact(spark, agg)
+        if schema is None:
+            raise
+        df = spark.createDataFrame([], schema).withColumn(
+            "__sup", F.lit(None).cast("string")
+        )
+    return df.filter(F.col("__sup") == name).select(*keys, "n")
+
+
+def _read_plain_l1_supports(
+    spark: SparkSession,
+    state_dir: str,
+    pyramid: MartPyramid,
+    version_name: str,
+    names: list[str],
+) -> dict[str, DataFrame]:
+    """Every requested plain level-1 support at a version through ONE
+    read of the version's agg store (one file listing + footer pass,
+    then per-name partition-pruned filters off the same relation) —
+    or, for versions predating the agg layout, the per-name
+    directories."""
+    out: dict[str, DataFrame] = {}
+    if not names:
+        return out
+    agg = f"{state_dir}/mart/{version_name}/agg"
+    fs, _r, jp = _fs(spark, agg)
+    if fs.exists(jp(agg)):
+        try:
+            df = spark.read.parquet(agg)
+        except Exception:
+            # every plain support emptied at this version: partitionBy
+            # wrote no files — serve typed empties from the artifact
+            schema = _read_schema_artifact(spark, agg)
+            if schema is None:
+                raise
+            df = spark.createDataFrame([], schema).withColumn(
+                "__sup", F.lit(None).cast("string")
+            )
+        for name in names:
+            out[name] = df.filter(F.col("__sup") == name).select(
+                *pyramid.support_keys[name], "n"
+            )
+        return out
+    for name in names:
+        out[name] = spark.read.parquet(
+            f"{state_dir}/mart/{version_name}/{name}"
+        )
+    return out
+
+
 def _read_level1_at(
     spark: SparkSession,
     state_dir: str,
@@ -579,6 +793,11 @@ def _read_level1_at(
         return _read_cow_support(
             spark, state_dir, name, ver, pyramid.support_keys[name]
         )
+    df = _read_agg_support(
+        spark, state_dir, version_name, name, pyramid.support_keys[name]
+    )
+    if df is not None:
+        return df
     return spark.read.parquet(f"{state_dir}/mart/{version_name}/{name}")
 
 
@@ -621,79 +840,157 @@ def _advance_supports(
     touched: Mapping[str, list[int]] | None = None,
 ) -> None:
     """Fold one epoch's signed support deltas into version ``nxt``:
-    aggregate-sized supports merge whole against the previous version
-    and rewrite whole under the mart version root; facts-scale ones
-    COW-merge only their delta-touched buckets. A level-1 support
-    with a registered rollup merges through the transitions-emitting
-    variant — its transitions (through the rollup's transform, if
-    any) are the ENTIRE delta of the aggregate-sized level-2 support,
-    which rewrites whole under the version root like any other
-    aggregate-sized support. The mart-root ``_SUCCESS``, written
-    LAST, commits every piece atomically.
+    facts-scale supports COW-merge only their delta-touched buckets;
+    every aggregate-sized support (non-bucketed level 1 AND the
+    level-2 rollup targets) merges whole against the previous version
+    and rewrites through the ONE discriminated ``agg`` union write. A
+    level-1 support with a registered rollup merges through the
+    transitions-emitting variant — its transitions (through the
+    rollup's transform, if any) are the ENTIRE delta of the
+    aggregate-sized level-2 support. The mart-root ``_SUCCESS``,
+    written LAST, commits every piece atomically.
 
-    r15: the per-support units (level-1 merge+write, plus its level-2
-    write) are mutually independent — they read disjoint previous
-    state and write disjoint paths — so they run CONCURRENTLY from a
-    small driver pool (guide §2.6) instead of serializing one tiny
-    job's tail after another; each unit scopes its own transitions
-    persist. A bucketed support declared in ``habitat.sup_touch``
-    derives its touched buckets from the one-job discovery (union of
-    its arms' sets) instead of collecting them from the delta plan."""
+    r15: the bucketed COW merges are mutually independent — they read
+    disjoint previous state and write disjoint paths — so they run
+    CONCURRENTLY from a small driver pool (guide §2.6). A bucketed
+    support declared in ``habitat.sup_touch`` derives its touched
+    buckets from the one-job discovery (union of its arms' sets)
+    instead of collecting them from the delta plan.
+
+    r16 (guide §1.2/§2.6): two changes to the same end — fewer driver
+    jobs per epoch WITHOUT serializing anything new. (a) The plain
+    level-1 supports merge and write through the single
+    ``partitionBy("__sup")`` agg-union action (one job instead of one
+    per support), with the previous version's plain supports resolved
+    by ONE read of the prev agg store inside that thunk. (b) The
+    level-2 writes are their own pooled thunks instead of running
+    serialized after their level-1's COW write inside one unit —
+    their inputs (the transitions, branching off the persisted COW
+    merge plans built up front on this thread; plan building runs no
+    Spark action because the habitat always supplies ``touched``) are
+    lazy, so nothing forces that ordering. Every write then runs
+    CONCURRENTLY from the driver pool and the critical path drops to
+    the slowest SINGLE write (measured: a serialized
+    all-in-one-agg-after-COW shape cost +2.3 s/epoch at sf0.1, and
+    one monolithic agg job holding the level-2 merges ran ~3.5 s —
+    longer than the COW writes it waited on). The shared merge
+    relations (each consumed by a COW write AND, via transitions, by
+    an l2 thunk on a different thread) persist through
+    ``persist_into`` and are released here after ALL writes returned —
+    a per-unit thread-local scope would drop them before the other
+    thread's consumer ran; the block manager deduplicates the racing
+    first computes."""
+    import time as _time
+
     pyramid = habitat.pyramid
     l2 = pyramid.level2
     vdir = f"{state_dir}/mart/v{nxt}_e{epoch}"
+    merge_persists: list = []
+    thunks = []
+    plain_simple: list[str] = []          # plain l1, merged in agg_unit
+    plain_prebuilt: dict[str, DataFrame] = {}  # plain l1 with a rollup
 
-    def unit(name: str) -> None:
-        import time as _time
-
-        _t0 = _time.time()
+    _t0 = _time.time()
+    for name in pyramid.support_names:
+        if name in l2:
+            continue
         keys = pyramid.support_keys[name]
         rollup = pyramid.rollups.get(name)
-        with engine_cache_scope():
-            trans = None
-            if name in pyramid.bucketed:
-                sup_touched = None
-                if touched is not None and name in habitat.sup_touch:
-                    sup_touched = sorted(
-                        {
-                            b
-                            for tag in habitat.sup_touch[name]
-                            for b in touched[tag]
-                        }
-                    )
-                trans = cow_apply_count_delta(
-                    spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
-                    pyramid.bucketed[name], n_buckets, prev[0], nxt, epoch,
-                    roll_keys=list(rollup.trans_keys) if rollup else None,
-                    touched=sup_touched,
+        trans = None
+        if name in pyramid.bucketed:
+            sup_touched = None
+            if touched is not None and name in habitat.sup_touch:
+                sup_touched = sorted(
+                    {
+                        b
+                        for tag in habitat.sup_touch[name]
+                        for b in touched[tag]
+                    }
                 )
-            else:
-                cur = spark.read.parquet(f"{state_dir}/mart/{prev[3]}/{name}")
-                if rollup is not None:
-                    merged, trans = apply_count_delta_with_transitions(
-                        cur, deltas[name], keys, list(rollup.trans_keys)
-                    )
-                else:
-                    merged = apply_count_delta(cur, deltas[name], keys)
-                merged.write.mode("overwrite").parquet(f"{vdir}/{name}")
-            if rollup is not None:
-                cur2 = _prev_level2(
-                    spark, state_dir, pyramid, prev, name, dims
-                )
-                if rollup.transform is not None:
-                    trans = rollup.transform(trans, dims)
-                apply_count_delta(
-                    cur2, trans, pyramid.support_keys[rollup.l2]
-                ).write.mode("overwrite").parquet(f"{vdir}/{rollup.l2}")
-        _prof(f"unit {name}", _t0)
+            merged, trans, sup_touched = cow_count_merge_plan(
+                spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
+                pyramid.bucketed[name], n_buckets, prev[0],
+                roll_keys=list(rollup.trans_keys) if rollup else None,
+                touched=sup_touched,
+                persist_into=merge_persists,
+            )
 
-    _run_parallel(
-        [
-            (lambda name=name: unit(name))
-            for name in pyramid.support_names
-            if name not in l2
-        ]
-    )
+            def cow_unit(
+                name=name, merged=merged, sup_touched=sup_touched
+            ) -> None:
+                _tu = _time.time()
+                cow_write_merged(
+                    spark, f"{state_dir}/sup_cow/{name}", merged,
+                    pyramid.bucketed[name], n_buckets, nxt, epoch,
+                    sup_touched,
+                )
+                _prof(f"unit {name}", _tu)
+
+            thunks.append(cow_unit)
+        elif rollup is None:
+            plain_simple.append(name)
+        else:
+            # a plain level-1 with a rollup: its merge plan is shared
+            # by the agg write and the l2 thunk on different threads,
+            # so it is built (and persisted) here up front
+            cur = _read_level1_at(
+                spark, state_dir, pyramid, name, prev[0], prev[3]
+            )
+            merged, trans = apply_count_delta_with_transitions(
+                cur, deltas[name], keys, list(rollup.trans_keys),
+                persist_into=merge_persists,
+            )
+            plain_prebuilt[name] = merged
+        if rollup is not None:
+
+            def l2_unit(name=name, rollup=rollup, trans=trans) -> None:
+                _tu = _time.time()
+                with engine_cache_scope():
+                    cur2 = _prev_level2(
+                        spark, state_dir, pyramid, prev, name, dims
+                    )
+                    t = (
+                        rollup.transform(trans, dims)
+                        if rollup.transform is not None
+                        else trans
+                    )
+                    apply_count_delta(
+                        cur2, t, pyramid.support_keys[rollup.l2]
+                    ).write.mode("overwrite").parquet(f"{vdir}/{rollup.l2}")
+                _prof(f"unit {rollup.l2}", _tu)
+
+            thunks.append(l2_unit)
+    _prof("plan supports", _t0)
+
+    def agg_unit() -> None:
+        _tu = _time.time()
+        with engine_cache_scope():
+            prev_plain = _read_plain_l1_supports(
+                spark, state_dir, pyramid, prev[3], plain_simple
+            )
+            agg_out = {
+                name: apply_count_delta(
+                    prev_plain[name], deltas[name],
+                    pyramid.support_keys[name],
+                )
+                for name in plain_simple
+            }
+            agg_out.update(plain_prebuilt)
+            _write_agg_supports(spark, vdir, agg_out)
+        _prof("unit agg", _tu)
+
+    if plain_simple or plain_prebuilt:
+        thunks.append(agg_unit)
+    _t0 = _time.time()
+    try:
+        _run_parallel(thunks)
+    finally:
+        for df in merge_persists:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+    _prof("write supports", _t0)
     _commit_marker(spark, vdir)
 
 
@@ -707,10 +1004,12 @@ def read_supports(
     version_name: str,
     dims: Mapping[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
-    """All supports AS OF a committed mart version: aggregate-sized
-    ones from the version directory itself, facts-scale ones resolved
-    per bucket from their COW stores at that version number. A
-    level-2 support absent at that version (a state seeded before
+    """All supports AS OF a committed mart version: plain level-1
+    supports from the version's discriminated ``agg`` union (or, for
+    versions written before the agg layout, the per-name directory),
+    level-2 supports from their per-name directories, facts-scale ones
+    resolved per bucket from their COW stores at that version number.
+    A level-2 support absent at that version (a state seeded before
     level 2 existed) is re-derived from its level-1 relation at the
     same version instead of failing — ``dims`` is only consulted for
     that fallback when the rollup carries a transform."""
@@ -723,6 +1022,14 @@ def read_supports(
                 spark, state_dir, name, ver, pyramid.support_keys[name]
             )
             continue
+        if name not in by_l2:
+            agg = _read_agg_support(
+                spark, state_dir, version_name, name,
+                pyramid.support_keys[name],
+            )
+            if agg is not None:
+                out[name] = agg
+                continue
         path = f"{state_dir}/mart/{version_name}/{name}"
         if name in by_l2:
             fs, _r, jp = _fs(spark, path)

@@ -1092,7 +1092,20 @@ def test_level2_upgrade_fallback_pre_r14_state(spark, tmp_path):
         spark, _p_df(spark, p_old), _m_df(spark, m_old),
         _pp(spark), _ps(spark), _anc(spark), state, n_buckets=8,
     )
-    _sh.rmtree(f"{state}/mart/v0/sup_db")  # pre-level-2 layout
+    # rewrite v0 into the PRE-r14 layout the test simulates: per-name
+    # support directories, no sup_db, no agg union (r16 seeds write
+    # the plain level-1 supports through the discriminated agg store)
+    from interpro7_dw_spark.domain.mart_ivm import TAXON_PYRAMID
+    from interpro7_dw_spark.streaming.mart_habitat import _read_agg_support
+
+    for name in TAXON_PYRAMID.support_names:
+        if name in TAXON_PYRAMID.bucketed or name in TAXON_PYRAMID.level2:
+            continue
+        _read_agg_support(
+            spark, state, "v0", name, TAXON_PYRAMID.support_keys[name]
+        ).write.parquet(f"{state}/mart/v0/{name}")
+    _sh.rmtree(f"{state}/mart/v0/agg")  # pre-level-2 layout
+    _sh.rmtree(f"{state}/mart/v0/sup_db")
 
     # reader fallback: the seed version still renders the OLD release
     sup0 = read_mart_supports(spark, state, "v0")
