@@ -428,16 +428,20 @@ def _prune_split(
     """Broadcast semi/anti split of a facts-scale support on the
     delta's touched ``prune_col`` values — (touched_rows, untouched).
 
-    The support is persisted here because BOTH branches scan it: in
-    the storeless batch maintainers the support is itself a
-    facts-scale aggregation (the seed's groupBy over the match join),
-    which the semi and anti branches would otherwise each recompute
-    from the base scans (guide §2.4 — the r15 plan sweep showed the
-    seed subtree twice per pruned merge). One compute + cache read
-    replaces two computes; released by the consumer's
-    engine_cache_scope (caching.py). The streaming habitat never
-    reaches this function — its supports are COW bucket READS."""
-    sup = owned_persist(support).alias("__ps")
+    The support is deliberately NOT persisted, although both branches
+    scan it. r15 persisted it (one compute + cache read instead of
+    two computes of the seed's facts-scale groupBy, guide §2.4) on a
+    winning SOLO A/B, but the driver's full-bench measurement
+    regressed 7.16→10.59 s and the r16 full-bench-session A/B
+    confirmed the driver: ivm_mart_taxonomy 8.34 s with the persist
+    vs 7.50 s without (carried20 drift anchors 29.45/28.04 — the
+    persist loses ~6% drift-normalized). The materialization barrier
+    serializes branches the overlapped plan pipelines, exactly like
+    this family's other rejected persists (r15 negative-result
+    ledger: persisting the dp/dm deltas 9.4→13.2, broadcasting the
+    prunes 9.4→26.9). The streaming habitat never reaches this
+    function — its supports are COW bucket READS."""
+    sup = support.alias("__ps")
     touched = F.broadcast(
         delta.select(F.col(prune_col).alias("__pv")).distinct().alias("__pt")
     )

@@ -170,7 +170,10 @@ def repr_id_sets(
     caller can attach back to its match-sized input with a
     ``group_cols``-keyed join + ``array_contains`` (what the merge
     pipeline does), instead of exploding to per-domain rows first.
-    Output: (*group_cols, rep_ids array<long>)."""
+    Output: (*group_cols, doms, rep_ids array<long>) — ``doms`` is the
+    group's full collected domain-struct array (match-sized in total)
+    kept for :func:`select_repr_domains`'s re-explode; callers joining
+    rep_ids back to their own match relation should drop it."""
     repr_udf = _make_repr_udf()
     return (
         domains.groupBy(*group_cols)
