@@ -890,7 +890,44 @@ def _advance_supports(
     plain_simple: list[str] = []          # plain l1, merged in agg_unit
     plain_prebuilt: dict[str, DataFrame] = {}  # plain l1 with a rollup
 
+    # the COW merge plans build CONCURRENTLY (r16): each resolves its
+    # store's touched buckets at the previous version — a directory
+    # listing plus one spark.read footer pass per contributing version
+    # dir, ~0.3 s each serialized — and they touch disjoint stores, so
+    # the pool overlaps the footer passes (guide §2.6). No Spark
+    # action runs (the habitat supplies touched); dict/list writes
+    # from the pool threads are single bytecode appends.
+    cow_plans: dict[str, tuple] = {}
+
+    def build_plan(name: str) -> None:
+        rollup = pyramid.rollups.get(name)
+        sup_touched = None
+        if touched is not None and name in habitat.sup_touch:
+            sup_touched = sorted(
+                {
+                    b
+                    for tag in habitat.sup_touch[name]
+                    for b in touched[tag]
+                }
+            )
+        cow_plans[name] = cow_count_merge_plan(
+            spark, f"{state_dir}/sup_cow/{name}", deltas[name],
+            pyramid.support_keys[name],
+            pyramid.bucketed[name], n_buckets, prev[0],
+            roll_keys=list(rollup.trans_keys) if rollup else None,
+            touched=sup_touched,
+            persist_into=merge_persists,
+        )
+
     _t0 = _time.time()
+    bucketed_l1 = [
+        n
+        for n in pyramid.support_names
+        if n not in l2 and n in pyramid.bucketed
+    ]
+    _run_parallel(
+        [(lambda name=name: build_plan(name)) for name in bucketed_l1]
+    )
     for name in pyramid.support_names:
         if name in l2:
             continue
@@ -898,22 +935,7 @@ def _advance_supports(
         rollup = pyramid.rollups.get(name)
         trans = None
         if name in pyramid.bucketed:
-            sup_touched = None
-            if touched is not None and name in habitat.sup_touch:
-                sup_touched = sorted(
-                    {
-                        b
-                        for tag in habitat.sup_touch[name]
-                        for b in touched[tag]
-                    }
-                )
-            merged, trans, sup_touched = cow_count_merge_plan(
-                spark, f"{state_dir}/sup_cow/{name}", deltas[name], keys,
-                pyramid.bucketed[name], n_buckets, prev[0],
-                roll_keys=list(rollup.trans_keys) if rollup else None,
-                touched=sup_touched,
-                persist_into=merge_persists,
-            )
+            merged, trans, sup_touched = cow_plans[name]
 
             def cow_unit(
                 name=name, merged=merged, sup_touched=sup_touched
